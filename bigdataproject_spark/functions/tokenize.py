@@ -1,0 +1,107 @@
+"""Tokenization — rebuild of reference UDF U2 (pluggable backend).
+
+Reference semantics (hot/preprocess_high_energy.py:40-61, ``seg_text``):
+jieba CJK segmentation, then drop stopwords (28-word set), tokens of
+length<=1, and pure-numeric tokens; null → [].
+
+Backends:
+  * ``regex`` (default): native ``F.split`` on non-word boundaries —
+    stays in codegen, correct for whitespace-delimited text (the driver's
+    testdata documents are space-separated). This is the scale path.
+  * ``jieba``: Arrow-batched pandas_udf wrapping jieba for CJK; only
+    registered if the library is importable (it is not baked into this
+    container — SURVEY §7.4.1 tokenizer-determinism risk). Never a
+    row-at-a-time Python UDF.
+
+The stopword list and min length are parameters, applied as native
+``F.filter`` on the token array in both backends so the filter logic is
+identical and codegen'd.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# English-ish analogue of the reference's 28-word CJK stopword set
+# (hot/preprocess_high_energy.py:46-58); injected as data.
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "this", "that", "was", "for", "on", "are", "as", "with", "at", "be",
+)
+
+_SPLIT_PATTERN = r"[^\p{L}\p{N}]+"  # split on any non letter/digit run
+
+
+def _post_filter(
+    tokens: Column, stopwords: Sequence[str], min_len: int, drop_numeric: bool
+) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords]) if stopwords else F.array()
+    cond = lambda t: (  # noqa: E731
+        (F.length(t) >= min_len)
+        & ~F.array_contains(sw, t)
+        & (~t.rlike(r"^[0-9]+$") if drop_numeric else F.lit(True))
+    )
+    return F.filter(tokens, cond)
+
+
+def tokenize_expr(
+    text: Column | str,
+    *,
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+    min_len: int = 2,
+    drop_numeric: bool = True,
+    lowercase: bool = True,
+) -> Column:
+    """array<string> tokens via the native regex backend.
+
+    Equivalent oracle SQL (DuckDB)::
+
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    t -> len(t) >= 2 AND t NOT IN (...) AND NOT regexp_matches(t, '^[0-9]+$'))
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        col = F.lower(col)
+    tokens = F.split(col, _SPLIT_PATTERN)
+    filtered = _post_filter(tokens, stopwords, min_len, drop_numeric)
+    return F.coalesce(filtered, F.array())  # null text → []
+
+
+def jieba_tokenize_udf(
+    *,
+    stopwords: Sequence[str] = (),
+    min_len: int = 2,
+    drop_numeric: bool = True,
+):
+    """Arrow-batched pandas_udf CJK tokenizer; raises ImportError without jieba.
+
+    Kept out of the default path: jieba output varies by version/dict
+    (SURVEY §7.4.1), so golden tests must be tokenizer-tagged.
+    """
+    import jieba  # noqa: F401  (gated import; not in this container)
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    sw = set(stopwords)
+
+    @pandas_udf("array<string>")
+    def _seg(s: pd.Series) -> pd.Series:
+        def seg_one(t):
+            if not t:
+                return []
+            out = []
+            for tok in jieba.lcut(t):
+                tok = tok.strip()
+                if len(tok) < min_len or tok in sw:
+                    continue
+                if drop_numeric and tok.isdigit():
+                    continue
+                out.append(tok)
+            return out
+
+        return s.map(seg_one)
+
+    return _seg

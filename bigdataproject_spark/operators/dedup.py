@@ -1,0 +1,307 @@
+"""Deduplication operators for training-data pipelines (north-star ops,
+BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+cosine. All pure DataFrame/higher-order-function implementations — no
+Python UDFs anywhere in the hot path.
+
+Scale design:
+  * exact dedup: hash-groupBy on a digest — one shuffle on a high-entropy
+    key (no skew), map-side combine.
+  * n-gram Jaccard: candidate pairs via a shared-shingle equi-join
+    (inverted index) so only documents sharing ≥1 shingle are compared;
+    the intersection size falls out of the join group count — the full
+    |A∩B|/|A∪B| never materializes per-pair beyond one aggregated row.
+    Frequent-shingle hot keys are the skew risk → ``max_shingle_df`` drops
+    shingles appearing in more than N docs (standard inverted-index stop
+    list), bounding any single join key's fan-out.
+  * MinHash+LSH: k hash functions via Spark's murmur3 ``F.hash(col, seed)``
+    over the shingle array (array_min of transform — no explode), banded
+    into b buckets; candidate pairs join only within (band, bucket-hash).
+    Verification re-checks exact Jaccard on candidates only.
+  * SimHash: 64-bit fingerprint via xxhash64 bit-vote aggregation entirely
+    in array expressions; near-dups = equal fingerprint (or banded hamming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- shingling ----------------------------------------------------------------
+
+
+def word_shingles(tokens: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (space-joined).
+
+    transform over 0..len-n keeps everything in one projection; short docs
+    (< n tokens) yield []."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))
+    )
+    return F.array_distinct(F.when(F.size(t) >= n, sh).otherwise(F.array()))
+
+
+# --- exact dedup --------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, *, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Group identical texts by md5 digest: (digest, canonical_id, n_dups).
+
+    ``canonical_id`` = min id of the group (the keeper); rows with
+    n_dups > 1 are exact duplicates. Shuffles once on the digest."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    key = F.md5(norm if normalize else F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct text (the min-id row) — the in-engine
+    version of the reference crawler's resumable dmid dedup (S12,
+    crawler/spider_worker.py:73-77), generalized to content identity."""
+    groups = exact_dedup_groups(df, id_col=id_col, text_col=text_col)
+    keep = groups.select(F.col("canonical_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --- n-gram Jaccard (exact, inverted-index candidates) ------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard ≥ threshold via shared-shingle join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6dp.
+    """
+    sizes = df.select(
+        F.col(id_col).alias("id"), F.size(shingles_col).alias("sz")
+    )
+    posting = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col).alias("sh")
+    )
+    if max_shingle_df is not None:
+        rare = (
+            posting.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("sh")
+        )
+        posting = posting.join(rare, on="sh", how="left_semi")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_shared") / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column | str, num_hashes: int) -> Column:
+    """array<int> of k minhash values: min over shingles of murmur3(sh, seed_i).
+
+    array_min(transform(...)) — no explode, no shuffle; empty shingle sets
+    get null signatures (callers filter)."""
+    sh = F.col(shingles) if isinstance(shingles, str) else shingles
+    mins = [
+        F.array_min(F.transform(sh, lambda x: F.hash(x, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH-banded candidate pairs (id_a < id_b), deduplicated across bands.
+
+    Signature is split into ``bands`` rows (band_id, band_hash); pairs
+    colliding in ≥1 band survive. The join key (band_id, band_hash) is
+    high-entropy, so the self-join shuffles evenly; at 100TB the band rows
+    are the only materialization (k/bands ints per doc per band).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles_col, num_hashes)
+    with_sig = df.filter(F.size(shingles_col) > 0).select(
+        F.col(id_col).alias("id"), sig.alias("sig")
+    )
+    band_rows = with_sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.hash(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band_id", "bb.band_hash")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold (the standard
+    minhash-LSH near-dup pipeline: band → bucket-join → verify)."""
+    cands = lsh_candidate_pairs(
+        df, id_col=id_col, shingles_col=shingles_col, num_hashes=num_hashes, bands=bands
+    )
+    sh = df.select(F.col(id_col).alias("id"), F.col(shingles_col).alias("sh"))
+    pairs = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter / union, 6)
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash64(tokens: Column | str) -> Column:
+    """64-bit SimHash of a token array, fully in array expressions.
+
+    Per token: xxhash64 → 64 sign votes (+1 if bit set else −1); votes are
+    summed with a zip_with fold over an array<int> accumulator; fingerprint
+    bit b = (vote_b > 0). Result as bigint (bit 63 lands in the sign bit —
+    compare for equality, don't order)."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    zero = F.array(*[F.lit(0) for _ in range(64)])
+    votes = F.aggregate(
+        t,
+        zero,
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1)) * 2 - 1
+                    ).cast("int")
+                    for b in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    fp = F.lit(0).cast("bigint")
+    for b in range(64):
+        # 1 << 63 wraps to long min value — construct via numpy-free int
+        # arithmetic on the Python side (two's complement literal).
+        bit_val = 1 << b
+        if bit_val >= 1 << 63:
+            bit_val -= 1 << 64
+        fp = fp.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_val).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return fp
+
+
+def simhash_dedup_groups(df: DataFrame, *, id_col: str, tokens: Column | str) -> DataFrame:
+    """(simhash, canonical_id, n_dups) — identical-fingerprint grouping."""
+    return (
+        df.select(F.col(id_col).alias("id"), simhash64(tokens).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None,
+    threshold: float,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold; ``block_col`` restricts comparison to
+    same-block pairs (coarse-quantization blocking — the IVF idea: at scale
+    the block comes from a cluster/LSH assignment, never all-pairs)."""
+    from bigdataproject_spark.functions.vectors import cosine_similarity
+
+    cols = ["id", "v"] + (["blk"] if block_col else [])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,160 @@
+"""High-energy-moment detection pipeline (SURVEY §3.1).
+
+Reference: hot/spark_energy.py:18-119 — the system's flagship query:
+
+  scan → per-row weighted score (U1) → 10s tumbling bucket (media time)
+  → groupBy(episode, bucket).agg(count AS density, sum(score) AS sentiment)
+  → energy = 0.37·sentiment + 0.63·density (hot/spark_energy.py:72)
+  → percent_rank() over (partition by episode order by energy)
+  → is_high = rank_pct >= 0.9  (adaptive per-episode top-decile,
+    hot/spark_energy.py:76-79)
+  → per-episode sorted timeline of struct<time,value,high>
+
+Differences from the reference, by design:
+  * generic over any event table: (key, time, weight) columns are
+    parameters; the danmaku shape (bvid, video_time, tiered-score(text))
+    and the driver's events shape (event_type, ts, value) both fit.
+  * the timeline array is explicitly ``array_sort``-ed — the reference's
+    collect_list order is only accidental (SURVEY §7.4.4).
+  * scale path: ``flag_top_pct_approx`` replaces the full per-partition
+    sort window with an ``approx_percentile`` per-key threshold + join —
+    at 100TB a Window sort over every key is the bottleneck (SURVEY §7.4.7);
+    the approx variant is one partial-aggregable pass + a broadcastable
+    per-key threshold map.
+
+Plan shape (exact variant): 2 shuffles — one hash-aggregate exchange on
+(key,bucket) with map-side partial aggregation, one window exchange on key.
+The timeline re-aggregation reuses the window exchange's hash partitioning
+on key (no third shuffle when AQE keeps the partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SENTIMENT_WEIGHT = 0.37  # hot/spark_energy.py:72
+DENSITY_WEIGHT = 0.63
+WINDOW_SIZE_S = 10  # hot/spark_energy.py:15
+HIGHLIGHT_PCT = 0.9  # hot/spark_energy.py:79
+
+
+def bucket_media_time(time_s: Column | str, window_s: int = WINDOW_SIZE_S) -> Column:
+    """Tumbling bucket over a *media-time* double (seconds):
+    ``floor(t/W)*W`` cast int (hot/spark_energy.py:64)."""
+    t = F.col(time_s) if isinstance(time_s, str) else time_s
+    return (F.floor(t / window_s) * window_s).cast("int")
+
+
+def bucket_event_time(ts: Column | str, window_s: int = WINDOW_SIZE_S) -> Column:
+    """Tumbling bucket over a wall-clock timestamp via ``F.window`` — the
+    same aggregation then runs unchanged under Structured Streaming
+    (SURVEY §2.9 rebuild decision). Returns the window start timestamp."""
+    t = F.col(ts) if isinstance(ts, str) else ts
+    return F.window(t, f"{window_s} seconds").start
+
+
+def bucket_energy(
+    df: DataFrame,
+    *,
+    key: str,
+    bucket: Column,
+    weight: Column,
+    s_w: float = SENTIMENT_WEIGHT,
+    d_w: float = DENSITY_WEIGHT,
+) -> DataFrame:
+    """count+sum aggregate per (key, bucket) and the fused energy score.
+
+    One shuffle; HashAggregate partial+final (the DataFrame equivalent of
+    the reference's hand-rolled reduceByKey partial aggregation).
+    """
+    return (
+        df.select(F.col(key).alias("key"), bucket.alias("bucket"), weight.alias("w"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("density"),
+            F.sum("w").alias("sentiment"),
+        )
+        .withColumn("energy", s_w * F.col("sentiment") + d_w * F.col("density"))
+    )
+
+
+def flag_top_pct(
+    df: DataFrame, *, key: str = "key", order: str = "energy", pct: float = HIGHLIGHT_PCT
+) -> DataFrame:
+    """Exact adaptive threshold: percent_rank per key, flag top (1-pct).
+
+    percent_rank = (rank-1)/(n-1) is deterministic under ties (tied order
+    values share a rank), so no tiebreaker column is needed for the flag
+    itself (SURVEY §7.4.3). Single-bucket keys get rank 0.0 → never
+    flagged, matching the reference.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+    return df.withColumn("rank_pct", F.percent_rank().over(w)).withColumn(
+        "is_high", F.col("rank_pct") >= pct
+    )
+
+
+def flag_top_pct_approx(
+    df: DataFrame,
+    *,
+    key: str = "key",
+    order: str = "energy",
+    pct: float = HIGHLIGHT_PCT,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale variant: per-key approx_percentile threshold + equi-join.
+
+    Avoids the full sort-per-partition window: one partially-aggregable
+    pass computes each key's pct-quantile of ``order``; the tiny per-key
+    threshold table broadcast-joins back. O(n) vs O(n log n), and no
+    single-partition sort skew for hot keys. Flag semantics differ from
+    percent_rank only within quantile-sketch error.
+    """
+    thresholds = df.groupBy(key).agg(
+        F.percentile_approx(order, pct, accuracy).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=key)
+        .withColumn("is_high", F.col(order) >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def energy_pipeline(
+    events: DataFrame,
+    *,
+    key: str,
+    time_col: str,
+    weight: Column,
+    media_time: bool = True,
+    window_s: int = WINDOW_SIZE_S,
+    exact: bool = True,
+) -> DataFrame:
+    """Full per-bucket energy + highlight flag, columns:
+    key, bucket, density, sentiment, energy, rank_pct?, is_high."""
+    bucket = (
+        bucket_media_time(time_col, window_s)
+        if media_time
+        else bucket_event_time(time_col, window_s)
+    )
+    agg = bucket_energy(events, key=key, bucket=bucket, weight=weight)
+    return flag_top_pct(agg) if exact else flag_top_pct_approx(agg)
+
+
+def timeline(df: DataFrame, *, key: str = "key", round_dp: int = 2) -> DataFrame:
+    """Per-key sorted timeline array (SURVEY A6 / S7 replacement).
+
+    ``array_sort`` on the collected structs makes ordering explicit; struct
+    field order (time first) makes time the sort key. The JSON shape matches
+    hot/all_episodes_energy.json: [{time, value, high}] with value rounded
+    to 2dp (hot/spark_energy.py:110).
+    """
+    elem = F.struct(
+        F.col("bucket").alias("time"),
+        F.round(F.col("energy"), round_dp).alias("value"),
+        F.col("is_high").alias("high"),
+    )
+    return df.groupBy(key).agg(
+        F.array_sort(F.collect_list(elem)).alias("timeline")
+    )

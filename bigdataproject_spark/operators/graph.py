@@ -1,0 +1,77 @@
+"""Character/entity relation graph (SURVEY §3.2) — DataFrame-native.
+
+Reference: relation_graph/danmaku_analysis_cluster.py:110-167 builds
+  * nodes: explode(entities) → groupBy(Id).count() AS Size
+  * edges: an RDD flatMap over ``itertools.combinations(sorted(set), 2)``
+    followed by reduceByKey — a per-row Python pickling seam (§2.11 R1-R5).
+
+Rebuild: pair generation happens inside the scan stage via higher-order
+array functions (:func:`pair_combinations_expr`), so the only shuffles are
+the two final aggregations — both map-side combined. The input is cached
+once and feeds both branches (the reference does the same, M1 cache at
+:128).
+
+Scale: pair explosion is C(n,2) per row in the number of *distinct
+entities in one row* (tiny, ≤17 here), not in table size — safe at 100TB.
+The aggregation key space is |entities|² — also tiny — so the final
+shuffles are trivially broadcast-size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.functions.entities import (
+    extract_entities_expr,
+    pair_combinations_expr,
+)
+
+
+def extract_entity_table(
+    df: DataFrame, text_col: str, alias_to_canonical: Mapping[str, str]
+) -> DataFrame:
+    """Append an ``entities`` array column; keep rows with ≥1 hit
+    (danmaku_analysis_cluster.py:125-126)."""
+    out = df.withColumn(
+        "entities", extract_entities_expr(text_col, alias_to_canonical)
+    )
+    return out.filter(F.size("entities") > 0)
+
+
+def graph_nodes(entity_df: DataFrame) -> DataFrame:
+    """Node table (Id, Size): mention counts over exploded entities
+    (danmaku_analysis_cluster.py:131-134), desc by Size with an Id
+    tiebreak for determinism."""
+    return (
+        entity_df.select(F.explode("entities").alias("Id"))
+        .groupBy("Id")
+        .agg(F.count(F.lit(1)).alias("Size"))
+        .orderBy(F.desc("Size"), F.asc("Id"))
+    )
+
+
+def graph_edges(entity_df: DataFrame) -> DataFrame:
+    """Edge table (Source, Target, Weight): per-row C(n,2) sorted pairs,
+    summed (danmaku_analysis_cluster.py:139-152) — no RDD, no self-join;
+    Source < Target lexically (undirected canonical form)."""
+    pairs = entity_df.select(
+        F.explode(pair_combinations_expr("entities")).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.src").alias("Source"), F.col("p.dst").alias("Target"))
+        .groupBy("Source", "Target")
+        .agg(F.count(F.lit(1)).alias("Weight"))
+        .orderBy(F.desc("Weight"), F.asc("Source"), F.asc("Target"))
+    )
+
+
+def build_graph(
+    df: DataFrame, text_col: str, alias_to_canonical: Mapping[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) from a raw text table; input cached for the two
+    consumers (M1, danmaku_analysis_cluster.py:128)."""
+    ent = extract_entity_table(df, text_col, alias_to_canonical).cache()
+    return graph_nodes(ent), graph_edges(ent)

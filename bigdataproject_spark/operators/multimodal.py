@@ -1,0 +1,113 @@
+"""Multimodal column plumbing (north-star op).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs. The Spark-side plumbing — schemas, batch shapes, mapInPandas
+signatures, partition sizing — is real and tested; the codec step itself is
+STUBBED (decode libs are not in this container): ``decode_stub`` raises
+``NotImplementedError`` unless ``fake=True``, in which case it produces a
+deterministic fake feature vector so the pipeline shape can be exercised
+end-to-end.
+
+Scale notes: binary payloads ride in the same parquet row groups as their
+metadata; ``spark.sql.files.maxPartitionBytes`` governs batch memory; the
+mapInPandas iterator yields per-Arrow-batch so one task never holds more
+than a batch of blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical media-asset schema: opaque payload + typed metadata.
+MEDIA_ASSET = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def to_media_assets(
+    df: DataFrame, *, id_col: str, payload_col: str, media_type: str
+) -> DataFrame:
+    """Wrap an existing binary column into the canonical asset shape with
+    computed metadata (n_bytes, sha256) — all native expressions."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit(media_type).alias("media_type"),
+        p.alias("payload"),
+        F.lit(f"application/x-{media_type}").alias("mime"),
+        F.octet_length(p).cast("long").alias("n_bytes"),
+        F.sha2(p, 256).alias("sha256"),
+    )
+
+
+def decode_stub(batch_size_hint: int = 64, *, fake: bool = False, dim: int = 8):
+    """mapInPandas decoder: (asset_id, media_type, payload) → FEATURE_SCHEMA.
+
+    Real deployments swap the body for PIL/librosa/av decode; the Arrow
+    batch iteration, output schema, and memory profile stay identical.
+    With ``fake=True`` emits a deterministic per-byte-histogram feature.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "test double"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                hist = np.zeros(dim, dtype=np.float32)
+                if arr.size:
+                    idx = arr % dim
+                    np.add.at(hist, idx, 1.0)
+                    hist /= arr.size
+                feats.append(hist.tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                    "feature": feats,
+                }
+            )
+
+    return fn
+
+
+def extract_features(assets: DataFrame, *, fake: bool = False, dim: int = 8) -> DataFrame:
+    """Run the (stubbed) decoder over the asset table via mapInPandas."""
+    cols = assets.select("asset_id", "media_type", "payload")
+    return cols.mapInPandas(decode_stub(fake=fake, dim=dim), schema=FEATURE_SCHEMA)

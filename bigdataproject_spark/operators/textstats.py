@@ -1,0 +1,150 @@
+"""Text analysis operators (north-star ops): language-ID, quality scoring,
+token counting, document fingerprinting. All native expressions — these run
+per-row inside the scan stage with zero shuffles, which is exactly what a
+100TB corpus pass needs (pure map, parallel by input split).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.functions.tokenize import DEFAULT_STOPWORDS, tokenize_expr
+
+# Marker-word language profiles (n-gram-heuristic stand-in; real corpora
+# would use charset ranges + frequent-word profiles per language).
+DEFAULT_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "los", "una"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def lang_scores(tokens: Column | str, markers: Mapping[str, Sequence[str]]) -> Column:
+    """struct of per-language marker-hit counts over a token array."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    fields = []
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        fields.append(
+            F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias(lang)
+        )
+    return F.struct(*fields)
+
+
+def lang_id_expr(
+    tokens: Column | str,
+    markers: Mapping[str, Sequence[str]] | None = None,
+    default: str = "und",
+) -> Column:
+    """Predicted language = argmax marker hits (ties → lexicographic first
+    language key order as declared; zero hits → ``default``).
+
+    Implemented as a greatest-of chain so the whole thing stays one
+    codegen'd projection."""
+    markers = DEFAULT_LANG_MARKERS if markers is None else markers
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    counts = []
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        counts.append(
+            (lang, F.size(F.filter(t, lambda x: F.array_contains(arr, x))))
+        )
+    best = None
+    best_cnt = None
+    for lang, cnt in counts:
+        if best is None:
+            best, best_cnt = F.lit(lang), cnt
+        else:
+            gt = cnt > best_cnt
+            best = F.when(gt, F.lit(lang)).otherwise(best)
+            best_cnt = F.when(gt, cnt).otherwise(best_cnt)
+    return F.when(best_cnt > 0, best).otherwise(F.lit(default))
+
+
+def quality_features(text: Column | str, tokens: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature set (length / punctuation / stopword ratios
+    — the classic C4/Gopher-style filters)."""
+    s = F.col(text) if isinstance(text, str) else text
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    n_chars = F.length(s)
+    n_tokens = F.size(t)
+    sw = F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.round(mean_tok_len, 4),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 4
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4
+        ),
+    }
+
+
+def quality_score_expr(feats: Mapping[str, Column]) -> Column:
+    """Scalar [0,1] quality score: length in range, some stopwords, low
+    punctuation — a deterministic linear blend of the features."""
+    len_ok = (
+        F.when((feats["n_tokens"] >= 10) & (feats["n_tokens"] <= 100000), 1.0)
+        .otherwise(0.0)
+    )
+    stop_ok = F.when(feats["stopword_ratio"] >= 0.01, 1.0).otherwise(0.0)
+    punct_ok = F.when(feats["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
+    return F.round(0.4 * len_ok + 0.3 * stop_ok + 0.3 * punct_ok, 4)
+
+
+# BPE-ish pretokenizer regex (GPT-2 style contractions/words/numbers/other),
+# shared between the Spark expression and the DuckDB oracle (both RE2/Java
+# compatible for this subset).
+BPEISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts(text: Column | str) -> dict[str, Column]:
+    """Whitespace token count + BPE-ish pretoken count (north-star token
+    counting)."""
+    s = F.col(text) if isinstance(text, str) else text
+    ws = F.size(F.filter(F.split(s, r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(s, F.lit(BPEISH_PATTERN), 0))
+    return {"n_ws_tokens": ws.cast("long"), "n_bpe_tokens": bpe.cast("long")}
+
+
+def fingerprint_expr(tokens: Column | str, head: int = 64) -> Column:
+    """Content fingerprint: md5 over the first ``head`` normalized tokens —
+    prefix-stable (whitespace/punctuation-insensitive) doc identity."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.md5(F.concat_ws(" ", F.slice(t, 1, head)))
+
+
+def winnowing_fingerprints(
+    tokens: Column | str, *, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD'03): k-gram
+    hashes, min per sliding window, distinct mins. array<long> per doc —
+    robust partial-overlap detection; not SQL-oracle'd (hash fn is
+    engine-specific)."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    n_kgrams = F.greatest(F.size(t) - k + 1, F.lit(0))
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(1), n_kgrams),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
+    )
+    n_windows = F.greatest(F.size(kgram_hashes) - window + 1, F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
+    )
+    return F.when(n_kgrams > 0, F.array_distinct(
+        F.when(n_windows > 0, mins).otherwise(F.array(F.array_min(kgram_hashes)))
+    )).otherwise(F.array().cast("array<bigint>"))

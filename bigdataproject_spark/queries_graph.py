@@ -1,0 +1,87 @@
+"""Relation-graph queries (SURVEY §3.2) on the documents table.
+
+The alias→canonical dictionary plays the role of the reference's 33-alias
+character dictionary (relation_graph/danmaku_analysis_cluster.py:40-100);
+here it maps the testdata vocabulary onto canonical "operator" entities.
+Substring-containment semantics are preserved exactly (an alias matches
+anywhere in the text, not per-token).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdataproject_spark.contract import Query as _q
+from bigdataproject_spark.operators.graph import (
+    extract_entity_table,
+    graph_edges,
+    graph_nodes,
+)
+from bigdataproject_spark.sources.readers import load_table
+
+# 16 aliases → 9 canonical entities (analogue of the reference's 33 → 17).
+DOC_ALIASES: dict[str, str] = {
+    "spark": "Spark",
+    "catalyst": "Spark",
+    "stream": "Streaming",
+    "batch": "Batch",
+    "join": "Join",
+    "merge": "Join",
+    "scan": "Scan",
+    "filter": "Scan",
+    "window": "Window",
+    "agg": "Aggregate",
+    "group": "Aggregate",
+    "sort": "Sort",
+    "order": "Sort",
+    "hash": "Hash",
+    "vector": "Vector",
+    "column": "Vector",
+}
+
+_ALIAS_VALUES = ", ".join(f"('{a}', '{c}')" for a, c in DOC_ALIASES.items())
+_HITS_CTE = f"""
+hits AS (
+  SELECT DISTINCT d.doc_id, m.c AS entity
+  FROM documents d
+  JOIN (VALUES {_ALIAS_VALUES}) AS m(a, c) ON contains(d.text, m.a)
+)
+"""
+
+
+def _entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_entity_table(docs, "text", DOC_ALIASES)
+
+
+def q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity mention counts (nodes CSV shape ``Id,Size`` —
+    dataset_processed/fanRen_result_nodes.csv)."""
+    return graph_nodes(_entities(spark, sf_dir))
+
+
+ORACLE_GRAPH_NODES = f"""
+WITH {_HITS_CTE}
+SELECT entity AS "Id", count(*) AS "Size"
+FROM hits GROUP BY 1 ORDER BY "Size" DESC, "Id" ASC
+"""
+
+
+def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-occurrence counts (edges CSV shape
+    ``Source,Target,Weight`` — fanRen_result_edges.csv), Source<Target."""
+    return graph_edges(_entities(spark, sf_dir))
+
+
+ORACLE_GRAPH_EDGES = f"""
+WITH {_HITS_CTE}
+SELECT a.entity AS "Source", b.entity AS "Target", count(*) AS "Weight"
+FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.entity < b.entity
+GROUP BY 1, 2 ORDER BY "Weight" DESC, "Source" ASC, "Target" ASC
+"""
+
+
+GRAPH_QUERIES = {
+    "graph_nodes": _q(q_graph_nodes, ORACLE_GRAPH_NODES),
+    "graph_edges": _q(q_graph_edges, ORACLE_GRAPH_EDGES),
+}

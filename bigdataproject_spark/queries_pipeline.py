@@ -1,0 +1,459 @@
+"""Training-data-pipeline queries (north-star ops, BASELINE.json):
+deduplication, similarity search, text analysis, multimodal plumbing —
+over the ``documents`` and ``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.contract import Query as _q
+from bigdataproject_spark.functions.tokenize import tokenize_expr
+from bigdataproject_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash_dedup_groups,
+    word_shingles,
+)
+from bigdataproject_spark.operators.multimodal import extract_features, to_media_assets
+from bigdataproject_spark.operators.simsearch import brute_force_topk, lsh_bucket_topk
+from bigdataproject_spark.operators.textstats import (
+    BPEISH_PATTERN,
+    DEFAULT_LANG_MARKERS,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_features,
+    quality_score_expr,
+    token_counts,
+    winnowing_fingerprints,
+)
+from bigdataproject_spark.sources.readers import load_table
+
+# Tokens for dedup/fingerprint/lang-id: no stopword removal, keep 1-char
+# tokens (content-identity must not depend on the analysis stopword list).
+_raw_tokens = lambda c: tokenize_expr(  # noqa: E731
+    c, stopwords=(), min_len=1, drop_numeric=False
+)
+
+# DuckDB equivalent of _raw_tokens (lower + split on non-alnum, drop empties).
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn("tokens", _raw_tokens("text"))
+
+
+# --- deduplication -----------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 over whitespace-normalized lowered text; one
+    shuffle on the digest (hash-groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, id_col="doc_id", text_col="text").orderBy("digest")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS digest,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY digest
+"""
+
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index candidate join,
+    shared-shingle count → |A∩B|)."""
+    docs = _docs_tokens(spark, sf_dir).withColumn(
+        "shingles", word_shingles("tokens", JACCARD_N)
+    )
+    return jaccard_pairs(
+        docs, id_col="doc_id", shingles_col="shingles", threshold=JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {JACCARD_N - 1}, 0)),
+           i -> array_to_string(t[i:i+{JACCARD_N - 1}], ' '))) AS shingles
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), posting AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared / (sa.sz + sb.sz - n_shared) >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard —
+    the scale path for near-dup (murmur3 signatures are engine-specific →
+    rows-only driver check)."""
+    docs = _docs_tokens(spark, sf_dir).withColumn(
+        "shingles", word_shingles("tokens", JACCARD_N)
+    )
+    return minhash_lsh_dedup_pairs(
+        docs,
+        id_col="doc_id",
+        shingles_col="shingles",
+        threshold=JACCARD_THRESHOLD,
+        num_hashes=32,
+        bands=8,
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint groups (xxhash64 bit votes; rows-only)."""
+    docs = _docs_tokens(spark, sf_dir)
+    return simhash_dedup_groups(docs, id_col="doc_id", tokens="tokens").orderBy(
+        "simhash"
+    )
+
+
+# Synthetic embeddings are near-random (max same-label cosine ≈ 0.47 at
+# sf0.01); 0.35 keeps the query's output non-trivially small but non-empty.
+EMB_NEARDUP_THRESHOLD = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (coarse IVF-style
+    blocking: same-cluster pairs only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        threshold=EMB_NEARDUP_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+_SQL_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+ORACLE_EMB_NEARDUP = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_SQL_COS}, 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_SQL_COS}, 6) >= {EMB_NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- similarity search -------------------------------------------------------
+
+ANN_K = 10
+ANN_N_QUERIES = 5
+
+
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast query set against
+    the corpus — the corpus is never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, _ann_queries(emb), id_col="vec_id", vec_col="embedding", k=ANN_K
+    )
+
+
+ORACLE_ANN_BRUTE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}
+), sims AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM q, e WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {ANN_K} ORDER BY q_id, rank
+"""
+
+ANN_BITS = 8
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10: sign-quantized first-8-dims bucket
+    join instead of a cross join (the 2^8-way partition-pruned scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb,
+        _ann_queries(emb),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=ANN_K,
+        n_bits=ANN_BITS,
+    )
+
+
+_SQL_BUCKET = (
+    "list_sum(list_transform(generate_series(1, "
+    f"{ANN_BITS}), i -> CASE WHEN v[i] > 0 THEN 1 << (i - 1) ELSE 0 END))"
+)
+ORACLE_ANN_LSH = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), eb AS (
+  SELECT vec_id, v, {_SQL_BUCKET} AS bkt FROM e
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, bkt FROM eb WHERE vec_id < {ANN_N_QUERIES}
+), sims AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM q JOIN eb e ON q.bkt = e.bkt AND e.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {ANN_K} ORDER BY q_id, rank
+"""
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (C4/Gopher-style filter
+    features) — zero-shuffle map pass."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False)
+    )
+    feats = quality_features("text", "tokens")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        quality_score_expr(feats).alias("quality"),
+    ).orderBy("doc_id")
+
+
+from bigdataproject_spark.functions.tokenize import DEFAULT_STOPWORDS  # noqa: E402
+
+_SQL_SW = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
+ORACLE_TEXTSTATS = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         round(CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+           ELSE 0.0 END, 4) AS mean_token_len,
+         round(CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> x IN ({_SQL_SW}))) * 1.0 / len(toks)
+           ELSE 0.0 END, 4) AS stopword_ratio,
+         round(CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+           / length(text) ELSE 0.0 END, 4) AS punct_ratio
+  FROM t
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       mean_token_len, stopword_ratio, punct_ratio,
+       CAST(round(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS DOUBLE) AS quality
+FROM f ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax of per-language hit counts; earlier
+    declared language wins ties; zero hits → 'und')."""
+    docs = _docs_tokens(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        lang_id_expr("tokens").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def _lang_counts_sql() -> str:
+    cells = []
+    for lang, words in DEFAULT_LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        cells.append(
+            f"len(list_filter(toks, x -> x IN ({in_list}))) AS c_{lang}"
+        )
+    return ", ".join(cells)
+
+
+_LANGS = list(DEFAULT_LANG_MARKERS)
+_TIE_CASE = " ".join(
+    "WHEN "
+    + " AND ".join(
+        [f"c_{l} >= c_{m}" for m in _LANGS if m != l]
+    )
+    + f" THEN '{l}'"
+    for l in _LANGS
+)
+ORACLE_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents
+), c AS (
+  SELECT doc_id, lang, {_lang_counts_sql()} FROM t
+)
+SELECT doc_id, lang AS lang_actual,
+       CASE WHEN greatest({", ".join("c_" + l for l in _LANGS)}) = 0 THEN 'und'
+            {_TIE_CASE}
+            ELSE 'und' END AS lang_pred
+FROM c ORDER BY doc_id
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_counts("text")
+    return docs.select(
+        "doc_id",
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+        tc["n_bpe_tokens"].alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPEISH_PATTERN.replace(chr(39), chr(39) * 2)}'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix fingerprint (md5 of first 64 normalized tokens) + winnowing
+    fingerprint count (k-gram min-hash windows)."""
+    docs = _docs_tokens(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        fingerprint_expr("tokens", 64).alias("fp_prefix64"),
+        F.size(winnowing_fingerprints("tokens", k=5, window=4)).alias("n_winnow"),
+    ).orderBy("doc_id")
+
+
+# winnowing counts use xxhash64 (engine-specific) → fp_prefix64 is oracled
+# separately; this query is rows-only.
+
+
+def q_fingerprint_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-oracled part of fingerprinting: the md5 prefix fingerprint."""
+    docs = _docs_tokens(spark, sf_dir)
+    return docs.select(
+        "doc_id", fingerprint_expr("tokens", 64).alias("fp_prefix64")
+    ).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINT_PREFIX = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+SELECT doc_id, md5(array_to_string(toks[1:64], ' ')) AS fp_prefix64
+FROM t ORDER BY doc_id
+"""
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: documents.text encoded as an opaque
+    payload → (n_bytes, sha256) computed JVM-side on the binary."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    assets = to_media_assets(docs, id_col="doc_id", payload_col="payload", media_type="text")
+    return assets.select("asset_id", "media_type", "mime", "n_bytes", "sha256").orderBy(
+        "asset_id"
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id AS asset_id,
+       'text' AS media_type,
+       'application/x-text' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents ORDER BY asset_id
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode → feature extraction via mapInPandas (deterministic
+    fake byte-histogram features; Arrow-batched). Rows-only check."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    assets = to_media_assets(docs, id_col="doc_id", payload_col="payload", media_type="text")
+    feats = extract_features(assets, fake=True, dim=8)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    ).orderBy("asset_id")
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": _q(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard": _q(q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
+    "dedup_minhash_lsh": _q(q_dedup_minhash, None),
+    "dedup_simhash": _q(q_dedup_simhash, None),
+    "embedding_neardup": _q(q_embedding_neardup, ORACLE_EMB_NEARDUP),
+    "ann_brute_topk": _q(q_ann_brute, ORACLE_ANN_BRUTE),
+    "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
+    "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
+    "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
+    "token_count": _q(q_token_count, ORACLE_TOKEN_COUNT),
+    "doc_fingerprint": _q(q_fingerprint, None),
+    "doc_fingerprint_prefix": _q(q_fingerprint_prefix, ORACLE_FINGERPRINT_PREFIX),
+    "multimodal_meta": _q(q_multimodal_meta, ORACLE_MULTIMODAL_META),
+    "multimodal_features": _q(q_multimodal_features, None),
+}

@@ -1,0 +1,185 @@
+"""Reference-parity queries (SURVEY §3.1, §2.2 A2, §2.10 U1, §2.12 A7-A9)
+mapped onto the driver testdata: ``events`` plays the danmaku role
+(event_type→bvid, ts→time, value→score), ``documents`` plays the
+text-analytics role (FIXTURES.md §B mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.contract import Query as _q
+
+from bigdataproject_spark.functions.scoring import tiered_score_expr
+from bigdataproject_spark.functions.tokenize import DEFAULT_STOPWORDS, tokenize_expr
+from bigdataproject_spark.operators.energy import bucket_energy, flag_top_pct
+from bigdataproject_spark.operators.fpgrowth import mine_association_rules, mine_itemsets
+from bigdataproject_spark.sources.readers import load_table
+
+# English-ish tier dictionary over the testdata vocabulary (the reference
+# hardcodes CJK tiers at hot/spark_energy.py:39-46; the dictionary is data).
+DOC_TIERS = [
+    (["spark", "vector"], 5.0),
+    (["fast", "merge"], 3.0),
+    (["window", "stream"], 2.0),
+    (["slow", "small"], 0.5),
+]
+
+
+def q_energy_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's high-energy pipeline (SURVEY §3.1) on
+    ``events``: 10s tumbling bucket → density/sentiment agg → fused energy
+    → per-event_type percent_rank → top-decile flag.
+
+    Buckets are emitted as epoch seconds (bigint) and the window ranks over
+    energy rounded to 6dp so the DuckDB oracle orders identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 10) * 10).cast("long")
+    agg = bucket_energy(ev, key="event_type", bucket=bucket, weight=F.col("value"))
+    agg = agg.withColumn("energy_r", F.round("energy", 6))
+    flagged = flag_top_pct(agg, key="key", order="energy_r")
+    return flagged.select(
+        F.col("key").alias("event_type"),
+        F.col("bucket").alias("bucket_s"),
+        F.col("density"),
+        F.round("sentiment", 4).alias("sentiment_r"),
+        F.col("energy_r"),
+        F.round("rank_pct", 6).alias("rank_pct"),
+        F.col("is_high"),
+    )
+
+
+ORACLE_ENERGY_TIMELINE = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS bucket_s,
+         count(*) AS density,
+         sum(value) AS sentiment
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT event_type, bucket_s, density,
+         round(sentiment, 4) AS sentiment_r,
+         round(0.37*sentiment + 0.63*density, 6) AS energy_r
+  FROM agg
+)
+SELECT event_type, bucket_s, density, sentiment_r, energy_r,
+       round(percent_rank() OVER w, 6) AS rank_pct,
+       (percent_rank() OVER w) >= 0.9 AS is_high
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY energy_r)
+"""
+
+
+def q_tiered_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 tier-precedence scoring (hot/spark_energy.py:35-59) as a native
+    when-chain over ``documents.text`` — first tier with any substring hit
+    wins, god→noise order, default 1.0."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tiered_score_expr("text", DOC_TIERS).alias("score")
+    )
+
+
+ORACLE_TIERED_SCORE = """
+SELECT doc_id,
+       CAST(CASE WHEN regexp_matches(lower(text), 'spark|vector') THEN 5.0
+            WHEN regexp_matches(lower(text), 'fast|merge')   THEN 3.0
+            WHEN regexp_matches(lower(text), 'window|stream') THEN 2.0
+            WHEN regexp_matches(lower(text), 'slow|small')   THEN 0.5
+            ELSE 1.0 END AS DOUBLE) AS score
+FROM documents
+"""
+
+
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O1: tokenize → explode → groupBy(word).count → top-500
+    (hot/preprocess_high_energy.py:61-86), with a deterministic (freq desc,
+    word asc) tiebreak the reference lacks. TakeOrderedAndProject: the
+    top-k is computed per-partition then merged — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(tokenize_expr("text")).alias("word")
+    )
+    return (
+        tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .orderBy(F.desc("frequency"), F.asc("word"))
+        .limit(500)
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
+ORACLE_WORD_COUNT = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS frequency
+FROM toks
+WHERE length(word) >= 2 AND word NOT IN ({_SW})
+  AND NOT regexp_matches(word, '^[0-9]+$')
+GROUP BY word
+ORDER BY frequency DESC, word ASC
+LIMIT 500
+"""
+
+
+def _doc_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type baskets — the testdata analogue of the
+    reference's tag transactions (tag/main.py:55: split tag string →
+    array).
+
+    NOTE deliberately NOT document-token transactions: the synthetic docs
+    share a ~30-word vocabulary, so nearly every word co-occurs with every
+    other in most docs and FP-Growth's output would be all 2^k subsets of
+    the common vocabulary — a combinatorial explosion. Market-basket
+    semantics need sparse transactions; the (user → set of event types)
+    basket is the right shape (≤5 items/basket)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+
+
+def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A9: FP-Growth frequent itemsets (tag/main.py:187-191) over token
+    transactions; minSupport 0.05 as the reference. Not SQL-expressible →
+    rows-only driver check; determinism via sorted item arrays + full sort."""
+    tx = _doc_transactions(spark, sf_dir)
+    sets = mine_itemsets(tx, items_col="items", min_support=0.05)
+    return sets.select(
+        F.array_sort("items").alias("items"), F.col("freq")
+    ).orderBy(F.desc("freq"), F.asc(F.col("items").cast("string")))
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: association rules with confidence & lift (tag/main.py:194);
+    minConfidence 0.3. Rows-only driver check."""
+    tx = _doc_transactions(spark, sf_dir)
+    rules = mine_association_rules(
+        tx, items_col="items", min_support=0.05, min_confidence=0.3
+    )
+    return rules.select(
+        F.array_sort("antecedent").alias("antecedent"),
+        F.array_sort("consequent").alias("consequent"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+        F.round("support", 6).alias("support"),
+    ).orderBy(
+        F.desc("lift"),
+        F.asc(F.col("antecedent").cast("string")),
+        F.asc(F.col("consequent").cast("string")),
+    )
+
+
+
+
+REFERENCE_QUERIES = {
+    "energy_timeline": _q(q_energy_timeline, ORACLE_ENERGY_TIMELINE),
+    "tiered_score": _q(q_tiered_score, ORACLE_TIERED_SCORE),
+    "word_count": _q(q_word_count, ORACLE_WORD_COUNT),
+    "freq_itemsets": _q(q_freq_itemsets, None),
+    "assoc_rules": _q(q_assoc_rules, None),
+}

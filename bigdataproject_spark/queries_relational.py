@@ -1,0 +1,573 @@
+"""Generic relational query surface over the TPC-H-ish testdata
+(SURVEY §2.3 joins, §2.4 aggregations, §2.5 windows, §2.6 sort/limit,
+§2.7 set ops, §2.8 scalar fns — the capabilities the engine exposes beyond
+the reference's four pipelines).
+
+Scale/plan notes applied throughout:
+  * dimension tables (region, nation, supplier, customer-at-small-SF) are
+    broadcast — no shuffle on the fact side;
+  * aggregates are expressed on DataFrames so HashAggregate partial+final
+    (map-side combine) applies;
+  * top-k uses orderBy+limit → TakeOrderedAndProject (per-partition heap,
+    no global sort);
+  * every window has a deterministic tiebreaker; every double aggregate is
+    rounded identically in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.contract import Query as _q
+from bigdataproject_spark.sources.readers import load_table
+
+
+# --- TPC-H-style aggregates & joins -----------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-measure hash aggregate; the filter
+    and 4-column projection push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-10.
+    customer is broadcast; orders⋈lineitem shuffles on orderkey once."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1999-06-30").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(od.filter(F.col("o_orderdate") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1999-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join; all dims broadcast so the only
+    shuffles are orders⋈lineitem (orderkey) and the final tiny agg."""
+    re_ = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = load_table(spark, sf_dir, "nation")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(dims), od.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (su.s_nationkey == dims.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --- join variants (semi / anti) --------------------------------------------
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: customers having ≥1 high-value order (no row duplication,
+    EXISTS semantics)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with no orders at all (NOT EXISTS)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --- windows ----------------------------------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per customer (W1-shape: partitioned ranking window) —
+    top-3 orders by price, orderkey tiebreak."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_custkey, rn, o_orderkey, totalprice FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + running-sum frame (rowsBetween unbounded→current) per customer,
+    ordered by (orderdate, orderkey). The frame defines summation order, so
+    doubles agree bit-for-bit across engines before rounding."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- grouping sets / distinct / stats ---------------------------------------
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) with grouping_id — subtotal rows
+    carry NULL keys; gid disambiguates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(o_orderstatus, o_orderpriority): all 4 grouping combinations."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) per group — expand-based distinct aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev_samp per segment (statistical aggregate family)."""
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        cu.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_STATS = """
+SELECT c_mktsegment,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       round(stddev_samp(c_acctbal), 4) AS std_bal,
+       count(*) AS n
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- set operations ----------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(BUILDING ∪ rich) ∖ (machinery-with-negative-balance) over custkeys —
+    UNION / EXCEPT / INTERSECT distinct semantics."""
+    cu = load_table(spark, sf_dir, "customer")
+    building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    nonneg = cu.filter(F.col("c_acctbal") >= 0).select("c_custkey")
+    return (
+        building.union(rich).distinct().intersect(nonneg).orderBy("c_custkey")
+    )
+
+
+ORACLE_SET_OPS = """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal >= 0
+ORDER BY c_custkey
+"""
+
+
+# --- scalar functions / conditional expressions ------------------------------
+
+
+def q_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN price tiers + string ops on part (P9/F1/F2 family):
+    regexp word extraction, split-array size, concat, upper."""
+    pt = load_table(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey",
+        F.when(F.col("p_retailprice") >= 1500, "high")
+        .when(F.col("p_retailprice") >= 900, "mid")
+        .otherwise("low")
+        .alias("price_bucket"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.upper(F.col("p_brand")).alias("brand_u"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+    ).orderBy("p_partkey")
+
+
+ORACLE_CONDITIONAL = """
+SELECT p_partkey,
+       CASE WHEN p_retailprice >= 1500 THEN 'high'
+            WHEN p_retailprice >= 900  THEN 'mid'
+            ELSE 'low' END AS price_bucket,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       upper(p_brand) AS brand_u,
+       CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
+       concat_ws('/', p_type, p_brand) AS type_brand
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_date_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month rollup of orders (date function family)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_DATE_MONTHLY = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+# --- event-stream shapes ------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via lag + cumulative sum —
+    the classic stateful-looking op expressed with plain windows."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.select(
+        "user_id",
+        "event_id",
+        epoch.alias("ep"),
+        (epoch - F.lag(epoch, 1).over(w) > 1800).cast("int").alias("is_new"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    sess = with_gap.withColumn(
+        "session_id",
+        F.sum(F.coalesce("is_new", F.lit(0))).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("ep") - F.min("ep"), 3).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, epoch(ts) AS ep,
+         CAST(epoch(ts) - lag(epoch(ts), 1)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              AS INTEGER) AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ep,
+         sum(coalesce(is_new, 0)) OVER (PARTITION BY user_id
+             ORDER BY ep, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(max(ep) - min(ep), 3) AS duration_s
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user (explicit value list → single pass,
+    no extra distinct-values job)."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_TYPES]
+    return pv.select("user_id", *cols).orderBy("user_id")
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per event_type — sketch values are
+    engine-specific, so no SQL oracle (rows-only check); the exact count
+    rides along for human sanity."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+RELATIONAL_QUERIES = {
+    "q1_pricing_summary": _q(q1_pricing_summary, ORACLE_Q1),
+    "q3_top_revenue": _q(q3_top_revenue, ORACLE_Q3),
+    "q5_region_revenue": _q(q5_region_revenue, ORACLE_Q5),
+    "semi_join_customers": _q(q_semi_join, ORACLE_SEMI),
+    "anti_join_customers": _q(q_anti_join, ORACLE_ANTI),
+    "topk_per_customer": _q(q_topk_per_group, ORACLE_TOPK),
+    "running_total": _q(q_running_total, ORACLE_RUNNING),
+    "rollup_lineitem": _q(q_rollup, ORACLE_ROLLUP),
+    "cube_orders": _q(q_cube, ORACLE_CUBE),
+    "distinct_agg": _q(q_distinct_agg, ORACLE_DISTINCT),
+    "stats_agg": _q(q_stats_agg, ORACLE_STATS),
+    "set_ops_customers": _q(q_set_ops, ORACLE_SET_OPS),
+    "conditional_buckets": _q(q_conditional_buckets, ORACLE_CONDITIONAL),
+    "date_monthly_orders": _q(q_date_monthly, ORACLE_DATE_MONTHLY),
+    "sessionize_events": _q(q_sessionize, ORACLE_SESSIONIZE),
+    "pivot_event_counts": _q(q_pivot_events, ORACLE_PIVOT),
+    "approx_distinct_users": _q(q_approx_distinct, None),
+}

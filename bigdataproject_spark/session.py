@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Centralizes what the reference scatters across four ad-hoc builders
+(reference: hot/spark_energy.py:19-23, relation_graph/
+danmaku_analysis_cluster.py:17-23, tag/main.py:28-34): master, memory,
+Arrow, log level. All settings are overridable; defaults target the
+local[32] test harness but the same config set is what we would ship to a
+1000-executor cluster (AQE, skew-join handling, partition sizing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale-out behavior, not just local runs:
+#  - AQE coalesces post-shuffle partitions and splits skewed ones at runtime,
+#    which is the main defense for skewed keys at 100TB.
+#  - shuffle.partitions is a starting point; AQE adjusts downward.
+#  - Arrow on for any pandas interchange (reference enables it too:
+#    hot/spark_energy.py:21).
+#  - session timezone pinned UTC so timestamp semantics match the DuckDB
+#    oracle and are cluster-invariant.
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise an
+    # illegal type for Spark; read as long and convert in the loader
+    # (readers.load_table) with microsecond truncation, matching DuckDB's
+    # ns→µs read behavior.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "bigdataproject-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")  # ref: tag/main.py:34
+    return spark

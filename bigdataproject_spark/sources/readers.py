@@ -1,0 +1,98 @@
+"""Readers (SURVEY §2.1 S1–S5, S13).
+
+Covers the reference's source surface — glob CSV scans with header
+(hot/spark_energy.py:26), quote/escape/multiline tolerance
+(relation_graph/danmaku_analysis_cluster.py:120), filename-provenance
+columns (hot/spark_energy.py:27), HDFS-or-local URIs — plus the driver's
+parquet testdata, always with explicit schemas (no inferSchema; the
+reference's ``inferSchema=True`` costs an extra full scan per read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from bigdataproject_spark.schemas import DANMAKU_RAW, EVENTS_RAW, TESTDATA_TABLES
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    multiline: bool = False,
+    with_filename: str | None = None,
+) -> DataFrame:
+    """CSV scan with explicit schema (S1–S3).
+
+    ``path`` may be a glob (``.../danmaku_*.csv``) — Spark unions all
+    matching files in one scan, any Hadoop-compatible FS (S5). With
+    ``with_filename`` set, adds the source-file column the reference uses
+    to carry the episode key (S4, hot/spark_energy.py:27).
+
+    Scale note: one Spark file-partition per ~128MB split regardless of the
+    number of input files; small-file explosion is handled by Spark's file
+    coalescing (maxPartitionBytes), not per-file tasks.
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("encoding", "UTF-8")
+    )
+    if multiline:
+        # Tolerates embedded newlines/quotes in text fields
+        # (ref: danmaku_analysis_cluster.py:120).
+        reader = reader.option("multiLine", True).option("escape", '"').option("quote", '"')
+    df = reader.csv(path)
+    if with_filename is not None:
+        df = df.withColumn(with_filename, F.input_file_name())
+    return df
+
+
+def read_danmaku_csv(spark: SparkSession, path: str, *, typed: bool = False) -> DataFrame:
+    """Danmaku fact-table scan, reference-compatible (S1+S3+S4).
+
+    Reads all-string like the graph job (danmaku_analysis_cluster.py:120)
+    and extracts the episode key ``bvid`` from the filename
+    (hot/spark_energy.py:27,31). With ``typed=True`` applies the cast-null
+    validity trick on ``video_time`` (hot/spark_energy.py:32): rows whose
+    media time fails to parse as double are dropped.
+    """
+    df = read_csv(spark, path, DANMAKU_RAW, multiline=True, with_filename="_file")
+    df = df.withColumn(
+        "bvid", F.regexp_extract(F.col("_file"), r"(BV[a-zA-Z0-9]+)", 1)
+    ).drop("_file")
+    if typed:
+        # try_cast: NULL on malformed input regardless of ANSI mode, which
+        # reproduces the reference's legacy-cast drop semantics under Spark 4.
+        vt = F.col("video_time").try_cast("double")
+        df = df.withColumn("video_time", vt).filter(vt.isNotNull())
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table from ``{sf_dir}/{name}.parquet``.
+
+    Parquet scans get column pruning + predicate pushdown for free; the
+    explicit schema keeps types stable across scale factors.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it as long
+    (``nanosAsLong``) and we truncate ns→µs into a proper TimestampType —
+    the same truncation DuckDB applies on read, so oracles agree.
+    """
+    if name == "events":
+        raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    schema = TESTDATA_TABLES[name]
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several testdata tables at once."""
+    if not names:
+        names = tuple(TESTDATA_TABLES)
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,62 @@
+"""Writers (SURVEY §2.1 S6–S7, §2.13 M2).
+
+The reference hardcodes ``coalesce(1)`` single-file CSV sinks
+(hot/preprocess_high_energy.py:86, danmaku_analysis_cluster.py:157-158)
+and assembles nested JSON on the driver after a full ``collect()``
+(hot/spark_energy.py:98-116). Here single-file output is an *option*
+(default: keep the write parallel — at 100TB a coalesce(1) is a
+single-task serialization point), and JSON is written by executors via
+``df.write.json``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _prep(df: DataFrame, single_file: bool, partition_by: list[str] | None) -> DataFrame:
+    if single_file and partition_by:
+        raise ValueError("single_file and partition_by are mutually exclusive")
+    return df.coalesce(1) if single_file else df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    single_file: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Canonical columnar sink; ``partition_by`` enables partition pruning."""
+    w = _prep(df, single_file, partition_by).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    header: bool = True,
+    single_file: bool = False,
+) -> None:
+    """Compatibility CSV sink (S6). ``single_file=True`` reproduces the
+    reference's human-readable one-file output."""
+    _prep(df, single_file, None).write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """Executor-side JSON sink (replaces driver-side json.dump, S7).
+
+    Nested rows (e.g. struct timelines) serialize directly; no collect().
+    """
+    _prep(df, single_file, None).write.mode(mode).json(path)

@@ -1,0 +1,123 @@
+"""Invariant tests for dedup + similarity-search operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.functions.tokenize import tokenize_expr
+from bigdataproject_spark.operators.dedup import (
+    drop_exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup_pairs,
+    simhash64,
+    word_shingles,
+)
+from bigdataproject_spark.operators.simsearch import brute_force_topk, lsh_bucket_topk
+from bigdataproject_spark.sources.readers import load_table
+
+
+def _toks(c):
+    return tokenize_expr(c, stopwords=(), min_len=1, drop_numeric=False)
+
+
+def test_drop_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="hello world"),
+            Row(id=2, text="Hello   WORLD"),  # same after normalization
+            Row(id=3, text="different"),
+        ]
+    )
+    kept = drop_exact_duplicates(df, id_col="id", text_col="text")
+    assert sorted(r.id for r in kept.collect()) == [1, 3]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(t=["a", "b", "c", "d"])])
+    sh = df.select(word_shingles("t", 3)).collect()[0][0]
+    assert sorted(sh) == ["a b c", "b c d"]
+    short = spark.createDataFrame([Row(t=["a", "b"])])
+    assert short.select(word_shingles("t", 3)).collect()[0][0] == []
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(id=3, text="completely different words in this sentence here"),
+        ]
+    ).withColumn("sh", word_shingles(_toks("text"), 3))
+    pairs = jaccard_pairs(df, id_col="id", shingles_col="sh", threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_finds_exact_dup(spark):
+    """An identical pair has identical minhash signatures → collides in
+    every band → must be found with jaccard 1.0."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="one two three four five six seven eight nine ten"),
+            Row(id=2, text="one two three four five six seven eight nine ten"),
+            Row(id=3, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ]
+    ).withColumn("sh", word_shingles(_toks("text"), 3))
+    pairs = minhash_lsh_dedup_pairs(
+        df, id_col="id", shingles_col="sh", threshold=0.9
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_lsh_candidates_subset_of_pairs(spark, sf_dir):
+    """LSH candidates ⊆ all pairs and each candidate shares ≥1 band —
+    sanity on the real documents table."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(100)
+        .withColumn("sh", word_shingles(_toks("text"), 3))
+    )
+    cands = lsh_candidate_pairs(docs, id_col="doc_id", shingles_col="sh")
+    for r in cands.limit(5).collect():
+        assert r.id_a < r.id_b
+
+
+def test_simhash_identical_tokens_equal(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t=["a", "b", "c"]), Row(id=2, t=["a", "b", "c"]), Row(id=3, t=["x", "y"])]
+    )
+    out = {r.id: r.s for r in df.select("id", simhash64("t").alias("s")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_brute_force_topk_self_best(spark, sf_dir):
+    """Without self-exclusion the best neighbor of any query is itself
+    (cosine 1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    top = brute_force_topk(
+        emb, q, id_col="vec_id", vec_col="embedding", k=1, exclude_self=False
+    ).collect()
+    for r in top:
+        assert r.neighbor_id == r.q_id and abs(r.cosine - 1.0) < 1e-6
+
+
+def test_lsh_topk_subset_of_brute(spark, sf_dir):
+    """LSH results are drawn from the same similarity function: any
+    (q, neighbor) in the LSH result has the same cosine as brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(
+            emb, q, id_col="vec_id", vec_col="embedding", k=500
+        ).collect()
+    }
+    lsh = lsh_bucket_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5).collect()
+    for r in lsh:
+        key = (r.q_id, r.neighbor_id)
+        if key in brute:  # brute k=500 may truncate at big SF
+            assert abs(brute[key] - r.cosine) < 1e-9
