@@ -125,13 +125,58 @@ def minhash_signature(shingles: Column | str, num_hashes: int) -> Column:
     """array<int> of k minhash values: min over shingles of murmur3(sh, seed_i).
 
     array_min(transform(...)) — no explode, no shuffle; empty shingle sets
-    get null signatures (callers filter)."""
+    get null signatures (callers filter). Fine for one-shot signatures; the
+    LSH path below uses the aggregate formulation instead (see
+    ``lsh_candidate_pairs``), which codegens better and whose exchange is
+    reused across the self-join."""
     sh = F.col(shingles) if isinstance(shingles, str) else shingles
     mins = [
         F.array_min(F.transform(sh, lambda x: F.hash(x, F.lit(i))))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
+
+
+def lsh_band_rows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows for LSH bucketing.
+
+    Signatures are computed by exploding shingles into posting rows and
+    taking k ``min(hash(sh, seed_i))`` aggregates: flat codegen (no nested
+    lambda towers), map-side partial aggregation keeps the shuffle at one
+    32-int row per doc, and — critically — the aggregate's exchange is a
+    reusable subplan, so the downstream self-join computes the signatures
+    ONCE (ReusedExchange) instead of once per join side. Band hashes are
+    murmur3 over the raw int columns — no string concat."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    posting = df.filter(F.size(shingles_col) > 0).select(
+        F.col(id_col).alias("id"), F.explode(shingles_col).alias("sh")
+    )
+    sig = posting.groupBy("id").agg(
+        *[
+            F.min(F.hash("sh", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.hash(
+                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band_id", "bb.band_hash")
 
 
 def lsh_candidate_pairs(
@@ -144,37 +189,16 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH-banded candidate pairs (id_a < id_b), deduplicated across bands.
 
-    Signature is split into ``bands`` rows (band_id, band_hash); pairs
-    colliding in ≥1 band survive. The join key (band_id, band_hash) is
-    high-entropy, so the self-join shuffles evenly; at 100TB the band rows
-    are the only materialization (k/bands ints per doc per band).
-    """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles_col, num_hashes)
-    with_sig = df.filter(F.size(shingles_col) > 0).select(
-        F.col(id_col).alias("id"), sig.alias("sig")
+    Pairs colliding in ≥1 band survive. The join key (band_id, band_hash)
+    is high-entropy, so the self-join shuffles evenly; at 100TB the band
+    rows are the only materialization (one hash per doc per band)."""
+    band_rows = lsh_band_rows(
+        df,
+        id_col=id_col,
+        shingles_col=shingles_col,
+        num_hashes=num_hashes,
+        bands=bands,
     )
-    band_rows = with_sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.hash(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band_id", "bb.band_hash")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
@@ -199,11 +223,21 @@ def minhash_lsh_dedup_pairs(
     bands: int = 8,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold (the standard
-    minhash-LSH near-dup pipeline: band → bucket-join → verify)."""
+    minhash-LSH near-dup pipeline: band → bucket-join → verify).
+
+    The (id, shingles) projection feeds three consumers (signature agg +
+    two verify joins), so it is persisted (MEMORY_AND_DISK: spills rather
+    than OOMs at scale) — without it the tokenize/shingle expressions are
+    re-evaluated once per consumer."""
+    from pyspark import StorageLevel
+
+    sh_df = df.select(
+        F.col(id_col).alias("id"), F.col(shingles_col).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(
-        df, id_col=id_col, shingles_col=shingles_col, num_hashes=num_hashes, bands=bands
+        sh_df, id_col="id", shingles_col="sh", num_hashes=num_hashes, bands=bands
     )
-    sh = df.select(F.col(id_col).alias("id"), F.col(shingles_col).alias("sh"))
+    sh = sh_df
     pairs = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
