@@ -16,6 +16,7 @@ Determinism rules applied to every hash-checked query (SURVEY §7.4.3):
 from __future__ import annotations
 
 from bigdataproject_spark.contract import Query
+from bigdataproject_spark.queries_extended import EXTENDED_QUERIES
 from bigdataproject_spark.queries_graph import GRAPH_QUERIES
 from bigdataproject_spark.queries_pipeline import PIPELINE_QUERIES
 from bigdataproject_spark.queries_reference import REFERENCE_QUERIES
@@ -24,7 +25,13 @@ from bigdataproject_spark.queries_relational import RELATIONAL_QUERIES
 
 def registry() -> dict[str, Query]:
     out: dict[str, Query] = {}
-    for group in (REFERENCE_QUERIES, GRAPH_QUERIES, RELATIONAL_QUERIES, PIPELINE_QUERIES):
+    for group in (
+        REFERENCE_QUERIES,
+        GRAPH_QUERIES,
+        RELATIONAL_QUERIES,
+        PIPELINE_QUERIES,
+        EXTENDED_QUERIES,
+    ):
         for name, q in group.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = q

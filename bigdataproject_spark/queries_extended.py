@@ -1,0 +1,337 @@
+"""Extended relational/temporal query surface: the operator families
+SURVEY §2 marks as "free in Spark, exposed for the driver's query set"
+(grouping sets, outer joins, lag/lead/ntile/frames, JSON functions, the
+S13 SQL facade) plus the temporal joins (as-of, bounded range) a
+time-series event table implies but Spark lacks as built-ins.
+
+Determinism rules are the same as queries_relational: identical aliases
+both sides, doubles rounded, timestamps formatted to strings, explicit
+tiebreakers in every ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.contract import Query as _q
+from bigdataproject_spark.operators.energy import flag_top_pct_approx
+from bigdataproject_spark.operators.temporal import asof_join, range_join_count
+from bigdataproject_spark.sources.readers import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# --- as-of join (SURVEY custom-op rule (a): composition of built-ins) --------
+
+
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click attributed to the user's latest purchase at-or-before it
+    (union + running last() — one shuffle; see operators/temporal.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts", right_payload=["ts", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts_s"),
+        F.date_format("right_ts", _TS_FMT).alias("purchase_ts_s"),
+        F.round("value", 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '{_DUCK_FMT}') AS click_ts_s,
+       strftime(p.ts, '{_DUCK_FMT}') AS purchase_ts_s,
+       round(p.value, 2) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+# --- bounded range join ------------------------------------------------------
+
+_LOOKBACK_S = 600
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views in the 10 minutes before each click, same user (banded
+    equi-join on (user, time-bucket) — no theta join)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = range_join_count(
+        clicks,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lookback_s=_LOOKBACK_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts_s"),
+        "n_in_range",
+    ).orderBy("event_id")
+
+
+ORACLE_RANGE_JOIN = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '{_DUCK_FMT}') AS click_ts_s,
+       count(*) AS n_in_range
+FROM clicks c JOIN views v
+  ON c.user_id = v.user_id
+ AND v.ts < c.ts
+ AND v.ts >= c.ts - INTERVAL {_LOOKBACK_S} SECONDS
+GROUP BY c.event_id, c.user_id, c.ts
+ORDER BY c.event_id
+"""
+
+
+# --- window functions: lag / lead / ntile / frames ---------------------------
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history: previous/next price, quartile, 3-order
+    moving average (rowsBetween frame). Deterministic (o_orderdate,
+    o_orderkey) ordering."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(-2, 0)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        # 4dp, not 2dp: a 3-row avg of 2dp prices can land on a .xx5
+        # half-boundary where engines' last-ulp sums round differently.
+        F.round(F.avg("o_totalprice").over(wf), 4).alias("moving_avg3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+ORACLE_WINDOW_LAG_LEAD = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS price,
+       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+       ntile(4) OVER w AS quartile,
+       round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- grouping sets -----------------------------------------------------------
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((priority, status), (priority), ()) with ALL labels —
+    the multi-granularity aggregate cube/rollup can't express."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+ORDER BY priority, status
+"""
+
+
+# --- full outer join ---------------------------------------------------------
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user click vs purchase counts, FULL OUTER on user — users active
+    on only one side appear with a 0 on the other."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purch, on="user_id", how="full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_OUTER_JOIN = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+  SELECT user_id, count(*) AS n_purchases FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+
+# --- JSON functions over events.props ----------------------------------------
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract props JSON field k per event_type: count, avg, max —
+    get_json_object stays JVM-side (no Python round-trip)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(k), 4) AS avg_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- S13: SQL facade (temp view + spark.sql) ---------------------------------
+
+
+def q_sql_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's documented SQL entry point (data/readme.md:86-94):
+    per-minute danmaku density, here over the events table via temp view +
+    ``spark.sql`` — every §2 operator is reachable through SQL too."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('minute', ts), 'yyyy-MM-dd HH:mm') AS minute_s,
+               count(*) AS n
+        FROM events_v
+        GROUP BY date_trunc('minute', ts)
+        ORDER BY minute_s
+        """
+    )
+
+
+ORACLE_SQL_DENSITY = """
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute_s,
+       count(*) AS n
+FROM events
+GROUP BY date_trunc('minute', ts)
+ORDER BY minute_s
+"""
+
+
+# --- approx-percentile highlight (scale variant of W1–W3; rows-only) ---------
+
+
+def q_energy_approx_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100TB path for the reference's adaptive threshold: per-key
+    approx_percentile + broadcast join instead of a sort-per-partition
+    window (quantile-sketch internals are engine-specific → rows-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 10) * 10).alias("bucket_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("density"), F.sum("value").alias("sentiment"))
+        .withColumn("energy", 0.37 * F.col("sentiment") + 0.63 * F.col("density"))
+    )
+    return (
+        flag_top_pct_approx(per_bucket, key="event_type", order="energy", pct=0.9)
+        .select(
+            "event_type",
+            "bucket_s",
+            "density",
+            F.round("energy", 4).alias("energy_r"),
+            "is_high",
+        )
+        .orderBy("event_type", "bucket_s")
+    )
+
+
+EXTENDED_QUERIES = {
+    "asof_purchase_attribution": _q(q_asof_purchase, ORACLE_ASOF),
+    "range_join_recent_views": _q(q_range_join, ORACLE_RANGE_JOIN),
+    "window_lag_lead": _q(q_window_lag_lead, ORACLE_WINDOW_LAG_LEAD),
+    "grouping_sets_orders": _q(q_grouping_sets, ORACLE_GROUPING_SETS),
+    "outer_join_user_activity": _q(q_outer_join, ORACLE_OUTER_JOIN),
+    "json_props_stats": _q(q_json_props, ORACLE_JSON_PROPS),
+    "sql_density_per_minute": _q(q_sql_density, ORACLE_SQL_DENSITY),
+    "energy_approx_flag": _q(q_energy_approx_flag, None),
+}
