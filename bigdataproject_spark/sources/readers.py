@@ -51,7 +51,9 @@ def read_csv(
     return df
 
 
-def read_danmaku_csv(spark: SparkSession, path: str, *, typed: bool = False) -> DataFrame:
+def read_danmaku_csv(
+    spark: SparkSession, path: str, *, typed: bool = False, multiline: bool = True
+) -> DataFrame:
     """Danmaku fact-table scan, reference-compatible (S1+S3+S4).
 
     Reads all-string like the graph job (danmaku_analysis_cluster.py:120)
@@ -59,8 +61,13 @@ def read_danmaku_csv(spark: SparkSession, path: str, *, typed: bool = False) -> 
     (hot/spark_energy.py:27,31). With ``typed=True`` applies the cast-null
     validity trick on ``video_time`` (hot/spark_energy.py:32): rows whose
     media time fails to parse as double are dropped.
+
+    ``multiline``: the reference's two pipelines disagree — the graph job
+    reads with multiLine/escape (danmaku_analysis_cluster.py:120), the
+    energy job with plain defaults (spark_energy.py:26), which parses rows
+    after an unbalanced quote differently. Pick per golden target.
     """
-    df = read_csv(spark, path, DANMAKU_RAW, multiline=True, with_filename="_file")
+    df = read_csv(spark, path, DANMAKU_RAW, multiline=multiline, with_filename="_file")
     df = df.withColumn(
         "bvid", F.regexp_extract(F.col("_file"), r"(BV[a-zA-Z0-9]+)", 1)
     ).drop("_file")

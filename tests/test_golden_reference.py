@@ -1,0 +1,82 @@
+"""Golden-output regression (SURVEY §5.3): rebuild the relation graph from
+the reference's own input CSVs with its alias dictionary and compare
+against the committed golden outputs
+(relation_graph/dataset_processed/fanRen_result_*.csv).
+
+The snapshot is missing 29 of the 凡人修仙传 input files
+(.MISSING_LARGE_BLOBS), so counts are strict LOWER bounds of the golden
+numbers: we assert exact set-level parity (same 17 node Ids, edges a
+⊆ of the 99 golden edges, nothing extra) and that every count is within
+(0.5, 1.0] of golden — loose enough for the missing files, tight enough
+to catch any semantic drift in entity extraction or pair generation.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+
+from bigdataproject_spark.data_dicts import FANREN_ALIASES
+from bigdataproject_spark.operators.graph import (
+    extract_entity_table,
+    graph_edges,
+    graph_nodes,
+)
+from bigdataproject_spark.sources.readers import read_danmaku_csv
+
+_REF = "/root/reference"
+_DATA = f"{_REF}/data/凡人修仙传"
+_GOLD = f"{_REF}/relation_graph/dataset_processed"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(_DATA) and os.path.isdir(_GOLD)),
+    reason="reference snapshot not available",
+)
+
+
+@pytest.fixture(scope="module")
+def computed(spark):
+    df = read_danmaku_csv(spark, f"{_DATA}/danmaku_*.csv")
+    ent = extract_entity_table(df, "text", FANREN_ALIASES).cache()
+    nodes = {r.Id: r.Size for r in graph_nodes(ent).collect()}
+    edges = {(r.Source, r.Target): r.Weight for r in graph_edges(ent).collect()}
+    ent.unpersist()
+    return nodes, edges
+
+
+def _golden():
+    nodes = {}
+    with open(f"{_GOLD}/fanRen_result_nodes.csv", encoding="utf-8-sig") as f:
+        for row in csv.DictReader(f):
+            nodes[row["Id"]] = int(row["Size"])
+    edges = {}
+    with open(f"{_GOLD}/fanRen_result_edges.csv", encoding="utf-8-sig") as f:
+        for row in csv.DictReader(f):
+            a, b = sorted([row["Source"], row["Target"]])
+            edges[(a, b)] = int(row["Weight"])
+    return nodes, edges
+
+
+def test_node_parity(computed):
+    nodes, _ = computed
+    gold_nodes, _ = _golden()
+    assert set(nodes) == set(gold_nodes)  # exactly the 17 canonical characters
+    for k, gold in gold_nodes.items():
+        assert 0.5 * gold < nodes[k] <= gold, (k, nodes[k], gold)
+
+
+def test_edge_parity(computed):
+    _, edges = computed
+    _, gold_edges = _golden()
+    extra = set(edges) - set(gold_edges)
+    assert not extra  # no pair we emit is absent from golden
+    covered = set(gold_edges) & set(edges)
+    assert len(covered) >= 0.95 * len(gold_edges)
+    for k in covered:
+        assert edges[k] <= gold_edges[k], (k, edges[k], gold_edges[k])
+    # top-edge sanity (BASELINE.md): 南宫婉–韩立 is golden's heaviest edge;
+    # on the partial snapshot its rank can shift, so assert top-3.
+    top3 = sorted(edges, key=edges.get, reverse=True)[:3]
+    assert ("南宫婉", "韩立") in top3
