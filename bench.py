@@ -47,8 +47,11 @@ def main() -> None:
     spark = get_spark("bigdataproject-bench")
     reg = registry()
 
-    # warmup: JVM + codegen + parquet footer caches
-    _force(reg["q1_pricing_summary"].fn(spark, sf_dir))
+    # warmup: JVM + whole-stage-codegen compile + parquet footer caches,
+    # one pass over every headline query so the timed pass measures
+    # steady-state plan execution rather than first-run compilation.
+    for name in HEADLINE:
+        _force(reg[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
