@@ -1,0 +1,116 @@
+"""Property-based invariants (SURVEY §5 item 4) over hypothesis-generated
+micro-tables. Examples are kept small and few — each property runs a
+handful of real Spark jobs, not hundreds.
+
+Invariants:
+  * bucketing partitions rows: Σ density over buckets == row count;
+  * top-decile flag rate per key ≈ 10% (ties may widen, never exceed 50%);
+  * co-occurrence: Σ edge weights == Σ C(n_i, 2) over per-row distinct
+    entity counts; edges are canonically ordered (src < dst);
+  * pairwise Jaccard is symmetric in construction (id_a < id_b, no dupes)
+    and bounded in (0, 1].
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.functions.entities import pair_combinations_expr
+from bigdataproject_spark.operators.energy import bucket_energy, bucket_media_time, flag_top_pct
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    times=st.lists(
+        st.floats(min_value=0, max_value=500, allow_nan=False), min_size=1, max_size=80
+    )
+)
+@settings(**_SETTINGS)
+def test_bucketing_partitions_rows(spark, times):
+    df = spark.createDataFrame([(t,) for t in times], "t double")
+    agg = bucket_energy(
+        df.withColumn("k", F.lit("x")),
+        key="k",
+        bucket=bucket_media_time("t"),
+        weight=F.lit(1.0),
+    )
+    total = agg.agg(F.sum("density")).first()[0]
+    assert total == len(times)
+    # buckets are aligned to the window and non-negative
+    assert all(r.bucket % 10 == 0 and r.bucket >= 0 for r in agg.collect())
+
+
+@given(
+    energies=st.lists(
+        st.floats(min_value=0, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=60,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_flag_rate_bounded(spark, energies):
+    df = spark.createDataFrame(
+        [("k", float(e)) for e in energies], "key string, energy double"
+    )
+    flagged = flag_top_pct(df, key="key", order="energy", pct=0.9)
+    rows = flagged.collect()
+    n_high = sum(r.is_high for r in rows)
+    n = len(rows)
+    # unique energies: percent_rank >= 0.9 flags ceil(0.1*(n-1)) of n rows
+    assert 1 <= n_high <= max(1, n // 2)
+    # the flagged rows are exactly the largest energies
+    cut = sorted(energies)[-n_high]
+    assert all((r.energy >= cut) == r.is_high for r in rows)
+
+
+@given(
+    rows=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=6),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_cooccurrence_pair_count(spark, rows):
+    df = spark.createDataFrame([(list(set(r)),) for r in rows], "entities array<string>")
+    pairs = df.select(F.explode(pair_combinations_expr("entities")).alias("p"))
+    total_pairs = pairs.count()
+    expected = sum(len(set(r)) * (len(set(r)) - 1) // 2 for r in rows)
+    assert total_pairs == expected
+    # canonical ordering src < dst holds for every emitted pair
+    bad = pairs.filter(F.col("p.src") >= F.col("p.dst")).count()
+    assert bad == 0
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["w%d" % i for i in range(12)]), min_size=3, max_size=10
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_jaccard_pairs_bounds_and_dedup(spark, docs):
+    from bigdataproject_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, list(dict.fromkeys(d))) for i, d in enumerate(docs)],
+        "id int, sh array<string>",
+    )
+    out = jaccard_pairs(df, id_col="id", shingles_col="sh", threshold=0.0).collect()
+    seen = set()
+    for r in out:
+        assert r.id_a < r.id_b
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+        assert 0.0 < r.jaccard <= 1.0
