@@ -43,6 +43,25 @@ def word_shingles(tokens: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(t) >= n, sh).otherwise(F.array()))
 
 
+def hashed_word_shingles(tokens: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes (array<bigint>).
+
+    ``xxhash64(tok_i, .., tok_{i+n-1})`` per window — no intermediate
+    shingle strings are ever built, the persisted footprint is 8 bytes per
+    shingle, and downstream set ops (array_intersect for Jaccard verify)
+    run on longs. Jaccard over hashed shingles equals Jaccard over string
+    shingles up to 2^-64-probability collisions — the standard trade for
+    minhash pipelines at scale (use :func:`word_shingles` where exact
+    string semantics or a SQL oracle is required)."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(t, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(t) >= n, sh).otherwise(F.array()))
+
+
 # --- exact dedup --------------------------------------------------------------
 
 
@@ -159,9 +178,14 @@ def lsh_band_rows(
     posting = df.filter(F.size(shingles_col) > 0).select(
         F.col(id_col).alias("id"), F.explode(shingles_col).alias("sh")
     )
-    sig = posting.groupBy("id").agg(
+    # Hash the (variable-length) shingle string ONCE; derive the k-member
+    # hash family from the fixed-width 8-byte base — murmur3 over 12 bytes
+    # per member instead of re-hashing the whole string k times. (No
+    # arithmetic mixing: long multiply overflows throw under ANSI mode.)
+    based = posting.select("id", F.xxhash64("sh").alias("base"))
+    sig = based.groupBy("id").agg(
         *[
-            F.min(F.hash("sh", F.lit(i))).alias(f"h{i}")
+            F.min(F.hash("base", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

@@ -13,6 +13,7 @@ from bigdataproject_spark.functions.tokenize import tokenize_expr
 from bigdataproject_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup_groups,
+    hashed_word_shingles,
     jaccard_pairs,
     minhash_lsh_dedup_pairs,
     simhash_dedup_groups,
@@ -112,10 +113,11 @@ ORDER BY id_a, id_b
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard —
-    the scale path for near-dup (murmur3 signatures are engine-specific →
-    rows-only driver check)."""
+    the scale path for near-dup (hash signatures are engine-specific →
+    rows-only driver check). Shingles are 64-bit hashes end-to-end
+    (hashed_word_shingles): no shingle strings are materialized."""
     docs = _docs_tokens(spark, sf_dir).withColumn(
-        "shingles", word_shingles("tokens", JACCARD_N)
+        "shingles", hashed_word_shingles("tokens", JACCARD_N)
     )
     return minhash_lsh_dedup_pairs(
         docs,
