@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from bigdataproject_spark.contract import Query as _q
 
+from bigdataproject_spark.functions.etl import clean_tag_transactions, parse_cn_count
 from bigdataproject_spark.functions.scoring import tiered_score_expr
 from bigdataproject_spark.functions.tokenize import DEFAULT_STOPWORDS, tokenize_expr
 from bigdataproject_spark.operators.energy import bucket_energy, flag_top_pct
@@ -176,10 +177,87 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def q_tag_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tag pipeline's cleaning ETL (tag/main.py:52-57): parse
+    "1.2万"-style follower counts (F11: regexp_extract × unit CASE WHEN),
+    split comma tags into transactions, cast ratings, compound filter.
+    Messy inputs are built deterministically from documents via
+    integer-only string concat so both engines parse byte-identical
+    strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False)
+    d = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                (d % 90 + 10).cast("string"),
+                F.lit("."),
+                (d % 10).cast("string"),
+                F.lit("万"),
+            ),
+        )
+        .otherwise((d * 13).cast("string"))
+        .alias("followers_raw"),
+        F.concat_ws(",", F.slice(toks, 1, 3)).alias("tags_raw"),
+        F.concat(
+            (d % 9 + 1).cast("string"), F.lit("."), (d % 10).cast("string")
+        ).alias("rating_raw"),
+    )
+    cleaned = clean_tag_transactions(
+        raw, tags_col="tags_raw", rating_col="rating_raw", exclude_words=("the",)
+    )
+    return cleaned.select(
+        "doc_id",
+        F.round(parse_cn_count("followers_raw"), 1).alias("follows"),
+        F.size("tags_arr").alias("n_tags"),
+        F.round("rating", 1).alias("rating"),
+    )
+
+
+ORACLE_TAG_ETL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS toks
+  FROM documents
+), raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN concat(CAST(doc_id % 90 + 10 AS VARCHAR), '.',
+                          CAST(doc_id % 10 AS VARCHAR), '万')
+              ELSE CAST(doc_id * 13 AS VARCHAR) END AS followers_raw,
+         array_to_string(toks[1:3], ',') AS tags_raw,
+         concat(CAST(doc_id % 9 + 1 AS VARCHAR), '.',
+                CAST(doc_id % 10 AS VARCHAR)) AS rating_raw
+  FROM t
+), clean AS (
+  SELECT doc_id, followers_raw,
+         list_filter(string_split(tags_raw, ','), x -> x != '') AS tags_arr,
+         TRY_CAST(rating_raw AS DOUBLE) AS rating
+  FROM raw
+)
+SELECT doc_id,
+       round(CASE WHEN contains(followers_raw, '万')
+             THEN TRY_CAST(regexp_extract(followers_raw,
+                  '([0-9]+\.?[0-9]*)', 1) AS DOUBLE) * 10000
+             ELSE TRY_CAST(regexp_extract(followers_raw,
+                  '([0-9]+\.?[0-9]*)', 1) AS DOUBLE) END, 1) AS follows,
+       len(tags_arr) AS n_tags,
+       round(rating, 1) AS rating
+FROM clean
+WHERE len(tags_arr) > 0 AND rating IS NOT NULL
+  AND NOT list_contains(tags_arr, 'the')
+"""
+
 REFERENCE_QUERIES = {
     "energy_timeline": _q(q_energy_timeline, ORACLE_ENERGY_TIMELINE),
     "tiered_score": _q(q_tiered_score, ORACLE_TIERED_SCORE),
     "word_count": _q(q_word_count, ORACLE_WORD_COUNT),
+    "tag_etl_transactions": _q(q_tag_etl, ORACLE_TAG_ETL),
     "freq_itemsets": _q(q_freq_itemsets, None),
     "assoc_rules": _q(q_assoc_rules, None),
 }
