@@ -1,0 +1,93 @@
+"""Weighted PageRank over the co-occurrence graph — the analysis the
+reference *documents* but never implements (relation_graph/readme.md:6,
+16-19 name-drops GraphX/PageRank/Louvain; no GraphX call exists —
+SURVEY §7.4.6). Implemented as iterative DataFrame joins, no GraphX
+dependency.
+
+Scale design:
+  * edges are normalized once into a stochastic transition table
+    (src, dst, p) — one shuffle to compute out-weight sums, broadcast
+    back when the degree table is small (entity graphs: ≤ thousands of
+    nodes) or shuffle-joined otherwise;
+  * each iteration is contribution = ranks ⋈ transitions → groupBy(dst)
+    sum — the standard two-shuffle PageRank step; each iteration's ranks
+    are ``localCheckpoint``-ed: persisting alone caches the DATA but the
+    logical plan still compounds per iteration until plan
+    rendering/analysis blows up (observed: OOM in AQE's explainString at
+    ~15 iterations) — lineage truncation is mandatory for iterative
+    DataFrame algorithms;
+  * dangling mass (nodes with no out-edges) is redistributed uniformly
+    each iteration so ranks sum to 1 — required for correctness on
+    graphs with sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 20,
+    undirected: bool = True,
+) -> DataFrame:
+    """Return (node, rank) with Σ rank = 1.
+
+    ``edges`` is an edge list; with ``undirected=True`` each edge also
+    contributes in reverse (the co-occurrence graph is undirected).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w"))
+    if undirected:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("s"), F.col(src).alias("d"), w.alias("w")
+            )
+        )
+    e = e.groupBy("s", "d").agg(F.sum("w").alias("w"))
+
+    out_sum = e.groupBy("s").agg(F.sum("w").alias("out_w"))
+    trans = (
+        e.join(out_sum, "s")
+        .select("s", "d", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(trans, ranks["node"] == trans["s"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+        )
+        # dangling mass: rank held by nodes with no outgoing transitions
+        dangling = (
+            ranks.join(trans.select("s").distinct(), ranks["node"] == F.col("s"), "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        new_ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                (1.0 - damping) / n
+                + damping
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n)
+            ).alias("rank"),
+        )
+        old = ranks
+        ranks = new_ranks.localCheckpoint()  # truncate lineage, eager
+        old.unpersist()
+    return ranks

@@ -81,7 +81,27 @@ GROUP BY 1, 2 ORDER BY "Weight" DESC, "Source" ASC, "Target" ASC
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-occurrence graph — the analysis the
+    reference documents but never implements (relation_graph/readme.md:6,
+    16-19; SURVEY §7.4.6 optional extension). Iterative DataFrame joins
+    with per-iteration lineage truncation; rows-only (iterative, not
+    SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.pagerank import pagerank
+
+    edges = graph_edges(_entities(spark, sf_dir))
+    pr = pagerank(
+        edges, src="Source", dst="Target", weight="Weight", iterations=15
+    )
+    return pr.select("node", F.round("rank", 8).alias("rank")).orderBy(
+        F.desc("rank"), F.asc("node")
+    )
+
+
 GRAPH_QUERIES = {
     "graph_nodes": _q(q_graph_nodes, ORACLE_GRAPH_NODES),
     "graph_edges": _q(q_graph_edges, ORACLE_GRAPH_EDGES),
+    "graph_pagerank": _q(q_graph_pagerank, None),
 }

@@ -1,0 +1,57 @@
+"""PageRank must match dense power iteration (numpy) on small graphs,
+including dangling nodes and weighted undirected edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigdataproject_spark.operators.pagerank import pagerank
+
+
+def _numpy_pagerank(n, edges, damping=0.85, iters=20, undirected=True):
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[s, d] += w
+        if undirected:
+            W[d, s] += w
+    out = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if out[s] > 0:
+                contrib += r[s] * W[s] / out[s]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return r
+
+
+@pytest.mark.parametrize("undirected", [True, False])
+def test_pagerank_matches_power_iteration(spark, undirected):
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 1.0), (3, 0, 1.0)]
+    # node 3 has an in-edge only in directed mode → dangling exercised
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df, weight="w", iterations=15, undirected=undirected
+        ).collect()
+    }
+    exp = _numpy_pagerank(4, edges, iters=15, undirected=undirected)
+    assert set(got) == {0, 1, 2, 3}
+    for i in range(4):
+        assert abs(got[i] - exp[i]) < 1e-9, (i, got[i], exp[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_on_cooccurrence_graph(spark, sf_dir):
+    from bigdataproject_spark.queries_graph import GRAPH_QUERIES
+
+    edges = GRAPH_QUERIES["graph_edges"].fn(spark, sf_dir)
+    pr = pagerank(
+        edges, src="Source", dst="Target", weight="Weight", iterations=10
+    )
+    rows = pr.collect()
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+    assert all(r.rank > 0 for r in rows)
