@@ -70,6 +70,44 @@ def tokenize_expr(
     return F.coalesce(filtered, F.array())  # null text → []
 
 
+def cjk_bigram_tokens(
+    text: Column | str,
+    *,
+    stopwords: Sequence[str] = (),
+) -> Column:
+    """CJK fallback tokenizer: character bigrams over Han runs + intact
+    non-CJK words (SURVEY §7.4.1 — without jieba, whitespace splitting is
+    wrong for CJK; bigrams are the standard dictionary-free stand-in and
+    MUST be kept clearly separated from jieba-mode outputs in any golden
+    comparison, since word counts differ by construction).
+
+    Native expressions only: Han runs via ``regexp_extract_all``, bigram
+    expansion via nested ``transform`` + ``flatten``.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    runs = F.regexp_extract_all(col, F.lit(r"[\p{IsHan}]+"), 0)
+    bigrams = F.flatten(
+        F.transform(
+            runs,
+            # len>=2 → sliding bigrams at offsets 1..len-1; len==1 → the
+            # single char itself (sequence(1,1) + substr(1,2) == the char)
+            lambda run: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(run) - 1, F.lit(1))),
+                lambda i: run.substr(i, F.lit(2)),
+            ),
+        )
+    )
+    latin = F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"),
+        lambda t: (t != "") & ~t.rlike(r"[\p{IsHan}]"),
+    )
+    toks = F.array_distinct(F.concat(bigrams, latin))
+    if stopwords:
+        sw = F.array(*[F.lit(s) for s in stopwords])
+        toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    return F.coalesce(toks, F.array())
+
+
 def jieba_tokenize_udf(
     *,
     stopwords: Sequence[str] = (),
