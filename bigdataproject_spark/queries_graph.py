@@ -100,8 +100,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label-propagation communities over the co-occurrence graph
+    (the readme-advertised Louvain capability; see operators/communities.py
+    for why LPA is the scalable stand-in). Rows-only (iterative)."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.communities import label_propagation
+
+    edges = graph_edges(_entities(spark, sf_dir))
+    out = label_propagation(
+        edges, src="Source", dst="Target", weight="Weight", iterations=8
+    )
+    return out.orderBy(F.asc("community"), F.asc("node"))
+
+
 GRAPH_QUERIES = {
     "graph_nodes": _q(q_graph_nodes, ORACLE_GRAPH_NODES),
     "graph_edges": _q(q_graph_edges, ORACLE_GRAPH_EDGES),
     "graph_pagerank": _q(q_graph_pagerank, None),
+    "graph_communities": _q(q_graph_communities, None),
 }
