@@ -20,7 +20,7 @@ from bigdataproject_spark.operators.dedup import (
     word_shingles,
 )
 from bigdataproject_spark.operators.multimodal import extract_features, to_media_assets
-from bigdataproject_spark.operators.simsearch import brute_force_topk, lsh_bucket_topk
+from bigdataproject_spark.operators.simsearch import brute_force_topk, ivf_topk, lsh_bucket_topk
 from bigdataproject_spark.operators.textstats import (
     BPEISH_PATTERN,
     DEFAULT_LANG_MARKERS,
@@ -259,6 +259,23 @@ WHERE rank <= {ANN_K} ORDER BY q_id, rank
 # --- text analysis -----------------------------------------------------------
 
 
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: KMeans coarse quantizer, 6-of-16 cell
+    multi-probe (rows-only: clustering is engine-specific). Completes the
+    ANN trio: exact brute force / LSH sign-buckets / IVF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        _ann_queries(emb),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=ANN_K,
+        n_centroids=16,
+        n_probe=6,
+    )
+
+
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (C4/Gopher-style filter
     features) — zero-shuffle map pass.
@@ -461,6 +478,7 @@ PIPELINE_QUERIES = {
     "embedding_neardup": _q(q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "ann_brute_topk": _q(q_ann_brute, ORACLE_ANN_BRUTE),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
+    "ann_ivf_topk": _q(q_ann_ivf, None),
     "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
     "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
     "token_count": _q(q_token_count, ORACLE_TOKEN_COUNT),

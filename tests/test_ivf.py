@@ -1,0 +1,49 @@
+"""IVF ANN: probing all cells must equal brute force exactly; partial
+probe trades bounded recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.operators.simsearch import brute_force_topk, ivf_topk
+from bigdataproject_spark.sources.readers import load_table
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.q_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_full_probe_equals_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5)
+    full = ivf_topk(
+        emb, q, id_col="vec_id", vec_col="embedding", k=5,
+        n_centroids=8, n_probe=8,
+    )
+    e = sorted((r.q_id, r.rank, r.neighbor_id, r.cosine) for r in exact.collect())
+    f = sorted((r.q_id, r.rank, r.neighbor_id, r.cosine) for r in full.collect())
+    assert e == f
+
+
+def test_partial_probe_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(
+        brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=10).collect()
+    )
+    approx = _topk_sets(
+        ivf_topk(
+            emb, q, id_col="vec_id", vec_col="embedding", k=10,
+            n_centroids=16, n_probe=6,
+        ).collect()
+    )
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    # random synthetic embeddings are the worst case for IVF (no cluster
+    # structure); still require a meaningful floor
+    assert sum(recalls) / len(recalls) >= 0.5
