@@ -325,6 +325,70 @@ def q_energy_approx_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- exact quantiles (oracled: both engines compute exact linear-interp) -----
+
+
+def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quartiles of value per event_type — Spark
+    percentile() and DuckDB quantile_cont() both use linear interpolation
+    over the sorted values, so results hash-match (6dp)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- nested timeline document (A6/S7: collect_list(struct) + array_sort) -----
+
+
+def q_energy_timeline_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's nested per-episode timeline document
+    (hot/spark_energy.py:89-116) as one DataFrame op: per-key sorted
+    struct arrays serialized to a JSON string column executor-side —
+    replacing the reference's driver-side collect + json.dump (S7).
+    Rows-only: nested-list serialization differs across engines."""
+    from bigdataproject_spark.operators.energy import timeline
+
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 10) * 10).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("density"), F.sum("value").alias("sentiment"))
+        .withColumn("energy", 0.37 * F.col("sentiment") + 0.63 * F.col("density"))
+        .withColumn(
+            "is_high",
+            F.col("energy")
+            >= F.expr(
+                "percentile(energy, 0.9) OVER (PARTITION BY event_type)"
+            ),
+        )
+    )
+    tl = timeline(per_bucket, key="event_type")
+    return tl.select(
+        F.col("event_type"),
+        F.size("timeline").alias("n_buckets"),
+        F.to_json(F.col("timeline")).alias("timeline_json"),
+    ).orderBy("event_type")
+
+
 EXTENDED_QUERIES = {
     "asof_purchase_attribution": _q(q_asof_purchase, ORACLE_ASOF),
     "range_join_recent_views": _q(q_range_join, ORACLE_RANGE_JOIN),
@@ -334,4 +398,6 @@ EXTENDED_QUERIES = {
     "json_props_stats": _q(q_json_props, ORACLE_JSON_PROPS),
     "sql_density_per_minute": _q(q_sql_density, ORACLE_SQL_DENSITY),
     "energy_approx_flag": _q(q_energy_approx_flag, None),
+    "quantiles_by_type": _q(q_quantiles_by_type, ORACLE_QUANTILES),
+    "energy_timeline_nested": _q(q_energy_timeline_nested, None),
 }
