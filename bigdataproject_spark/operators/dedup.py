@@ -216,13 +216,19 @@ def lsh_candidate_pairs(
     Pairs colliding in ≥1 band survive. The join key (band_id, band_hash)
     is high-entropy, so the self-join shuffles evenly; at 100TB the band
     rows are the only materialization (one hash per doc per band)."""
+    from pyspark import StorageLevel
+
+    # Persist the tiny (id, band_id, band_hash) rows: when the input is
+    # itself cached, the two self-join sides otherwise each recompute the
+    # 32-way signature aggregate from the cache (exchange reuse only
+    # kicks in for uncached identical subplans).
     band_rows = lsh_band_rows(
         df,
         id_col=id_col,
         shingles_col=shingles_col,
         num_hashes=num_hashes,
         bands=bands,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
