@@ -332,6 +332,67 @@ def simhash_dedup_groups(df: DataFrame, *, id_col: str, tokens: Column | str) ->
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    tokens: Column | str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding (the classic simhash index): with the 64-bit
+    fingerprint split into ``bands`` equal bit-bands and
+    ``max_hamming < bands``, any qualifying pair agrees EXACTLY on at
+    least one band — so candidates come from a (band_id, band_bits)
+    equi-join (recall 1.0, no theta join), then the exact hamming
+    distance (``bit_count(a XOR b)``) verifies. Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    assert 64 % bands == 0 and max_hamming < bands
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fp = df.select(F.col(id_col).alias("id"), simhash64(tokens).alias("fp"))
+    band_rows = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("fp", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "fp", "bb.band_id", "bb.band_bits")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 # --- embedding cosine near-dup ------------------------------------------------
 
 

@@ -17,6 +17,7 @@ from bigdataproject_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_dedup_pairs,
     simhash_dedup_groups,
+    simhash_neardup_pairs,
     word_shingles,
 )
 from bigdataproject_spark.operators.multimodal import extract_features, to_media_assets
@@ -135,6 +136,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_groups(docs, id_col="doc_id", tokens="tokens").orderBy(
         "simhash"
     )
+
+
+
+def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 via pigeonhole banding (any
+    qualifying pair agrees exactly on one of 4 bit-bands — equi-join
+    candidates at recall 1.0, bit_count verify). Rows-only."""
+    docs = _docs_tokens(spark, sf_dir)
+    return simhash_neardup_pairs(
+        docs, id_col="doc_id", tokens="tokens", max_hamming=3, bands=4
+    ).orderBy("id_a", "id_b")
 
 
 # Synthetic embeddings are near-random (max same-label cosine ≈ 0.47 at
@@ -475,6 +487,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": _q(q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_minhash_lsh": _q(q_dedup_minhash, None),
     "dedup_simhash": _q(q_dedup_simhash, None),
+    "dedup_simhash_neardup": _q(q_dedup_simhash_neardup, None),
     "embedding_neardup": _q(q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "ann_brute_topk": _q(q_ann_brute, ORACLE_ANN_BRUTE),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),

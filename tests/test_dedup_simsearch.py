@@ -121,3 +121,36 @@ def test_lsh_topk_subset_of_brute(spark, sf_dir):
         key = (r.q_id, r.neighbor_id)
         if key in brute:  # brute k=500 may truncate at big SF
             assert abs(brute[key] - r.cosine) < 1e-9
+
+
+def test_simhash_neardup_pairs(spark):
+    from bigdataproject_spark.operators.dedup import simhash_neardup_pairs
+
+    # near-identical docs (1 token differs in 12) → small hamming; the
+    # unrelated doc → far from both.
+    base = "w%d " * 12
+    docs = [
+        (1, (base % tuple(range(12))).split()),
+        (2, (base % tuple(range(12))).split()[:-1] + ["zzz"]),
+        (3, ["completely", "different", "tokens", "here", "and", "more"]),
+    ]
+    df = spark.createDataFrame(docs, "id int, toks array<string>")
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(
+            df, id_col="id", tokens="toks", max_hamming=16, bands=32
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] <= 16
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_simhash_neardup_exact_duplicates(spark):
+    from bigdataproject_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = [(1, ["a", "b", "c"]), (2, ["a", "b", "c"]), (3, ["x", "y", "z"])]
+    df = spark.createDataFrame(docs, "id int, toks array<string>")
+    out = simhash_neardup_pairs(
+        df, id_col="id", tokens="toks", max_hamming=3, bands=4
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
