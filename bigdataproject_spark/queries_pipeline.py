@@ -149,6 +149,28 @@ def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% document sample via content-independent key
+    hashing (md5 hex prefix range) — the scale-correct way to sample
+    training data: stable across runs, engines, partitionings, and
+    cluster sizes, unlike rand()-based sampling. Portable to the oracle
+    because md5 is standard and the cut is a plain string compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    key_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.filter(key_hex < "1a")  # 26/256 ≈ 10.2%
+        .select("doc_id", "lang", F.length("text").alias("n_chars"))
+    )
+
+
+ORACLE_DET_SAMPLE = """
+SELECT doc_id, lang, length(text) AS n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
 # Synthetic embeddings are near-random (max same-label cosine ≈ 0.47 at
 # sf0.01); 0.35 keeps the query's output non-trivially small but non-empty.
 EMB_NEARDUP_THRESHOLD = 0.35
@@ -488,6 +510,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": _q(q_dedup_minhash, None),
     "dedup_simhash": _q(q_dedup_simhash, None),
     "dedup_simhash_neardup": _q(q_dedup_simhash_neardup, None),
+    "deterministic_sample": _q(q_deterministic_sample, ORACLE_DET_SAMPLE),
     "embedding_neardup": _q(q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "ann_brute_topk": _q(q_ann_brute, ORACLE_ANN_BRUTE),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
