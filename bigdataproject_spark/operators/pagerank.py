@@ -65,6 +65,9 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph → empty result with the output schema
+        return nodes.select("node", F.lit(0.0).alias("rank"))
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):

@@ -141,6 +141,19 @@ def ivf_topk(
         F.col(vec_col).alias("cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
+    n_rows = c_feat.count()
+    if n_rows == 0:
+        # KMeans cannot fit zero rows; empty corpus → empty result with
+        # the output schema
+        q0 = queries.select(F.col(id_col).alias("q_id"))
+        return q0.limit(0).select(
+            "q_id",
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    n_centroids = min(n_centroids, n_rows)
+    n_probe = min(n_probe, n_centroids)
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c_feat)
     assigned = model.transform(c_feat).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")

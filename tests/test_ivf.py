@@ -47,3 +47,21 @@ def test_partial_probe_recall(spark, sf_dir):
     # random synthetic embeddings are the worst case for IVF (no cluster
     # structure); still require a meaningful floor
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_empty_corpus(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.limit(0), emb.limit(3), id_col="vec_id", vec_col="embedding", k=5
+    )
+    assert out.count() == 0
+    assert out.columns == ["q_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_tiny_corpus_clamps_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 4), emb.filter(F.col("vec_id") < 2),
+        id_col="vec_id", vec_col="embedding", k=5, n_centroids=16, n_probe=4,
+    )
+    assert out.count() > 0  # k clamped to corpus size instead of throwing

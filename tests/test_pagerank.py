@@ -55,3 +55,10 @@ def test_pagerank_on_cooccurrence_graph(spark, sf_dir):
     rows = pr.collect()
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
     assert all(r.rank > 0 for r in rows)
+
+
+def test_empty_graph(spark):
+    df = spark.createDataFrame([], "src int, dst int, w double")
+    out = pagerank(df, weight="w", iterations=3)
+    assert out.count() == 0
+    assert out.columns == ["node", "rank"]
