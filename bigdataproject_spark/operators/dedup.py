@@ -406,23 +406,33 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold; ``block_col`` restricts comparison to
     same-block pairs (coarse-quantization blocking — the IVF idea: at scale
-    the block comes from a cluster/LSH assignment, never all-pairs)."""
+    the block comes from a cluster/LSH assignment, never all-pairs).
+
+    Physical shape: a LOW-CARDINALITY block key must not be the shuffle
+    key — a sort-merge self-join on ~10 blocks runs ≤10 tasks no matter
+    the cluster (measured: 31 min for 20k vectors at 10× scale). Instead
+    the build side is broadcast and the probe side repartitioned, so
+    parallelism comes from probe partitions and scales with executors;
+    the O(Σ block²) pair count itself is the caller's knob (finer
+    blocks). When the build side outgrows broadcast, the right evolution
+    is sub-blocking (e.g. compose block_col with an LSH bucket), not a
+    bigger join."""
     from bigdataproject_spark.functions.vectors import cosine_similarity
 
-    cols = ["id", "v"] + (["blk"] if block_col else [])
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    a = base.alias("a")
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = base.repartition(n_part, "id").alias("a")
     b = base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
     sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
     return (
-        a.join(b, cond)
+        a.join(F.broadcast(b), cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
