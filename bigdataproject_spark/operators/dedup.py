@@ -323,10 +323,55 @@ def simhash64(tokens: Column | str) -> Column:
     return fp
 
 
+def simhash_table(df: DataFrame, *, id_col: str, tokens: Column | str) -> DataFrame:
+    """(id, fp): 64-bit SimHash per row via explode + 64 sum aggregates.
+
+    Same fingerprint as :func:`simhash64`, different physical shape: one
+    xxhash64 per token, bit votes as 64 flat ``sum(sign)`` aggregates
+    (map-side combined, whole-stage codegen) instead of a per-token
+    zip_with fold allocating a 64-int array per step — ~4× on 10×-scale
+    data. Zero-token rows keep the empty-input fingerprint (all votes 0
+    → fp 0), matching simhash64 on [].
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.col(tokens) if isinstance(tokens, str) else tokens).alias(
+            "tok"
+        ),
+    ).select(
+        "id",
+        # xxhash64(NULL) returns the SEED (42), not NULL — guard on the
+        # token so empty-array rows (explode_outer's null) vote zero.
+        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
+    )
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").isNull(), F.lit(0)).otherwise(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1
+                )
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("bigint")
+    for b in range(64):
+        bit_val = 1 << b
+        if bit_val >= 1 << 63:
+            bit_val -= 1 << 64
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return votes.select("id", fp.alias("fp"))
+
+
 def simhash_dedup_groups(df: DataFrame, *, id_col: str, tokens: Column | str) -> DataFrame:
     """(simhash, canonical_id, n_dups) — identical-fingerprint grouping."""
     return (
-        df.select(F.col(id_col).alias("id"), simhash64(tokens).alias("simhash"))
+        simhash_table(df, id_col=id_col, tokens=tokens)
+        .select(F.col("id"), F.col("fp").alias("simhash"))
         .groupBy("simhash")
         .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -352,7 +397,7 @@ def simhash_neardup_pairs(
     assert 64 % bands == 0 and max_hamming < bands
     width = 64 // bands
     mask = (1 << width) - 1
-    fp = df.select(F.col(id_col).alias("id"), simhash64(tokens).alias("fp"))
+    fp = simhash_table(df, id_col=id_col, tokens=tokens)
     band_rows = fp.select(
         "id",
         "fp",
