@@ -89,6 +89,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``nanosAsLong``) and we truncate ns→µs into a proper TimestampType —
     the same truncation DuckDB applies on read, so oracles agree.
     """
+    # Oracle comparisons assume UTC timestamp rendering; pin it even when
+    # the caller's session (e.g. the driver harness's own SparkSession)
+    # didn't come from our factory. Runtime-settable SQL conf — no-op on
+    # already-UTC sessions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
         return raw.withColumn(
