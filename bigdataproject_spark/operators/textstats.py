@@ -47,23 +47,24 @@ def lang_id_expr(
     Implemented as a greatest-of chain so the whole thing stays one
     codegen'd projection."""
     markers = DEFAULT_LANG_MARKERS if markers is None else markers
-    t = F.col(tokens) if isinstance(tokens, str) else tokens
-    counts = []
-    for lang, words in markers.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        counts.append(
-            (lang, F.size(F.filter(t, lambda x: F.array_contains(arr, x))))
-        )
-    best = None
-    best_cnt = None
-    for lang, cnt in counts:
-        if best is None:
-            best, best_cnt = F.lit(lang), cnt
-        else:
-            gt = cnt > best_cnt
+    scores = lang_scores(tokens, markers)
+    langs = list(markers)
+
+    # Let-bind the score struct: the argmax fold references each running
+    # best twice per step, so building it directly over the raw count
+    # expressions duplicates the token-filter passes ~2^n_langs times
+    # (when() branches are excluded from codegen CSE — measured 20s for
+    # 50k docs at 10× scale, ~3s bound). Inside the lambda each s[lang]
+    # is a cheap field extraction of the once-evaluated struct.
+    def _argmax(s: Column) -> Column:
+        best, best_cnt = F.lit(langs[0]), s[langs[0]]
+        for lang in langs[1:]:
+            gt = s[lang] > best_cnt
             best = F.when(gt, F.lit(lang)).otherwise(best)
-            best_cnt = F.when(gt, cnt).otherwise(best_cnt)
-    return F.when(best_cnt > 0, best).otherwise(F.lit(default))
+            best_cnt = F.when(gt, s[lang]).otherwise(best_cnt)
+        return F.when(best_cnt > 0, best).otherwise(F.lit(default))
+
+    return F.element_at(F.transform(F.array(scores), _argmax), 1)
 
 
 def quality_features(text: Column | str, tokens: Column | str) -> dict[str, Column]:
