@@ -136,11 +136,17 @@ def winnowing_fingerprints(
     robust partial-overlap detection; not SQL-oracle'd (hash fn is
     engine-specific)."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
-    n_kgrams = F.greatest(F.size(t) - k + 1, F.lit(0))
-    kgram_hashes = F.transform(
-        F.sequence(F.lit(1), n_kgrams),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
-    )
+    n_kgrams = F.size(t) - k + 1
+    # Guard the k-gram stage itself: with fewer than k tokens,
+    # sequence(1, n_kgrams<=0) yields a DESCENDING range through 0 and
+    # slice(t, 0, k) throws INVALID_PARAMETER_VALUE.START on Spark 4.
+    kgram_hashes = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), n_kgrams),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
     # Let-bind the kgram hash array: referencing the raw expression from
     # each window slice would re-evaluate the FULL k-gram hashing once

@@ -136,43 +136,103 @@ def _doc_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a ~30-word vocabulary, so nearly every word co-occurs with every
     other in most docs and FP-Growth's output would be all 2^k subsets of
     the common vocabulary — a combinatorial explosion. Market-basket
-    semantics need sparse transactions; the (user → set of event types)
-    basket is the right shape (≤5 items/basket)."""
+    semantics need sparse transactions; the (user, day → set of event
+    types) basket is the right shape (≤5 items/basket, sizes 1-5 at
+    sf0.01 — per-user-lifetime baskets degenerate to all 5 types)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    return ev.groupBy("user_id", day).agg(
         F.array_sort(F.collect_set("event_type")).alias("items")
     )
 
 
 def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7/A9: FP-Growth frequent itemsets (tag/main.py:187-191) over token
-    transactions; minSupport 0.05 as the reference. Not SQL-expressible →
-    rows-only driver check; determinism via sorted item arrays + full sort."""
+    """A7/A9: FP-Growth frequent itemsets (tag/main.py:187-191) over
+    (user, day) event-type baskets; minSupport 0.05 as the reference.
+
+    Items emitted as a '|'-joined STRING (not array<string>): the driver
+    canonicalizer sorts the pandas frame by every column and list-valued
+    cells make ``sort_values`` throw "unhashable type: 'list'".
+
+    Hash-checked: baskets hold ≤5 distinct event types, so an exact DuckDB
+    oracle enumerates every non-empty subset per basket (≤31) via bitmask
+    and counts — Spark's minCount is ceil(minSupport·N), mirrored in the
+    HAVING."""
     tx = _doc_transactions(spark, sf_dir)
     sets = mine_itemsets(tx, items_col="items", min_support=0.05)
     return sets.select(
-        F.array_sort("items").alias("items"), F.col("freq")
-    ).orderBy(F.desc("freq"), F.asc(F.col("items").cast("string")))
+        F.array_join(F.array_sort("items"), "|").alias("items"), F.col("freq")
+    ).orderBy(F.desc("freq"), F.asc("items"))
 
 
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: association rules with confidence & lift (tag/main.py:194);
-    minConfidence 0.3. Rows-only driver check."""
+    minConfidence 0.3. Antecedent/consequent as '|'-joined strings (driver
+    canonicalizer can't sort list cells). Hash-checked against an exact
+    DuckDB oracle: rules are (frequent itemset minus one item → that
+    item); confidence = freq(union)/freq(antecedent), lift =
+    confidence/(freq(consequent)/N), and apriori guarantees both sides'
+    freqs exist in the frequent set."""
     tx = _doc_transactions(spark, sf_dir)
     rules = mine_association_rules(
         tx, items_col="items", min_support=0.05, min_confidence=0.3
     )
     return rules.select(
-        F.array_sort("antecedent").alias("antecedent"),
-        F.array_sort("consequent").alias("consequent"),
+        F.array_join(F.array_sort("antecedent"), "|").alias("antecedent"),
+        F.array_join(F.array_sort("consequent"), "|").alias("consequent"),
         F.round("confidence", 6).alias("confidence"),
         F.round("lift", 6).alias("lift"),
         F.round("support", 6).alias("support"),
-    ).orderBy(
-        F.desc("lift"),
-        F.asc(F.col("antecedent").cast("string")),
-        F.asc(F.col("consequent").cast("string")),
-    )
+    ).orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+
+
+# Shared exact-oracle scaffolding: (user, day) baskets, bitmask subset
+# enumeration (≤5 items → ≤31 non-empty subsets per basket), Spark's
+# minCount = ceil(minSupport · numBaskets) mirrored in the HAVING.
+_FPM_CTES = """
+WITH tx AS (
+  SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+         list_sort(list(DISTINCT event_type)) AS items
+  FROM events GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS total FROM tx),
+m AS (SELECT items, unnest(range(1, 1 << len(items))) AS mask FROM tx),
+sub AS (
+  SELECT list_filter(items, (x, i) -> ((mask >> (i - 1)) & 1) = 1) AS subset
+  FROM m
+),
+freq AS (
+  SELECT subset, count(*) AS freq FROM sub GROUP BY subset
+  HAVING count(*) >= ceil(0.05 * (SELECT total FROM n))
+)
+"""
+
+ORACLE_FREQ_ITEMSETS = _FPM_CTES + """
+SELECT array_to_string(subset, '|') AS items, freq
+FROM freq ORDER BY freq DESC, items
+"""
+
+ORACLE_ASSOC_RULES = _FPM_CTES + """,
+cand AS (
+  SELECT f.subset AS its, f.freq AS union_freq, unnest(f.subset) AS c
+  FROM freq f WHERE len(f.subset) >= 2
+),
+rule AS (
+  SELECT list_filter(its, x -> x != c) AS antecedent, c, union_freq FROM cand
+)
+SELECT array_to_string(r.antecedent, '|') AS antecedent,
+       r.c AS consequent,
+       round(CAST(r.union_freq AS DOUBLE) / fa.freq, 6) AS confidence,
+       round((CAST(r.union_freq AS DOUBLE) / fa.freq)
+             / (CAST(fc.freq AS DOUBLE) / n.total), 6) AS lift,
+       round(CAST(r.union_freq AS DOUBLE) / n.total, 6) AS support
+FROM rule r
+JOIN freq fa ON fa.subset = r.antecedent
+JOIN freq fc ON fc.subset = [r.c]
+CROSS JOIN n
+WHERE CAST(r.union_freq AS DOUBLE) / fa.freq >= 0.3
+ORDER BY lift DESC, antecedent, consequent
+"""
 
 
 
@@ -258,6 +318,6 @@ REFERENCE_QUERIES = {
     "tiered_score": _q(q_tiered_score, ORACLE_TIERED_SCORE),
     "word_count": _q(q_word_count, ORACLE_WORD_COUNT),
     "tag_etl_transactions": _q(q_tag_etl, ORACLE_TAG_ETL),
-    "freq_itemsets": _q(q_freq_itemsets, None),
-    "assoc_rules": _q(q_assoc_rules, None),
+    "freq_itemsets": _q(q_freq_itemsets, ORACLE_FREQ_ITEMSETS),
+    "assoc_rules": _q(q_assoc_rules, ORACLE_ASSOC_RULES),
 }

@@ -499,9 +499,13 @@ WITH g AS (
   FROM events
 ), s AS (
   SELECT user_id, ep,
-         sum(coalesce(is_new, 0)) OVER (PARTITION BY user_id
+         -- CAST: DuckDB's windowed sum(INTEGER) returns HUGEINT, which
+         -- pandas renders as float64 ("1.0" vs Spark's "1") and breaks
+         -- the driver's repr-hash even though every value matches.
+         CAST(sum(coalesce(is_new, 0)) OVER (PARTITION BY user_id
              ORDER BY ep, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,

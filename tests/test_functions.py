@@ -100,3 +100,25 @@ def test_tokenize_filters(spark):
 def test_tokenize_null(spark):
     df = spark.createDataFrame([Row(text=None)], "text string")
     assert df.select(tokenize_expr("text")).collect()[0][0] == []
+
+
+def test_winnowing_short_docs(spark):
+    """Docs with 0..k-1 tokens must yield an empty fingerprint set, not
+    throw (Spark 4: sequence(1, n<=0) is descending and slice(t, 0, k)
+    raises INVALID_PARAMETER_VALUE.START without the k-gram guard)."""
+    from bigdataproject_spark.operators.textstats import winnowing_fingerprints
+
+    k = 5
+    rows = [Row(tokens=["w"] * n) for n in range(k)]  # 0..k-1 tokens
+    rows.append(Row(tokens=[f"t{i}" for i in range(k)]))  # exactly k
+    rows.append(Row(tokens=[f"t{i}" for i in range(3 * k)]))  # long doc
+    df = spark.createDataFrame(rows, "tokens array<string>")
+    got = df.select(
+        F.size("tokens").alias("n"),
+        winnowing_fingerprints("tokens", k=k, window=4).alias("fp"),
+    ).collect()
+    for r in got:
+        if r.n < k:
+            assert r.fp == [], f"{r.n}-token doc should have empty fp"
+        else:
+            assert len(r.fp) >= 1, f"{r.n}-token doc should have fingerprints"
