@@ -88,8 +88,10 @@ def range_join_count(
     right_ts: str,
     lookback_s: int,
 ) -> DataFrame:
-    """Count right rows with the same key in (left.ts - lookback_s, left.ts)
-    — strictly before the left row, within the lookback window.
+    """Count right rows with the same key in [left.ts - lookback_s, left.ts)
+    — strictly before the left row, within the lookback window (the lower
+    bound is INCLUSIVE: a right row exactly lookback_s earlier counts, as
+    the ``>=`` predicate and the DuckDB oracle both implement).
 
     Banded equi-join: both sides are bucketed by ``lookback_s``; a left row
     only joins buckets {b, b-1}, which is exhaustive because the window is

@@ -47,6 +47,21 @@ def _norm_cell(v: Any) -> Any:
     return v
 
 
+def _sort_key(v: Any) -> Any:
+    """None-safe, mixed-type-safe ordering key: Python 3 refuses to order
+    None against non-None (legitimate in left-join / null-agg outputs), so
+    rank cells by (type-class, value) recursively."""
+    if v is None:
+        return (0, "")
+    if isinstance(v, tuple):
+        return (3, tuple(_sort_key(x) for x in v))
+    if isinstance(v, bool):
+        return (1, str(v))
+    if isinstance(v, (int, float)):
+        return (2, v)
+    return (1, str(v))
+
+
 def compare(spark_df, oracle_cols: list[str], oracle_rows: list[tuple]) -> list[str]:
     """Return a list of mismatch descriptions (empty → parity).
 
@@ -65,9 +80,13 @@ def compare(spark_df, oracle_cols: list[str], oracle_rows: list[tuple]) -> list[
     order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
     o_order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
     s_set = sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in (tuple(r) for r in s_rows)
+        (tuple(_norm_cell(r[i]) for i in order) for r in (tuple(r) for r in s_rows)),
+        key=_sort_key,
     )
-    o_set = sorted(tuple(_norm_cell(r[i]) for i in o_order) for r in oracle_rows)
+    o_set = sorted(
+        (tuple(_norm_cell(r[i]) for i in o_order) for r in oracle_rows),
+        key=_sort_key,
+    )
     for i, (a, b) in enumerate(zip(s_set, o_set)):
         if a != b:
             problems.append(f"first differing row (sorted) #{i}: spark={a!r} oracle={b!r}")

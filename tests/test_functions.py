@@ -122,3 +122,18 @@ def test_winnowing_short_docs(spark):
             assert r.fp == [], f"{r.n}-token doc should have empty fp"
         else:
             assert len(r.fp) >= 1, f"{r.n}-token doc should have fingerprints"
+
+
+def test_oracle_compare_none_safe(spark):
+    """compare() must order rows containing NULLs (left-join outputs)
+    instead of raising TypeError on None < int."""
+    from bigdataproject_spark.oracle import compare
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=None), Row(k="b", v=3)], "k string, v int"
+    )
+    problems = compare(df, ["k", "v"], [("a", None), ("b", 3)])
+    assert problems == []
+    # and a genuine mismatch still reports rather than crashes
+    problems = compare(df, ["k", "v"], [("a", 1), ("b", None)])
+    assert problems
