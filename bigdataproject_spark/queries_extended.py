@@ -116,13 +116,17 @@ ORDER BY c.event_id
 
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order history: previous/next price, quartile, 3-order
-    moving average (rowsBetween frame). Deterministic (o_orderdate,
-    o_orderkey) ordering."""
+    moving average and running total (rowsBetween frames). Deterministic
+    (o_orderdate, o_orderkey) ordering — the frame defines summation order,
+    so doubles agree bit-for-bit across engines before rounding. Absorbs
+    the former ``running_total`` registry entry (same window family; the
+    driver caps the checked set at 50 queries)."""
     od = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
     wf = w.rowsBetween(-2, 0)
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return od.select(
         "o_custkey",
         "o_orderkey",
@@ -133,6 +137,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 4dp, not 2dp: a 3-row avg of 2dp prices can land on a .xx5
         # half-boundary where engines' last-ulp sums round differently.
         F.round(F.avg("o_totalprice").over(wf), 4).alias("moving_avg3"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -143,7 +148,9 @@ SELECT o_custkey, o_orderkey,
        round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
        ntile(4) OVER w AS quartile,
        round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
-         AS moving_avg3
+         AS moving_avg3,
+       round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW), 2) AS running_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 ORDER BY o_custkey, o_orderkey
@@ -154,12 +161,21 @@ ORDER BY o_custkey, o_orderkey
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS ((priority, status), (priority), ()) with ALL labels —
-    the multi-granularity aggregate cube/rollup can't express."""
+    """GROUPING SETS ((priority, status), (priority), (status), ()) with ALL
+    labels — the explicit grouping-sets API, enumerating exactly CUBE's
+    lattice so the oracle (GROUP BY CUBE) doubles as a CUBE-equivalence
+    check. Absorbs the former ``cube_orders`` entry (the driver caps the
+    checked set at 50 queries); the dedicated ``.cube()`` API is asserted
+    equivalent in tests/test_functions.py::test_cube_equals_grouping_sets."""
     od = load_table(spark, sf_dir, "orders")
     return (
         od.groupingSets(
-            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
             "o_orderpriority",
             "o_orderstatus",
         )
@@ -183,7 +199,7 @@ SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total_price
 FROM orders
-GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY priority, status
 """
 

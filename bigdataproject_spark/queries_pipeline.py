@@ -16,7 +16,6 @@ from bigdataproject_spark.operators.dedup import (
     hashed_word_shingles,
     jaccard_pairs,
     minhash_lsh_dedup_pairs,
-    simhash_dedup_groups,
     simhash_neardup_pairs,
     word_shingles,
 )
@@ -128,15 +127,6 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=8,
     ).orderBy("id_a", "id_b")
-
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint groups (xxhash64 bit votes; rows-only)."""
-    docs = _docs_tokens(spark, sf_dir)
-    return simhash_dedup_groups(docs, id_col="doc_id", tokens="tokens").orderBy(
-        "simhash"
-    )
-
 
 
 def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,7 +498,6 @@ PIPELINE_QUERIES = {
     "dedup_exact": _q(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": _q(q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_minhash_lsh": _q(q_dedup_minhash, None),
-    "dedup_simhash": _q(q_dedup_simhash, None),
     "dedup_simhash_neardup": _q(q_dedup_simhash_neardup, None),
     "deterministic_sample": _q(q_deterministic_sample, ORACLE_DET_SAMPLE),
     "embedding_neardup": _q(q_embedding_neardup, ORACLE_EMB_NEARDUP),

@@ -167,43 +167,36 @@ ORDER BY revenue DESC, n_name ASC
 # --- join variants (semi / anti) --------------------------------------------
 
 
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi: customers having ≥1 high-value order (no row duplication,
-    EXISTS semantics)."""
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti in one labeled union: 'has_highvalue' rows are
+    customers with ≥1 order over 100k (EXISTS semantics, no row
+    duplication); 'no_orders' rows are customers with no orders at all
+    (NOT EXISTS). One registry entry for both join types (the driver caps
+    the checked set at 50 queries)."""
     cu = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    return (
-        cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
-        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
-        .orderBy("c_custkey")
+    od = load_table(spark, sf_dir, "orders")
+    hv = od.filter(F.col("o_totalprice") > 100000)
+    semi = (
+        cu.join(hv, cu.c_custkey == hv.o_custkey, "left_semi")
+        .select(F.lit("has_highvalue").alias("kind"), "c_custkey", "c_name")
     )
+    anti = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .select(F.lit("no_orders").alias("kind"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti).orderBy("kind", "c_custkey")
 
 
-ORACLE_SEMI = """
-SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+ORACLE_SEMI_ANTI = """
+SELECT 'has_highvalue' AS kind, c_custkey, c_name
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 100000)
-ORDER BY c_custkey
-"""
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti: customers with no orders at all (NOT EXISTS)."""
-    cu = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders")
-    return (
-        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
-        .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
-
-
-ORACLE_ANTI = """
-SELECT c_custkey, c_mktsegment
+UNION ALL
+SELECT 'no_orders' AS kind, c_custkey, c_name
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey
+ORDER BY kind, c_custkey
 """
 
 
@@ -241,38 +234,6 @@ ORDER BY o_custkey, rn
 """
 
 
-def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag + running-sum frame (rowsBetween unbounded→current) per customer,
-    ordered by (orderdate, orderkey). The frame defines summation order, so
-    doubles agree bit-for-bit across engines before rounding."""
-    od = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return od.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("totalprice"),
-        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        F.round(
-            F.sum("o_totalprice").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            2,
-        ).alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
-
-
-ORACLE_RUNNING = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
-       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-ORDER BY o_custkey, o_orderkey
-"""
-
-
 # --- grouping sets / distinct / stats ---------------------------------------
 
 
@@ -299,31 +260,6 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus
-"""
-
-
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE(o_orderstatus, o_orderpriority): all 4 grouping combinations."""
-    od = load_table(spark, sf_dir, "orders")
-    return (
-        od.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        )
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")
-    )
-
-
-ORACLE_CUBE = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-       count(*) AS n,
-       round(sum(o_totalprice), 2) AS sum_price
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-ORDER BY gid, o_orderstatus, o_orderpriority
 """
 
 
@@ -560,12 +496,9 @@ RELATIONAL_QUERIES = {
     "q1_pricing_summary": _q(q1_pricing_summary, ORACLE_Q1),
     "q3_top_revenue": _q(q3_top_revenue, ORACLE_Q3),
     "q5_region_revenue": _q(q5_region_revenue, ORACLE_Q5),
-    "semi_join_customers": _q(q_semi_join, ORACLE_SEMI),
-    "anti_join_customers": _q(q_anti_join, ORACLE_ANTI),
+    "semi_anti_join_customers": _q(q_semi_anti_join, ORACLE_SEMI_ANTI),
     "topk_per_customer": _q(q_topk_per_group, ORACLE_TOPK),
-    "running_total": _q(q_running_total, ORACLE_RUNNING),
     "rollup_lineitem": _q(q_rollup, ORACLE_ROLLUP),
-    "cube_orders": _q(q_cube, ORACLE_CUBE),
     "distinct_agg": _q(q_distinct_agg, ORACLE_DISTINCT),
     "stats_agg": _q(q_stats_agg, ORACLE_STATS),
     "set_ops_customers": _q(q_set_ops, ORACLE_SET_OPS),

@@ -137,3 +137,48 @@ def test_oracle_compare_none_safe(spark):
     # and a genuine mismatch still reports rather than crashes
     problems = compare(df, ["k", "v"], [("a", 1), ("b", None)])
     assert problems
+
+
+def test_cube_equals_grouping_sets(spark, sf_dir):
+    """The .cube() API produces the same rows as the explicit
+    grouping-sets enumeration used by the grouping_sets_orders query
+    (cube is a grouping-sets macro)."""
+    from bigdataproject_spark.queries_extended import q_grouping_sets
+    from bigdataproject_spark.sources.readers import load_table
+
+    od = load_table(spark, sf_dir, "orders")
+    via_cube = (
+        od.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+    a = sorted(map(tuple, via_cube.collect()))
+    b = sorted(map(tuple, q_grouping_sets(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_simhash_dedup_groups(spark):
+    """Identical token multisets share a fingerprint group; the group
+    carries the min id as canonical and the duplicate count."""
+    from bigdataproject_spark.operators.dedup import simhash_dedup_groups
+
+    df = spark.createDataFrame(
+        [
+            Row(id=3, t=["a", "b", "c"]),
+            Row(id=1, t=["a", "b", "c"]),
+            Row(id=2, t=["x", "y", "z"]),
+        ]
+    )
+    got = {
+        r.canonical_id: r.n_dups
+        for r in simhash_dedup_groups(df, id_col="id", tokens="t").collect()
+    }
+    assert got == {1: 2, 2: 1}
