@@ -75,22 +75,37 @@ def pagerank(
             ranks.join(trans, ranks["node"] == trans["s"])
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+            .persist()
         )
-        # dangling mass: rank held by nodes with no outgoing transitions
-        dangling = (
-            ranks.join(trans.select("s").distinct(), ranks["node"] == F.col("s"), "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # Dangling mass (rank held by nodes with no outgoing transitions)
+        # = 1 - Σcontrib, because transition rows are row-stochastic and
+        # ranks sum to 1: Σ_d contrib_d = Σ_{s with out-edges} rank_s.
+        # Joined in as a BROADCAST 1-row aggregate — NOT a driver-side
+        # .first() (which would block per iteration) and NOT the naive
+        # anti-join against trans.select(s).distinct() (which re-shuffles
+        # the full transition table every iteration). contribs is
+        # persisted so the broadcast build and the rank update share one
+        # computation of the join+agg.
+        dangling_df = contribs.agg(
+            (1.0 - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("_dangling")
         )
-        new_ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                (1.0 - damping) / n
-                + damping
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n)
-            ).alias("rank"),
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_df))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / n
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dangling") / n
+                    )
+                ).alias("rank"),
+            )
         )
         old = ranks
         ranks = new_ranks.localCheckpoint()  # truncate lineage, eager
         old.unpersist()
+        contribs.unpersist()
     return ranks

@@ -62,3 +62,29 @@ def test_empty_graph(spark):
     out = pagerank(df, weight="w", iterations=3)
     assert out.count() == 0
     assert out.columns == ["node", "rank"]
+
+
+def test_pagerank_bounded_jobs_per_iteration(spark):
+    """The dangling-mass aggregate is a broadcast scalar derived from the
+    contribs (1 - sum), so an iteration must not launch a driver-side
+    full-pass action or re-shuffle the transition table. Under AQE each
+    shuffle stage surfaces as its own Spark job, so assert the marginal
+    job count per iteration stays a small constant (~7 observed: contrib
+    join/agg stages + broadcast build + checkpoint) — the round-1 shape
+    (anti-join against trans.distinct() plus a blocking .first()) costs
+    several jobs more per iteration, including a repeated shuffle of the
+    full transition table."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (3, 0, 1.0)]
+    df = spark.createDataFrame(edges, "src int, dst int, w double")
+    sc = spark.sparkContext
+    iters_a, iters_b = 3, 9
+    sc.setJobGroup("pg_a", "pagerank job-count probe A")
+    pagerank(df, weight="w", iterations=iters_a).collect()
+    sc.setJobGroup("pg_b", "pagerank job-count probe B")
+    pagerank(df, weight="w", iterations=iters_b).collect()
+    sc.setJobGroup("", "")
+    tracker = sc.statusTracker()
+    a = len(tracker.getJobIdsForGroup("pg_a"))
+    b = len(tracker.getJobIdsForGroup("pg_b"))
+    per_iter = (b - a) / (iters_b - iters_a)
+    assert per_iter <= 8.0, f"{per_iter} jobs/iteration (a={a}, b={b})"
