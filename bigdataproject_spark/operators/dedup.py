@@ -448,6 +448,8 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str | None,
     threshold: float,
+    broadcast_max_rows: int = 1_000_000,
+    num_subblocks: int = 16,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold; ``block_col`` restricts comparison to
     same-block pairs (coarse-quantization blocking — the IVF idea: at scale
@@ -455,13 +457,23 @@ def embedding_neardup_pairs(
 
     Physical shape: a LOW-CARDINALITY block key must not be the shuffle
     key — a sort-merge self-join on ~10 blocks runs ≤10 tasks no matter
-    the cluster (measured: 31 min for 20k vectors at 10× scale). Instead
-    the build side is broadcast and the probe side repartitioned, so
-    parallelism comes from probe partitions and scales with executors;
-    the O(Σ block²) pair count itself is the caller's knob (finer
-    blocks). When the build side outgrows broadcast, the right evolution
-    is sub-blocking (e.g. compose block_col with an LSH bucket), not a
-    bigger join."""
+    the cluster (measured: 31 min for 20k vectors at 10× scale). Two
+    paths, same pairs:
+
+    * ``count(df) <= broadcast_max_rows``: broadcast the build side and
+      repartition the probe side, so parallelism comes from probe
+      partitions. (1M rows × ~64 dims × 8 B ≈ 0.5 GB — comfortably under
+      the 8 GB broadcast ceiling; raise/lower for your dim.)
+    * larger corpora: EXACT salted self-join — probe rows keyed by
+      ``xxhash64(id) % num_subblocks``, build rows replicated to every
+      sub-key, shuffle equi-join on the composite (block, sub) key.
+      Each unordered pair matches exactly once (probe holds the smaller
+      id; the build replica at the probe's sub-key is unique), recall is
+      1.0 by construction, parallelism is blocks × num_subblocks, and
+      nothing is broadcast. Replication costs num_subblocks× shuffle
+      volume on the build side — the O(Σ block²) pair count itself is
+      still the caller's knob (finer blocks / LSH-composed block_col).
+    """
     from bigdataproject_spark.functions.vectors import cosine_similarity
 
     base = df.select(
@@ -470,18 +482,40 @@ def embedding_neardup_pairs(
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    a = base.repartition(n_part, "id").alias("a")
-    b = base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
-    return (
-        a.join(F.broadcast(b), cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            sim.alias("cosine"),
+    out_cols = [
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        sim.alias("cosine"),
+    ]
+
+    if base.count() <= broadcast_max_rows:
+        a = base.repartition(n_part, "id").alias("a")
+        b = base.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+        if block_col:
+            cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        return (
+            a.join(F.broadcast(b), cond)
+            .select(*out_cols)
+            .filter(F.col("cosine") >= threshold)
         )
+
+    s = F.lit(num_subblocks)
+    probe = base.withColumn("_sub", F.pmod(F.xxhash64(F.col("id")), s)).alias("a")
+    build = (
+        base.withColumn("_sub", F.explode(F.sequence(F.lit(0), s - 1)))
+        .withColumn("_sub", F.col("_sub").cast("bigint"))
+        .alias("b")
+    )
+    keys = ["_sub"] + (["blk"] if block_col else [])
+    cond = F.col("a.id") < F.col("b.id")
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    # hash-build from the probe side: it is num_subblocks× smaller than
+    # the replicated build side
+    return (
+        probe.hint("shuffle_hash").join(build, cond)
+        .select(*out_cols)
         .filter(F.col("cosine") >= threshold)
     )

@@ -154,3 +154,25 @@ def test_simhash_neardup_exact_duplicates(spark):
         df, id_col="id", tokens="toks", max_hamming=3, bands=4
     ).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_embedding_neardup_paths_agree(spark, sf_dir):
+    """The salted shuffle path (build side over the broadcast row
+    threshold) must return exactly the same pairs as the broadcast path,
+    and its plan must shuffle on the composite key instead of
+    broadcasting the corpus."""
+    from bigdataproject_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.2)
+    via_broadcast = embedding_neardup_pairs(emb, **kw, broadcast_max_rows=10**9)
+    via_shuffle = embedding_neardup_pairs(
+        emb, **kw, broadcast_max_rows=0, num_subblocks=4
+    )
+    a = sorted((r.id_a, r.id_b, r.cosine) for r in via_broadcast.collect())
+    b = sorted((r.id_a, r.id_b, r.cosine) for r in via_shuffle.collect())
+    assert a == b
+    assert len(a) > 0  # non-vacuous at sf0.001+
+    plan = via_shuffle._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_sub" in plan  # composite sub-block key reached the join
