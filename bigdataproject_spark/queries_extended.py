@@ -378,7 +378,13 @@ def q_energy_timeline_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hot/spark_energy.py:89-116) as one DataFrame op: per-key sorted
     struct arrays serialized to a JSON string column executor-side —
     replacing the reference's driver-side collect + json.dump (S7).
-    Rows-only: nested-list serialization differs across engines."""
+
+    Hash-checked: energy is rounded to 6dp BEFORE the percentile
+    threshold (engines' raw double sums differ in the last ulp; an
+    interpolated quantile over the rounded set is either strictly
+    between two points or exactly a point in both engines), and both
+    sides serialize the sorted struct list with their native to_json —
+    the compact [{"time":..,"value":..,"high":..}] rendering agrees."""
     from bigdataproject_spark.operators.energy import timeline
 
     ev = load_table(spark, sf_dir, "events")
@@ -388,7 +394,9 @@ def q_energy_timeline_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.unix_timestamp("ts") / 10) * 10).alias("bucket"),
         )
         .agg(F.count(F.lit(1)).alias("density"), F.sum("value").alias("sentiment"))
-        .withColumn("energy", 0.37 * F.col("sentiment") + 0.63 * F.col("density"))
+        .withColumn(
+            "energy", F.round(0.37 * F.col("sentiment") + 0.63 * F.col("density"), 6)
+        )
         .withColumn(
             "is_high",
             F.col("energy")
@@ -397,12 +405,43 @@ def q_energy_timeline_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    tl = timeline(per_bucket, key="event_type")
+    # round_dp=6 == energy's own rounding: re-rounding a 6dp-rounded
+    # double to 2dp hits half-boundaries (x.x15) where Spark rounds via
+    # decimal string (HALF_UP -> .x2) but DuckDB rounds the binary double
+    # (-> .x1); a single rounding of an arbitrary double never lands on
+    # an exact half, so 6dp is cross-engine stable.
+    tl = timeline(per_bucket, key="event_type", round_dp=6)
     return tl.select(
         F.col("event_type"),
-        F.size("timeline").alias("n_buckets"),
+        F.size("timeline").cast("long").alias("n_buckets"),
         F.to_json(F.col("timeline")).alias("timeline_json"),
     ).orderBy("event_type")
+
+
+ORACLE_ENERGY_NESTED = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS bucket,
+         count(*) AS density,
+         sum(value) AS sentiment
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT event_type, bucket,
+         round(0.37*sentiment + 0.63*density, 6) AS energy_r
+  FROM agg
+), h AS (
+  SELECT event_type, bucket,
+         energy_r AS value,
+         energy_r >= quantile_cont(energy_r, 0.9)
+                     OVER (PARTITION BY event_type) AS high
+  FROM e
+)
+SELECT event_type,
+       count(*) AS n_buckets,
+       to_json(list({'time': bucket, 'value': value, 'high': high}
+                    ORDER BY bucket)) AS timeline_json
+FROM h GROUP BY event_type ORDER BY event_type
+"""
 
 
 EXTENDED_QUERIES = {
@@ -415,5 +454,5 @@ EXTENDED_QUERIES = {
     "sql_density_per_minute": _q(q_sql_density, ORACLE_SQL_DENSITY),
     "energy_approx_flag": _q(q_energy_approx_flag, None),
     "quantiles_by_type": _q(q_quantiles_by_type, ORACLE_QUANTILES),
-    "energy_timeline_nested": _q(q_energy_timeline_nested, None),
+    "energy_timeline_nested": _q(q_energy_timeline_nested, ORACLE_ENERGY_NESTED),
 }

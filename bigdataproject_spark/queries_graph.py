@@ -115,9 +115,92 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.asc("community"), F.asc("node"))
 
 
+def _pagerank_oracle(iterations: int = 15, damping: float = 0.85) -> str:
+    """Exact DuckDB oracle for the fixed-iteration PageRank: the loop is
+    unrolled into chained CTEs (one contrib/total/rank triple per
+    iteration), mirroring the engine's dangling-mass-as-(1 - Σcontrib)
+    formulation. Plain CTEs (not WITH RECURSIVE) so each step can be
+    referenced twice — once for contribs, once for the dangling total."""
+    edges_cte = f"""
+e AS (
+  SELECT "Source" AS s, "Target" AS d, CAST("Weight" AS DOUBLE) AS w FROM g
+  UNION ALL
+  SELECT "Target" AS s, "Source" AS d, CAST("Weight" AS DOUBLE) AS w FROM g
+),
+eg AS (SELECT s, d, sum(w) AS w FROM e GROUP BY 1, 2),
+outw AS (SELECT s, sum(w) AS out_w FROM eg GROUP BY 1),
+trans AS MATERIALIZED (SELECT eg.s, eg.d, eg.w / outw.out_w AS p
+          FROM eg JOIN outw ON eg.s = outw.s),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+it0 AS (SELECT node, 1.0 / nn.cnt AS rank FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for k in range(iterations):
+        steps.append(f"""
+c{k} AS MATERIALIZED (SELECT t.d AS node, sum(p.rank * t.p) AS contrib
+         FROM it{k} p JOIN trans t ON p.node = t.s GROUP BY 1),
+tot{k} AS (SELECT coalesce(sum(contrib), 0.0) AS total FROM c{k}),
+it{k + 1} AS MATERIALIZED (
+  SELECT nd.node,
+         (1 - {damping}) / nn.cnt
+         + {damping} * (coalesce(c.contrib, 0.0) + (1 - tot.total) / nn.cnt)
+           AS rank
+  FROM nodes nd CROSS JOIN nn CROSS JOIN tot{k} tot
+  LEFT JOIN c{k} c ON c.node = nd.node)""")
+    return (
+        "WITH " + _HITS_CTE + f""",
+g AS (
+  SELECT a.entity AS "Source", b.entity AS "Target", count(*) AS "Weight"
+  FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2
+),"""
+        + edges_cte + "," + ",".join(steps)
+        + f"""
+SELECT node, round(rank, 8) AS rank FROM it{iterations}
+ORDER BY rank DESC, node ASC"""
+    )
+
+
+def _lpa_oracle(iterations: int = 8) -> str:
+    """Exact DuckDB oracle for synchronous weighted LPA: unrolled vote /
+    argmax (row_number over vote_w DESC, label ASC) per iteration —
+    deterministic because weights are integer-valued and ties break to
+    the smallest label, exactly as operators/communities.py."""
+    steps = []
+    for k in range(iterations):
+        steps.append(f"""
+v{k} AS (SELECT eg.a AS node, l.label, sum(eg.w) AS vote_w
+         FROM eg JOIN l{k} l ON eg.b = l.node GROUP BY 1, 2),
+l{k + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY vote_w DESC, label ASC) AS rn
+    FROM v{k}) WHERE rn = 1)""")
+    return (
+        "WITH " + _HITS_CTE + f""",
+g AS (
+  SELECT a.entity AS "Source", b.entity AS "Target", count(*) AS "Weight"
+  FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.entity < b.entity
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT "Source" AS a, "Target" AS b, CAST("Weight" AS DOUBLE) AS w FROM g
+  UNION ALL
+  SELECT "Target" AS a, "Source" AS b, CAST("Weight" AS DOUBLE) AS w FROM g
+),
+eg AS (SELECT a, b, sum(w) AS w FROM e GROUP BY 1, 2),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM eg),"""
+        + ",".join(steps)
+        + f"""
+SELECT node, label AS community FROM l{iterations}
+ORDER BY community ASC, node ASC"""
+    )
+
+
 GRAPH_QUERIES = {
     "graph_nodes": _q(q_graph_nodes, ORACLE_GRAPH_NODES),
     "graph_edges": _q(q_graph_edges, ORACLE_GRAPH_EDGES),
-    "graph_pagerank": _q(q_graph_pagerank, None),
-    "graph_communities": _q(q_graph_communities, None),
+    "graph_pagerank": _q(q_graph_pagerank, _pagerank_oracle()),
+    "graph_communities": _q(q_graph_communities, _lpa_oracle()),
 }
