@@ -129,12 +129,24 @@ def fingerprint_expr(tokens: Column | str, head: int = 64) -> Column:
 
 
 def winnowing_fingerprints(
-    tokens: Column | str, *, k: int = 5, window: int = 4
+    tokens: Column | str, *, k: int = 5, window: int = 4, hash_fn: str = "xxhash64"
 ) -> Column:
     """Winnowing fingerprint set (Schleimer et al., SIGMOD'03): k-gram
-    hashes, min per sliding window, distinct mins. array<long> per doc —
-    robust partial-overlap detection; not SQL-oracle'd (hash fn is
-    engine-specific)."""
+    hashes, min per sliding window, distinct mins — robust partial-overlap
+    detection.
+
+    ``hash_fn='xxhash64'`` (default): array<long>, the fast scale path
+    (JVM 64-bit hash, numeric mins), engine-specific → not SQL-oracle'd.
+    ``hash_fn='md5'``: array<string> of hex digests, mins lexicographic —
+    md5 exists in DuckDB too, so this variant is cross-engine
+    hash-checkable (ASCII hex compares identically everywhere); ~2-3×
+    slower, used by the oracled registry query."""
+    if hash_fn == "xxhash64":
+        _hash, empty_t = F.xxhash64, "array<bigint>"
+    elif hash_fn == "md5":
+        _hash, empty_t = F.md5, "array<string>"
+    else:  # pragma: no cover - guarded upstream
+        raise ValueError(f"unsupported hash_fn {hash_fn!r}")
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     n_kgrams = F.size(t) - k + 1
     # Guard the k-gram stage itself: with fewer than k tokens,
@@ -144,9 +156,9 @@ def winnowing_fingerprints(
         F.size(t) >= k,
         F.transform(
             F.sequence(F.lit(1), n_kgrams),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
+            lambda i: _hash(F.concat_ws(" ", F.slice(t, i, k))),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast(empty_t))
 
     # Let-bind the kgram hash array: referencing the raw expression from
     # each window slice would re-evaluate the FULL k-gram hashing once
@@ -164,6 +176,6 @@ def winnowing_fingerprints(
             F.array_distinct(
                 F.when(n_windows > 0, mins).otherwise(F.array(F.array_min(kg)))
             ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        ).otherwise(F.array().cast(empty_t))
 
     return F.element_at(F.transform(F.array(kgram_hashes), _windows), 1)

@@ -428,17 +428,50 @@ FROM documents ORDER BY doc_id
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix fingerprint (md5 of first 64 normalized tokens) + winnowing
-    fingerprint count (k-gram min-hash windows)."""
+    fingerprint set (k-gram min-hash windows).
+
+    Hash-checked: uses the md5 winnowing variant — hex-string k-gram
+    digests with lexicographic window minima reproduce identically in
+    DuckDB (ASCII hex collates the same everywhere), unlike the default
+    xxhash64 scale path. The fingerprint set is emitted sorted and
+    '|'-joined (driver canonicalizer can't sort list cells); project-level
+    subexpression elimination shares the one winnowing evaluation between
+    the count and the joined set."""
     docs = _docs_tokens(spark, sf_dir)
+    fps = winnowing_fingerprints("tokens", k=5, window=4, hash_fn="md5")
     return docs.select(
         "doc_id",
         fingerprint_expr("tokens", 64).alias("fp_prefix64"),
-        F.size(winnowing_fingerprints("tokens", k=5, window=4)).alias("n_winnow"),
+        F.size(fps).cast("long").alias("n_winnow"),
+        F.array_join(F.array_sort(fps), "|").alias("winnow_set"),
     )
 
 
-# winnowing counts use xxhash64 (engine-specific) → fp_prefix64 is oracled
-# separately; this query is rows-only.
+ORACLE_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+kg AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 5 THEN
+           list_transform(generate_series(1, len(toks) - 4),
+                          i -> md5(array_to_string(toks[i:i+4], ' ')))
+         ELSE CAST([] AS VARCHAR[]) END AS kg
+  FROM t
+),
+fp AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(kg) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(kg) < 4 THEN [list_aggregate(kg, 'min')]
+         ELSE list_distinct(list_transform(generate_series(1, len(kg) - 3),
+                j -> list_aggregate(kg[j:j+3], 'min')))
+    END AS fps
+  FROM kg
+)
+SELECT doc_id,
+       md5(array_to_string(toks[1:64], ' ')) AS fp_prefix64,
+       len(fps) AS n_winnow,
+       array_to_string(list_sort(fps), '|') AS winnow_set
+FROM fp ORDER BY doc_id
+"""
 
 
 def q_fingerprint_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,7 +540,7 @@ PIPELINE_QUERIES = {
     "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
     "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
     "token_count": _q(q_token_count, ORACLE_TOKEN_COUNT),
-    "doc_fingerprint": _q(q_fingerprint, None),
+    "doc_fingerprint": _q(q_fingerprint, ORACLE_FINGERPRINT),
     "doc_fingerprint_prefix": _q(q_fingerprint_prefix, ORACLE_FINGERPRINT_PREFIX),
     "multimodal_meta": _q(q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "multimodal_features": _q(q_multimodal_features, None),
