@@ -55,6 +55,46 @@ def test_jaccard_identical_docs(spark):
     assert (pairs[0].id_a, pairs[0].id_b, pairs[0].jaccard) == (1, 2, 1.0)
 
 
+def test_jaccard_prefix_filter_matches_brute_force(spark):
+    """The prefix-filtered candidate join must return EXACTLY the pairs a
+    brute-force all-pairs Jaccard returns, at every threshold — the
+    prefix-filter theorem gives recall 1.0; this pins the implementation
+    (ceil nudge, length filter, canonical ordering) against it."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox leaps over the lazy dog today",
+        "a completely different document about spark and parquet files",
+        "a completely different document about spark and arrow files",
+        "tiny doc",  # < n tokens -> zero shingles, must never pair
+        "",
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, text=t) for i, t in enumerate(texts)]
+    ).withColumn("sh", word_shingles(_toks("text"), 3))
+    rows = {r.id: set(r.sh) for r in df.select("id", "sh").collect()}
+
+    def brute(th):
+        # inverted-index contract: only pairs sharing >= 1 shingle surface
+        out = set()
+        for a in rows:
+            for b in rows:
+                if a < b and rows[a] & rows[b]:
+                    j = round(len(rows[a] & rows[b]) / len(rows[a] | rows[b]), 6)
+                    if j >= th:
+                        out.add((a, b, j))
+        return out
+
+    for th in (0.0, 0.3, 0.5, 0.8, 1.0):
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_pairs(
+                df, id_col="id", shingles_col="sh", threshold=th
+            ).collect()
+        }
+        assert got == brute(th), f"threshold {th}"
+
+
 def test_minhash_lsh_finds_exact_dup(spark):
     """An identical pair has identical minhash signatures → collides in
     every band → must be found with jaccard 1.0."""
