@@ -523,15 +523,24 @@ def embedding_neardup_pairs(
       volume on the build side — the O(Σ block²) pair count itself is
       still the caller's knob (finer blocks / LSH-composed block_col).
     """
-    from bigdataproject_spark.functions.vectors import cosine_similarity
+    from bigdataproject_spark.functions.vectors import cosine_from_norms, l2_norm
 
+    # The ‖·‖₂ is hoisted to the per-ROW projection (linear) so the
+    # per-PAIR expression (quadratic) is just the dot (5.4x at sf1; see
+    # functions.vectors.cosine_from_norms for the measurements).
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        l2_norm(vec_col).alias("nrm"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    sim = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(
+        cosine_from_norms(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+        ),
+        6,
+    )
     out_cols = [
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdataproject_spark.functions.vectors import cosine_similarity
+from bigdataproject_spark.functions.vectors import cosine_from_norms, l2_norm
 
 
 def sign_bucket(vec: Column | str, n_bits: int = 8) -> Column:
@@ -49,16 +49,26 @@ def brute_force_topk(
     """Exact top-k by cosine: (q_id, neighbor_id, cosine, rank).
 
     cosine rounded 6dp before ranking; (−cosine, neighbor_id) ordering makes
-    ranks deterministic under ties."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    ranks deterministic under ties. Norms are hoisted per-row (linear) out
+    of the per-pair expression (quadratic, bit-identical — see
+    functions.vectors.cosine_from_norms)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
     sim = joined.select(
         "q_id",
         "neighbor_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -85,11 +95,13 @@ def lsh_bucket_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
         sign_bucket(vec_col, n_bits).alias("bkt"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
         sign_bucket(vec_col, n_bits).alias("bkt"),
     )
     joined = c.join(F.broadcast(q), on="bkt")
@@ -98,7 +110,7 @@ def lsh_bucket_topk(
     sim = joined.select(
         "q_id",
         "neighbor_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -139,6 +151,7 @@ def ivf_topk(
     c_feat = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     n_rows = c_feat.count()
@@ -156,7 +169,7 @@ def ivf_topk(
     n_probe = min(n_probe, n_centroids)
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(c_feat)
     assigned = model.transform(c_feat).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
+        "neighbor_id", "cv", "cn", F.col("prediction").alias("cell")
     )
 
     centroids = [
@@ -165,7 +178,11 @@ def ivf_topk(
     spark = corpus.sparkSession
     ctr_df = spark.createDataFrame(centroids, "cell int, ctr array<double>")
 
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
     # nearest n_probe cells per query: tiny cross join against the
     # broadcast centroid table, squared-L2 (KMeans' metric)
     sq_dist = F.aggregate(
@@ -176,10 +193,10 @@ def ivf_topk(
     wprobe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
     probes = (
         q.crossJoin(F.broadcast(ctr_df))
-        .select("q_id", "qv", "cell", sq_dist.alias("d2"))
+        .select("q_id", "qv", "qn", "cell", sq_dist.alias("d2"))
         .withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= n_probe)
-        .select("q_id", "qv", "cell")
+        .select("q_id", "qv", "qn", "cell")
     )
 
     joined = assigned.join(F.broadcast(probes), on="cell")
@@ -188,7 +205,7 @@ def ivf_topk(
     sim = joined.select(
         "q_id",
         "neighbor_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

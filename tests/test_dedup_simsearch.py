@@ -196,6 +196,34 @@ def test_simhash_neardup_exact_duplicates(spark):
     assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
 
 
+def test_cosine_from_norms_bit_identical(spark):
+    """The hoisted-norm cosine must equal cosine_similarity BIT-FOR-BIT
+    (same expression tree, only the evaluation count differs) — this is
+    what lets the join operators hoist norms per-row without any
+    oracle-parity risk."""
+    import random
+
+    from bigdataproject_spark.functions.vectors import (
+        cosine_from_norms,
+        cosine_similarity,
+        l2_norm,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(a=[rng.uniform(-1, 1) for _ in range(16)],
+            b=[rng.uniform(-1, 1) for _ in range(16)])
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    got = df.select(
+        cosine_similarity("a", "b").alias("c_hof"),
+        cosine_from_norms("a", "b", l2_norm("a"), l2_norm("b")).alias("c_fix"),
+    ).collect()
+    for r in got:
+        assert r.c_hof == r.c_fix  # exact equality, not approx
+
+
 def test_embedding_neardup_paths_agree(spark, sf_dir):
     """The salted shuffle path (build side over the broadcast row
     threshold) must return exactly the same pairs as the broadcast path,
