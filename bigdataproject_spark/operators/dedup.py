@@ -188,6 +188,39 @@ def jaccard_pairs(
 
 # --- MinHash + LSH ------------------------------------------------------------
 
+# Portable (cross-engine) universal hash family over a Mersenne-prime
+# field: h_i(x) = (A_i * (x mod P) + B_i) mod P with P = 2^31 - 1.
+# All operands stay < 2^31, so products stay < 2^62 — no bigint overflow
+# under Spark's ANSI mode, and DuckDB evaluates the identical integers.
+# Coefficients come from a fixed LCG so the Spark builder and the DuckDB
+# oracle generator share them without any runtime coupling.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 20260813) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs for the portable hash family."""
+    x = seed
+    raw: list[int] = []
+    for _ in range(2 * num_hashes):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        raw.append(x)
+    return [
+        ((raw[i] % (MINHASH_P - 1)) + 1, raw[num_hashes + i] % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def portable_base_hash(col: Column | str) -> Column:
+    """String → bigint in [0, P): first 12 hex chars of md5 (48 bits),
+    parsed base-16, reduced mod P. ``md5``/``substr``/hex-parse exist in
+    both Spark (``conv``) and DuckDB (``CAST(concat('0x',…))``), so the
+    value — and everything built on it — is engine-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
+        % F.lit(MINHASH_P)
+    )
+
 
 def minhash_signature(shingles: Column | str, num_hashes: int) -> Column:
     """array<int> of k minhash values: min over shingles of murmur3(sh, seed_i).
@@ -212,39 +245,71 @@ def lsh_band_rows(
     shingles_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """(id, band_id, band_hash) rows for LSH bucketing.
 
     Signatures are computed by exploding shingles into posting rows and
-    taking k ``min(hash(sh, seed_i))`` aggregates: flat codegen (no nested
+    taking k ``min(hash_i(sh))`` aggregates: flat codegen (no nested
     lambda towers), map-side partial aggregation keeps the shuffle at one
     32-int row per doc, and — critically — the aggregate's exchange is a
     reusable subplan, so the downstream self-join computes the signatures
-    ONCE (ReusedExchange) instead of once per join side. Band hashes are
-    murmur3 over the raw int columns — no string concat."""
+    ONCE (ReusedExchange) instead of once per join side.
+
+    ``hash_family='murmur3'`` (default): xxhash64 base + ``F.hash(base,
+    seed_i)`` members, band hash murmur3 over the raw ints — the fast
+    JVM-only scale path (engine-specific → not SQL-oracle'd).
+    ``hash_family='md5'``: md5-derived base reduced into a Mersenne-prime
+    field, members ``(A_i·base + B_i) mod P``, band key the '|'-joined
+    member values — every step exists verbatim in DuckDB, so the whole
+    LSH pipeline is cross-engine hash-checkable (~2× slower; used by the
+    oracled registry query, same pattern as
+    ``textstats.winnowing_fingerprints``)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     posting = df.filter(F.size(shingles_col) > 0).select(
         F.col(id_col).alias("id"), F.explode(shingles_col).alias("sh")
     )
-    # Hash the (variable-length) shingle string ONCE; derive the k-member
-    # hash family from the fixed-width 8-byte base — murmur3 over 12 bytes
-    # per member instead of re-hashing the whole string k times. (No
-    # arithmetic mixing: long multiply overflows throw under ANSI mode.)
-    based = posting.select("id", F.xxhash64("sh").alias("base"))
-    sig = based.groupBy("id").agg(
-        *[
-            F.min(F.hash("base", F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.hash(
-                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
-            ).alias("band_hash"),
+    if hash_family == "murmur3":
+        # Hash the (variable-length) shingle string ONCE; derive the
+        # k-member hash family from the fixed-width 8-byte base — murmur3
+        # over 12 bytes per member instead of re-hashing the whole string
+        # k times. (No arithmetic mixing: long multiply overflows throw
+        # under ANSI mode.)
+        based = posting.select("id", F.xxhash64("sh").alias("base"))
+        sig = based.groupBy("id").agg(
+            *[
+                F.min(F.hash("base", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
         )
+        def _band_hash(b: int) -> Column:
+            return F.hash(
+                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            )
+    elif hash_family == "md5":
+        coeffs = minhash_coefficients(num_hashes)
+        based = posting.select("id", portable_base_hash("sh").alias("base"))
+        sig = based.groupBy("id").agg(
+            *[
+                F.min((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                    f"h{i}"
+                )
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+        def _band_hash(b: int) -> Column:
+            return F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+    else:  # pragma: no cover - guarded upstream
+        raise ValueError(f"unsupported hash_family {hash_family!r}")
+    band_structs = [
+        F.struct(F.lit(b).alias("band_id"), _band_hash(b).alias("band_hash"))
         for b in range(bands)
     ]
     return sig.select(
@@ -259,6 +324,7 @@ def lsh_candidate_pairs(
     shingles_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """LSH-banded candidate pairs (id_a < id_b), deduplicated across bands.
 
@@ -277,6 +343,7 @@ def lsh_candidate_pairs(
         shingles_col=shingles_col,
         num_hashes=num_hashes,
         bands=bands,
+        hash_family=hash_family,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -300,6 +367,7 @@ def minhash_lsh_dedup_pairs(
     threshold: float,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold (the standard
     minhash-LSH near-dup pipeline: band → bucket-join → verify).
@@ -314,7 +382,12 @@ def minhash_lsh_dedup_pairs(
         F.col(id_col).alias("id"), F.col(shingles_col).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(
-        sh_df, id_col="id", shingles_col="sh", num_hashes=num_hashes, bands=bands
+        sh_df,
+        id_col="id",
+        shingles_col="sh",
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
     )
     sh = sh_df
     pairs = (
@@ -372,39 +445,80 @@ def simhash64(tokens: Column | str) -> Column:
     return fp
 
 
-def simhash_table(df: DataFrame, *, id_col: str, tokens: Column | str) -> DataFrame:
-    """(id, fp): 64-bit SimHash per row via explode + 64 sum aggregates.
+def simhash_table(
+    df: DataFrame, *, id_col: str, tokens: Column | str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(id, fp): SimHash per row via explode + flat sum aggregates.
 
-    Same fingerprint as :func:`simhash64`, different physical shape: one
-    xxhash64 per token, bit votes as 64 flat ``sum(sign)`` aggregates
-    (map-side combined, whole-stage codegen) instead of a per-token
-    zip_with fold allocating a 64-int array per step — ~4× on 10×-scale
-    data. Zero-token rows keep the empty-input fingerprint (all votes 0
-    → fp 0), matching simhash64 on [].
+    Same fingerprint as :func:`simhash64` (for the default family),
+    different physical shape: one hash per token, bit votes as flat
+    ``sum(sign)`` aggregates (map-side combined, whole-stage codegen)
+    instead of a per-token zip_with fold allocating an array per step —
+    ~4× on 10×-scale data. Zero-token rows keep the empty-input
+    fingerprint (all votes 0 → fp 0), matching simhash64 on [].
+
+    ``hash_fn='xxhash64'`` (default): 64 bits from the JVM xxhash64 —
+    the fast scale path (engine-specific → not SQL-oracle'd).
+    ``hash_fn='md5'``: 60 bits from the first 15 md5 nibbles (bit b =
+    nibble b//4, bit b%4) — md5/substr/hex-digit-parse exist verbatim in
+    DuckDB, so the fingerprint (and the banded near-dup join on it) is
+    cross-engine hash-checkable. 60 bits keeps the fingerprint strictly
+    below 2^60: no sign-bit wraparound on either engine.
     """
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(F.col(tokens) if isinstance(tokens, str) else tokens).alias(
-            "tok"
-        ),
-    ).select(
-        "id",
-        # xxhash64(NULL) returns the SEED (42), not NULL — guard on the
-        # token so empty-array rows (explode_outer's null) vote zero.
-        F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
-    )
+    if hash_fn == "xxhash64":
+        n_bits = 64
+        hashed = df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.col(tokens) if isinstance(tokens, str) else tokens
+            ).alias("tok"),
+        ).select(
+            "id",
+            # xxhash64(NULL) returns the SEED (42), not NULL — guard on the
+            # token so empty-array rows (explode_outer's null) vote zero.
+            F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("h"),
+        )
+
+        def _bit(b: int) -> Column:
+            return F.shiftright("h", b).bitwiseAND(F.lit(1))
+
+    elif hash_fn == "md5":
+        n_bits = 60
+        exploded = df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.col(tokens) if isinstance(tokens, str) else tokens
+            ).alias("tok"),
+        )
+        # Project the 15 nibbles ONCE per token (md5 evaluated once);
+        # the 60 vote aggregates then read cheap int columns.
+        hashed = exploded.select(
+            "id",
+            F.col("tok").isNotNull().alias("has_tok"),
+            *[
+                F.conv(F.substring(F.md5("tok"), j + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"d{j}")
+                for j in range(15)
+            ],
+        ).withColumn("h", F.when(F.col("has_tok"), F.lit(1)))
+
+        def _bit(b: int) -> Column:
+            return F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+
+    else:  # pragma: no cover - guarded upstream
+        raise ValueError(f"unsupported hash_fn {hash_fn!r}")
+
     votes = hashed.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.col("h").isNull(), F.lit(0)).otherwise(
-                    F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1
-                )
+                F.when(F.col("h").isNull(), F.lit(0)).otherwise(_bit(b) * 2 - 1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     fp = F.lit(0).cast("bigint")
-    for b in range(64):
+    for b in range(n_bits):
         bit_val = 1 << b
         if bit_val >= 1 << 63:
             bit_val -= 1 << 64
@@ -433,20 +547,23 @@ def simhash_neardup_pairs(
     tokens: Column | str,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Pigeonhole banding (the classic simhash index): with the 64-bit
-    fingerprint split into ``bands`` equal bit-bands and
+    Pigeonhole banding (the classic simhash index): with the fingerprint
+    (64-bit xxhash64 family, 60-bit md5 family — see
+    :func:`simhash_table`) split into ``bands`` equal bit-bands and
     ``max_hamming < bands``, any qualifying pair agrees EXACTLY on at
     least one band — so candidates come from a (band_id, band_bits)
     equi-join (recall 1.0, no theta join), then the exact hamming
     distance (``bit_count(a XOR b)``) verifies. Returns
     (id_a, id_b, hamming) with id_a < id_b."""
-    assert 64 % bands == 0 and max_hamming < bands
-    width = 64 // bands
+    n_bits = 64 if hash_fn == "xxhash64" else 60
+    assert n_bits % bands == 0 and max_hamming < bands
+    width = n_bits // bands
     mask = (1 << width) - 1
-    fp = simhash_table(df, id_col=id_col, tokens=tokens)
+    fp = simhash_table(df, id_col=id_col, tokens=tokens, hash_fn=hash_fn)
     band_rows = fp.select(
         "id",
         "fp",

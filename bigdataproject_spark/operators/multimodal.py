@@ -68,13 +68,22 @@ def to_media_assets(
     )
 
 
-def decode_stub(batch_size_hint: int = 64, *, fake: bool = False, dim: int = 8):
+def decode_stub(
+    batch_size_hint: int = 64,
+    *,
+    fake: bool = False,
+    dim: int = 8,
+    normalize: bool = True,
+):
     """mapInPandas decoder: (asset_id, media_type, payload) → FEATURE_SCHEMA.
 
     Real deployments swap the body for PIL/librosa/av decode; the Arrow
     batch iteration, output schema, and memory profile stay identical.
-    With ``fake=True`` emits a deterministic per-byte-histogram feature.
-    """
+    With ``fake=True`` emits a deterministic per-byte-histogram feature
+    (``byte % dim`` bucket counts, divided by n_bytes when ``normalize``).
+    ``normalize=False`` keeps raw integer counts — exact in float32 up to
+    2^24, which makes the feature cross-engine hash-checkable (the DuckDB
+    oracle recomputes the same counts from the payload's hex dump)."""
     import numpy as np
     import pandas as pd
 
@@ -93,7 +102,8 @@ def decode_stub(batch_size_hint: int = 64, *, fake: bool = False, dim: int = 8):
                 if arr.size:
                     idx = arr % dim
                     np.add.at(hist, idx, 1.0)
-                    hist /= arr.size
+                    if normalize:
+                        hist /= arr.size
                 feats.append(hist.tolist())
             yield pd.DataFrame(
                 {
@@ -107,7 +117,11 @@ def decode_stub(batch_size_hint: int = 64, *, fake: bool = False, dim: int = 8):
     return fn
 
 
-def extract_features(assets: DataFrame, *, fake: bool = False, dim: int = 8) -> DataFrame:
+def extract_features(
+    assets: DataFrame, *, fake: bool = False, dim: int = 8, normalize: bool = True
+) -> DataFrame:
     """Run the (stubbed) decoder over the asset table via mapInPandas."""
     cols = assets.select("asset_id", "media_type", "payload")
-    return cols.mapInPandas(decode_stub(fake=fake, dim=dim), schema=FEATURE_SCHEMA)
+    return cols.mapInPandas(
+        decode_stub(fake=fake, dim=dim, normalize=normalize), schema=FEATURE_SCHEMA
+    )

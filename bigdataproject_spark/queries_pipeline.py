@@ -11,10 +11,11 @@ from pyspark.sql import functions as F
 from bigdataproject_spark.contract import Query as _q
 from bigdataproject_spark.functions.tokenize import tokenize_expr
 from bigdataproject_spark.operators.dedup import (
+    MINHASH_P,
     embedding_neardup_pairs,
     exact_dedup_groups,
-    hashed_word_shingles,
     jaccard_pairs,
+    minhash_coefficients,
     minhash_lsh_dedup_pairs,
     simhash_neardup_pairs,
     word_shingles,
@@ -112,12 +113,19 @@ ORDER BY id_a, id_b
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard —
-    the scale path for near-dup (hash signatures are engine-specific →
-    rows-only driver check). Shingles are 64-bit hashes end-to-end
-    (hashed_word_shingles): no shingle strings are materialized."""
+    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard.
+
+    Uses the PORTABLE md5/Mersenne-prime hash family so the whole LSH
+    pipeline — signatures, band keys, candidate join, verify — is
+    replicated verbatim by the DuckDB oracle (hash-checked, not
+    rows-only). The xxhash64/murmur3 family + hashed shingles remain the
+    default fast path of ``minhash_lsh_dedup_pairs`` for production
+    corpora (unit-tested in tests/test_dedup_simsearch.py); physical
+    shape — explode→min-aggregate signatures behind a reused exchange,
+    banded equi-join, exact verify on candidates only — is identical in
+    both families."""
     docs = _docs_tokens(spark, sf_dir).withColumn(
-        "shingles", hashed_word_shingles("tokens", JACCARD_N)
+        "shingles", word_shingles("tokens", JACCARD_N)
     )
     return minhash_lsh_dedup_pairs(
         docs,
@@ -126,17 +134,141 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
         num_hashes=32,
         bands=8,
+        hash_family="md5",
     ).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle() -> str:
+    """Exact DuckDB mirror of q_dedup_minhash: same md5-derived base
+    hash, same (A_i·base + B_i) mod P family (coefficients imported from
+    the one shared generator), same '|'-joined band keys, same exact
+    Jaccard verify."""
+    coeffs = minhash_coefficients(32)
+    sig_cols = ",\n         ".join(
+        f"min(({a} * bm + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat_ws('|', h{b * 4}, h{b * 4 + 1}, h{b * 4 + 2}, h{b * 4 + 3}) AS bk "
+        "FROM sig"
+        for b in range(8)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {JACCARD_N - 1}, 0)),
+           i -> array_to_string(t[i:i+{JACCARD_N - 1}], ' '))) AS shingles
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), posting AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), based AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) % {MINHASH_P} AS bm
+  FROM posting
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM based GROUP BY doc_id
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a AS id_a, c.id_b AS id_b,
+       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE n_shared / (sa.sz + sb.sz - n_shared) >= {JACCARD_THRESHOLD}
+ORDER BY c.id_a, c.id_b
+"""
+
+
+ORACLE_DEDUP_MINHASH = _minhash_oracle()
 
 
 def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming <= 3 via pigeonhole banding (any
     qualifying pair agrees exactly on one of 4 bit-bands — equi-join
-    candidates at recall 1.0, bit_count verify). Rows-only."""
+    candidates at recall 1.0, bit_count verify).
+
+    Uses the PORTABLE 60-bit md5-nibble fingerprint so the DuckDB oracle
+    reproduces fingerprints, bands, and hamming distances bit-for-bit
+    (hash-checked). The 64-bit xxhash64 family stays the default fast
+    path of ``simhash_neardup_pairs`` (unit-tested); the physical shape
+    — explode→flat sum votes, banded equi-join — is identical."""
     docs = _docs_tokens(spark, sf_dir)
     return simhash_neardup_pairs(
-        docs, id_col="doc_id", tokens="tokens", max_hamming=3, bands=4
+        docs, id_col="doc_id", tokens="tokens", max_hamming=3, bands=4,
+        hash_fn="md5",
     ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    """Exact DuckDB mirror of q_dedup_simhash_neardup: per-token md5 →
+    15 nibbles → 60 sign votes → fingerprint; 4×15-bit pigeonhole bands;
+    bit_count(xor) verify. Zero-token docs keep fingerprint 0, exactly
+    as the Spark explode_outer path does."""
+    digit_cols = ",\n         ".join(
+        f"CAST(concat('0x', substr(m, {j + 1}, 1)) AS INTEGER) AS d{j}"
+        for j in range(15)
+    )
+    vote_cols = ",\n         ".join(
+        f"CAST(sum(((d{b // 4} >> {b % 4}) & 1) * 2 - 1) AS BIGINT) AS v{b}"
+        for b in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), nib AS (
+  SELECT doc_id, substr(md5(tok), 1, 15) AS m FROM tok
+), digits AS (
+  SELECT doc_id,
+         {digit_cols}
+  FROM nib
+), votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM digits GROUP BY doc_id
+), fp AS (
+  SELECT t.doc_id, CAST(coalesce(v.fpv, 0) AS BIGINT) AS fp
+  FROM toks t
+  LEFT JOIN (SELECT doc_id, {fp_terms} AS fpv FROM votes) v USING (doc_id)
+), bands AS (
+  SELECT doc_id, fp, b AS band_id, (fp >> (b * 15)) & 32767 AS band_bits
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 
 
 
@@ -514,24 +646,53 @@ FROM documents ORDER BY asset_id
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode → feature extraction via mapInPandas (deterministic
-    fake byte-histogram features; Arrow-batched). Rows-only check."""
+    fake byte-histogram features; Arrow-batched).
+
+    Emits the UN-normalized bucket-0 count (bytes ≡ 0 mod 8) as a bigint:
+    integer counts survive the float32 feature column exactly (< 2^24),
+    so the whole mapInPandas path is hash-checked against a DuckDB oracle
+    that recounts the same bytes from ``hex(encode(text))`` — byte % 8
+    depends only on the low nibble, so one hex digit per byte decides the
+    bucket."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "payload", F.encode("text", "UTF-8")
     )
     assets = to_media_assets(docs, id_col="doc_id", payload_col="payload", media_type="text")
-    feats = extract_features(assets, fake=True, dim=8)
+    feats = extract_features(assets, fake=True, dim=8, normalize=False)
     return feats.select(
         "asset_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        F.element_at("feature", 1).cast("long").alias("c0"),
     )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+  FROM documents
+), pos AS (
+  SELECT doc_id, hx, unnest(generate_series(1, CAST(nb AS INTEGER))) AS i FROM h
+), lo AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(hx, 2 * i, 1)) AS INTEGER) AS lo
+  FROM pos
+), c AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN lo % 8 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM lo GROUP BY doc_id
+)
+SELECT h.doc_id AS asset_id, h.nb AS n_bytes, coalesce(c.c0, 0) AS c0
+FROM h LEFT JOIN c USING (doc_id)
+ORDER BY asset_id
+"""
 
 
 PIPELINE_QUERIES = {
     "dedup_exact": _q(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": _q(q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
-    "dedup_minhash_lsh": _q(q_dedup_minhash, None),
-    "dedup_simhash_neardup": _q(q_dedup_simhash_neardup, None),
+    "dedup_minhash_lsh": _q(q_dedup_minhash, ORACLE_DEDUP_MINHASH),
+    "dedup_simhash_neardup": _q(q_dedup_simhash_neardup, ORACLE_DEDUP_SIMHASH),
     "deterministic_sample": _q(q_deterministic_sample, ORACLE_DET_SAMPLE),
     "embedding_neardup": _q(q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "ann_brute_topk": _q(q_ann_brute, ORACLE_ANN_BRUTE),
@@ -543,5 +704,5 @@ PIPELINE_QUERIES = {
     "doc_fingerprint": _q(q_fingerprint, ORACLE_FINGERPRINT),
     "doc_fingerprint_prefix": _q(q_fingerprint_prefix, ORACLE_FINGERPRINT_PREFIX),
     "multimodal_meta": _q(q_multimodal_meta, ORACLE_MULTIMODAL_META),
-    "multimodal_features": _q(q_multimodal_features, None),
+    "multimodal_features": _q(q_multimodal_features, ORACLE_MULTIMODAL_FEATURES),
 }
