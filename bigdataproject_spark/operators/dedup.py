@@ -210,15 +210,26 @@ def minhash_coefficients(num_hashes: int, seed: int = 20260813) -> list[tuple[in
     ]
 
 
-def portable_base_hash(col: Column | str) -> Column:
-    """String → bigint in [0, P): first 12 hex chars of md5 (48 bits),
-    parsed base-16, reduced mod P. ``md5``/``substr``/hex-parse exist in
-    both Spark (``conv``) and DuckDB (``CAST(concat('0x',…))``), so the
-    value — and everything built on it — is engine-independent."""
+def portable_hash48(col: Column | str) -> Column:
+    """String → bigint in [0, 2^48): first 12 hex chars of md5, parsed
+    base-16. ``md5``/``substr``/hex-parse exist in both Spark (``conv``)
+    and DuckDB (``CAST(concat('0x',…) AS BIGINT)``), so the value — and
+    everything built on it, including 2^-48-probability collisions — is
+    engine-independent."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
-        % F.lit(MINHASH_P)
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
+
+
+def portable_hashed_shingles(tokens: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as PORTABLE 48-bit hashes
+    (array<bigint>) — :func:`hashed_word_shingles` with
+    :func:`portable_hash48` instead of xxhash64. One md5 per distinct
+    shingle, evaluated inside the projection; no shingle strings survive
+    the stage. Because the DuckDB oracle computes the identical hash,
+    even collisions are mirrored bit-for-bit, so set semantics
+    (Jaccard, minhash signatures) stay exactly comparable cross-engine."""
+    return F.array_distinct(
+        F.transform(word_shingles(tokens, n), portable_hash48)
     )
 
 
@@ -259,11 +270,12 @@ def lsh_band_rows(
     ``hash_family='murmur3'`` (default): xxhash64 base + ``F.hash(base,
     seed_i)`` members, band hash murmur3 over the raw ints — the fast
     JVM-only scale path (engine-specific → not SQL-oracle'd).
-    ``hash_family='md5'``: md5-derived base reduced into a Mersenne-prime
-    field, members ``(A_i·base + B_i) mod P``, band key the '|'-joined
-    member values — every step exists verbatim in DuckDB, so the whole
-    LSH pipeline is cross-engine hash-checkable (~2× slower; used by the
-    oracled registry query, same pattern as
+    ``hash_family='md5'``: expects shingles ALREADY hashed by
+    :func:`portable_hashed_shingles` (portable 48-bit values); members
+    ``(A_i·(sh mod P) + B_i) mod P`` over a Mersenne-prime field, band
+    key the '|'-joined member values — every step exists verbatim in
+    DuckDB, so the whole LSH pipeline is cross-engine hash-checkable
+    (used by the oracled registry query, same pattern as
     ``textstats.winnowing_fingerprints``)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -289,7 +301,9 @@ def lsh_band_rows(
             )
     elif hash_family == "md5":
         coeffs = minhash_coefficients(num_hashes)
-        based = posting.select("id", portable_base_hash("sh").alias("base"))
+        based = posting.select(
+            "id", (F.col("sh") % F.lit(MINHASH_P)).alias("base")
+        )
         sig = based.groupBy("id").agg(
             *[
                 F.min((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_P)).alias(
@@ -459,11 +473,12 @@ def simhash_table(
 
     ``hash_fn='xxhash64'`` (default): 64 bits from the JVM xxhash64 —
     the fast scale path (engine-specific → not SQL-oracle'd).
-    ``hash_fn='md5'``: 60 bits from the first 15 md5 nibbles (bit b =
-    nibble b//4, bit b%4) — md5/substr/hex-digit-parse exist verbatim in
-    DuckDB, so the fingerprint (and the banded near-dup join on it) is
-    cross-engine hash-checkable. 60 bits keeps the fingerprint strictly
-    below 2^60: no sign-bit wraparound on either engine.
+    ``hash_fn='md5'``: 60 bits parsed from the first 15 md5 hex chars as
+    ONE integer (bit b = bit b of that integer) — md5/substr/hex-parse
+    exist verbatim in DuckDB, so the fingerprint (and the banded
+    near-dup join on it) is cross-engine hash-checkable. 60 bits keeps
+    the fingerprint strictly below 2^60: no sign-bit wraparound on
+    either engine.
     """
     if hash_fn == "xxhash64":
         n_bits = 64
@@ -484,27 +499,24 @@ def simhash_table(
 
     elif hash_fn == "md5":
         n_bits = 60
-        exploded = df.select(
+        # One md5 + one hex-parse per token; the 60 vote aggregates then
+        # read bits of a single bigint column. md5(NULL) is NULL (unlike
+        # xxhash64's return-the-seed), so the null guard needs no extra
+        # marker column.
+        hashed = df.select(
             F.col(id_col).alias("id"),
             F.explode_outer(
                 F.col(tokens) if isinstance(tokens, str) else tokens
             ).alias("tok"),
-        )
-        # Project the 15 nibbles ONCE per token (md5 evaluated once);
-        # the 60 vote aggregates then read cheap int columns.
-        hashed = exploded.select(
+        ).select(
             "id",
-            F.col("tok").isNotNull().alias("has_tok"),
-            *[
-                F.conv(F.substring(F.md5("tok"), j + 1, 1), 16, 10)
-                .cast("int")
-                .alias(f"d{j}")
-                for j in range(15)
-            ],
-        ).withColumn("h", F.when(F.col("has_tok"), F.lit(1)))
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
 
         def _bit(b: int) -> Column:
-            return F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+            return F.shiftright("h", b).bitwiseAND(F.lit(1)).cast("int")
 
     else:  # pragma: no cover - guarded upstream
         raise ValueError(f"unsupported hash_fn {hash_fn!r}")

@@ -17,6 +17,7 @@ from bigdataproject_spark.operators.dedup import (
     jaccard_pairs,
     minhash_coefficients,
     minhash_lsh_dedup_pairs,
+    portable_hashed_shingles,
     simhash_neardup_pairs,
     word_shingles,
 )
@@ -115,17 +116,20 @@ ORDER BY id_a, id_b
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard.
 
-    Uses the PORTABLE md5/Mersenne-prime hash family so the whole LSH
-    pipeline — signatures, band keys, candidate join, verify — is
-    replicated verbatim by the DuckDB oracle (hash-checked, not
-    rows-only). The xxhash64/murmur3 family + hashed shingles remain the
-    default fast path of ``minhash_lsh_dedup_pairs`` for production
-    corpora (unit-tested in tests/test_dedup_simsearch.py); physical
-    shape — explode→min-aggregate signatures behind a reused exchange,
-    banded equi-join, exact verify on candidates only — is identical in
-    both families."""
+    Uses the PORTABLE md5/Mersenne-prime hash family over portable
+    48-bit hashed shingles so the whole LSH pipeline — shingle hashes,
+    signatures, band keys, candidate join, verify — is replicated
+    verbatim by the DuckDB oracle (hash-checked, not rows-only; even
+    hash collisions mirror bit-for-bit because both engines compute the
+    same md5). One md5 per distinct shingle; no shingle strings leave
+    the projection. The xxhash64/murmur3 family remains the default
+    fast path of ``minhash_lsh_dedup_pairs`` for production corpora
+    (unit-tested in tests/test_dedup_simsearch.py); physical shape —
+    explode→min-aggregate signatures behind a reused exchange, banded
+    equi-join, exact verify on candidates only — is identical in both
+    families."""
     docs = _docs_tokens(spark, sf_dir).withColumn(
-        "shingles", word_shingles("tokens", JACCARD_N)
+        "shingles", portable_hashed_shingles("tokens", JACCARD_N)
     )
     return minhash_lsh_dedup_pairs(
         docs,
@@ -139,10 +143,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    """Exact DuckDB mirror of q_dedup_minhash: same md5-derived base
-    hash, same (A_i·base + B_i) mod P family (coefficients imported from
-    the one shared generator), same '|'-joined band keys, same exact
-    Jaccard verify."""
+    """Exact DuckDB mirror of q_dedup_minhash: same portable 48-bit
+    shingle hashes (so the posting lists — and any collisions — are
+    identical), same (A_i·(sh mod P) + B_i) mod P family (coefficients
+    imported from the one shared generator), same '|'-joined band keys,
+    same exact Jaccard verify over the hashed shingle sets."""
     coeffs = minhash_coefficients(32)
     sig_cols = ",\n         ".join(
         f"min(({a} * bm + {b}) % {MINHASH_P}) AS h{i}"
@@ -160,16 +165,17 @@ WITH toks AS (
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           generate_series(1, greatest(len(t) - {JACCARD_N - 1}, 0)),
-           i -> array_to_string(t[i:i+{JACCARD_N - 1}], ' '))) AS shingles
+           list_transform(
+             generate_series(1, greatest(len(t) - {JACCARD_N - 1}, 0)),
+             i -> array_to_string(t[i:i+{JACCARD_N - 1}], ' ')),
+           s -> CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT))) AS shingles
   FROM toks
 ), sizes AS (
   SELECT doc_id, len(shingles) AS sz FROM sh
 ), posting AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
 ), based AS (
-  SELECT doc_id,
-         CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) % {MINHASH_P} AS bm
+  SELECT doc_id, s % {MINHASH_P} AS bm
   FROM posting
 ), sig AS (
   SELECT doc_id,
@@ -205,8 +211,9 @@ def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair agrees exactly on one of 4 bit-bands — equi-join
     candidates at recall 1.0, bit_count verify).
 
-    Uses the PORTABLE 60-bit md5-nibble fingerprint so the DuckDB oracle
-    reproduces fingerprints, bands, and hamming distances bit-for-bit
+    Uses the PORTABLE 60-bit md5 fingerprint (one hex parse per token)
+    so the DuckDB oracle reproduces fingerprints, bands, and hamming
+    distances bit-for-bit
     (hash-checked). The 64-bit xxhash64 family stays the default fast
     path of ``simhash_neardup_pairs`` (unit-tested); the physical shape
     — explode→flat sum votes, banded equi-join — is identical."""
@@ -219,15 +226,11 @@ def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle() -> str:
     """Exact DuckDB mirror of q_dedup_simhash_neardup: per-token md5 →
-    15 nibbles → 60 sign votes → fingerprint; 4×15-bit pigeonhole bands;
-    bit_count(xor) verify. Zero-token docs keep fingerprint 0, exactly
-    as the Spark explode_outer path does."""
-    digit_cols = ",\n         ".join(
-        f"CAST(concat('0x', substr(m, {j + 1}, 1)) AS INTEGER) AS d{j}"
-        for j in range(15)
-    )
+    one 60-bit hex parse → 60 sign votes → fingerprint; 4×15-bit
+    pigeonhole bands; bit_count(xor) verify. Zero-token docs keep
+    fingerprint 0, exactly as the Spark explode_outer path does."""
     vote_cols = ",\n         ".join(
-        f"CAST(sum(((d{b // 4} >> {b % 4}) & 1) * 2 - 1) AS BIGINT) AS v{b}"
+        f"CAST(sum(((h >> {b}) & 1) * 2 - 1) AS BIGINT) AS v{b}"
         for b in range(60)
     )
     fp_terms = " + ".join(
@@ -238,16 +241,14 @@ WITH toks AS (
   SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
 ), tok AS (
   SELECT doc_id, unnest(t) AS tok FROM toks
-), nib AS (
-  SELECT doc_id, substr(md5(tok), 1, 15) AS m FROM tok
-), digits AS (
+), hashed AS (
   SELECT doc_id,
-         {digit_cols}
-  FROM nib
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tok
 ), votes AS (
   SELECT doc_id,
          {vote_cols}
-  FROM digits GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ), fp AS (
   SELECT t.doc_id, CAST(coalesce(v.fpv, 0) AS BIGINT) AS fp
   FROM toks t

@@ -21,6 +21,8 @@ from bigdataproject_spark.operators.dedup import (
     lsh_band_rows,
     minhash_coefficients,
     minhash_lsh_dedup_pairs,
+    portable_hash48,
+    portable_hashed_shingles,
     simhash_neardup_pairs,
     simhash_table,
     word_shingles,
@@ -44,10 +46,9 @@ def docs_df(spark):
 def _py_simhash60(tokens: list[str]) -> int:
     votes = [0] * 60
     for tok in tokens:
-        m = hashlib.md5(tok.encode()).hexdigest()[:15]
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
         for b in range(60):
-            bit = (int(m[b // 4], 16) >> (b % 4)) & 1
-            votes[b] += 1 if bit else -1
+            votes[b] += 1 if (h >> b) & 1 else -1
     return sum((1 << b) for b in range(60) if votes[b] > 0)
 
 
@@ -76,13 +77,24 @@ def test_simhash_md5_neardup_finds_exact_dups(docs_df):
     assert all(h <= 3 for h in pairs.values())
 
 
-def _py_base(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % MINHASH_P
+def _py_h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_portable_shingle_hashes_match_python_reference(docs_df):
+    str_sh = {r["id"]: r["sh"] for r in docs_df.select(
+        "id", word_shingles("tokens", 3).alias("sh")).collect()}
+    hashed = {r["id"]: r["sh"] for r in docs_df.select(
+        "id", portable_hashed_shingles("tokens", 3).alias("sh")).collect()}
+    for doc_id, shingles in str_sh.items():
+        assert sorted(hashed[doc_id]) == sorted({_py_h48(s) for s in shingles})
 
 
 def test_minhash_md5_band_keys_match_python_reference(docs_df):
     coeffs = minhash_coefficients(8)
-    sh_docs = docs_df.select("id", word_shingles("tokens", 3).alias("sh"))
+    sh_docs = docs_df.select(
+        "id", portable_hashed_shingles("tokens", 3).alias("sh")
+    )
     sh_map = {r["id"]: r["sh"] for r in sh_docs.collect()}
     rows = lsh_band_rows(
         sh_docs, id_col="id", shingles_col="sh", num_hashes=8, bands=2,
@@ -91,7 +103,7 @@ def test_minhash_md5_band_keys_match_python_reference(docs_df):
     assert rows, "non-empty docs must emit band rows"
     for r in rows:
         sig = [
-            min((a * _py_base(s) + b) % MINHASH_P for s in sh_map[r["id"]])
+            min((a * (s % MINHASH_P) + b) % MINHASH_P for s in sh_map[r["id"]])
             for a, b in coeffs
         ]
         expect = "|".join(
@@ -103,7 +115,9 @@ def test_minhash_md5_band_keys_match_python_reference(docs_df):
 
 
 def test_minhash_md5_pipeline_verifies_jaccard(docs_df):
-    sh_docs = docs_df.select("id", word_shingles("tokens", 3).alias("sh"))
+    sh_docs = docs_df.select(
+        "id", portable_hashed_shingles("tokens", 3).alias("sh")
+    )
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in minhash_lsh_dedup_pairs(
