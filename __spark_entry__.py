@@ -29,6 +29,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; non-SQL-expressible ops omitted
-    (FP-Growth, LSH/sketch internals, pandas-UDF features → rows-only)."""
+    """DuckDB-equivalent SQL per query (47 of 50 — FP-Growth via exact
+    subset enumeration, minhash-LSH/simhash/winnowing via portable md5
+    hash families computed identically by both engines). Omitted only
+    where the approximation itself is engine-specific: HyperLogLog
+    (approx_distinct_users), MLlib KMeans centroids (ann_ivf_topk), and
+    the approx_percentile sketch (energy_approx_flag) — each bound-tested
+    against exact results in tests/ instead."""
     return {name: q.oracle for name, q in registry().items() if q.oracle is not None}
