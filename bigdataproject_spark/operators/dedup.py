@@ -192,8 +192,8 @@ def jaccard_pairs(
        copies, and every group of g copies would otherwise multiply the
        quadratic stage's candidate pairs by g². Only one representative
        per distinct set enters the pairwise join (measured at 10× scale:
-       43M candidate pairs → ~0.4M, 118s → ~8s). Jaccard depends only on
-       the set, so expansion is lossless: within a group every pair has
+       43M candidate pairs → ~0.4M). Jaccard depends only on the set, so
+       expansion is lossless: within a group every pair has
        J = 1.0 exactly; across groups every member pair inherits the
        representatives' J.
     2. The representative join is the prefix-filtered inverted index of
@@ -203,15 +203,26 @@ def jaccard_pairs(
     The expansion joins are output-proportional (each emitted row is a
     result row). Docs with empty shingle sets never pair (0/0 is not ≥ t),
     matching the direct computation.
+
+    The raw (id, shingles) projection is persisted BEFORE the filter and
+    set-key derivation: callers pass ``shingles_col`` as an expression
+    chain (tokenize → n-gram → hash) whose ``when()`` guards are excluded
+    from codegen subexpression elimination, so a single projection
+    computing filter(size) + sh + md5(sort(sh)) re-evaluates the whole
+    chain per reference (measured 6× = 60s vs 10s at 10× scale — the
+    same re-evaluation trap documented for winnowing and textstats).
     """
     from pyspark import StorageLevel
 
+    base_sh = df.select(
+        F.col(id_col).alias("id"), F.col(shingles_col).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keyed = (
-        df.filter(F.size(shingles_col) > 0)
+        base_sh.filter(F.size("sh") > 0)
         .select(
-            F.col(id_col).alias("id"),
-            F.col(shingles_col).alias("sh"),
-            F.md5(F.to_json(F.array_sort(F.col(shingles_col)))).alias("k"),
+            "id",
+            "sh",
+            F.md5(F.to_json(F.array_sort(F.col("sh")))).alias("k"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
