@@ -230,6 +230,12 @@ def jaccard_pairs(
     )
 
 
+# Direct-path gate for collapse_identical_pairs: if at least this fraction
+# of objects are distinct, collapsing would cost more (extra shuffles) than
+# it saves. Module-level so tests can force either branch.
+COLLAPSE_DISTINCT_RATIO = 0.95
+
+
 def collapse_identical_pairs(
     base: DataFrame,
     *,
@@ -280,7 +286,7 @@ def collapse_identical_pairs(
     stats = keyed.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("d")
     ).first()
-    if stats["d"] >= 0.95 * stats["n"]:
+    if stats["d"] >= COLLAPSE_DISTINCT_RATIO * stats["n"]:
         return pair_fn(keyed.select("id", "obj"))
     members = keyed.select("id", "k")
     reps = members.groupBy("k").agg(F.min("id").alias("id"))

@@ -244,3 +244,57 @@ def test_embedding_neardup_paths_agree(spark, sf_dir):
     plan = via_shuffle._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_sub" in plan  # composite sub-block key reached the join
+
+
+def test_collapse_branches_agree(spark, monkeypatch):
+    """The collapse/expand path and the direct path of
+    collapse_identical_pairs must return identical pair sets for every
+    near-dup operator — expansion is supposed to be lossless, and the
+    adaptive gate must only ever change the physical shape."""
+    import bigdataproject_spark.operators.dedup as dd
+    from bigdataproject_spark.operators.dedup import simhash_neardup_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox leaps over the lazy dog today",
+        "a completely different document about spark and parquet files",
+        "tiny doc",
+        "",
+    ]
+    # duplicate-heavy: 5 copies of each text, distinct-ratio 0.2
+    df = spark.createDataFrame(
+        [Row(id=i * 10 + c, text=t) for i, t in enumerate(texts) for c in range(5)]
+    ).withColumn("sh", word_shingles(_toks("text"), 3))
+
+    def run_all():
+        jac = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_pairs(
+                df, id_col="id", shingles_col="sh", threshold=0.3
+            ).collect()
+        }
+        mh = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_dedup_pairs(
+                df, id_col="id", shingles_col="sh", threshold=0.3
+            ).collect()
+        }
+        sim = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_neardup_pairs(
+                df, id_col="id", tokens=_toks("text"), max_hamming=3
+            ).collect()
+        }
+        return jac, mh, sim
+
+    monkeypatch.setattr(dd, "COLLAPSE_DISTINCT_RATIO", -1.0)  # force collapse
+    collapsed = run_all()
+    monkeypatch.setattr(dd, "COLLAPSE_DISTINCT_RATIO", 2.0)  # force direct
+    direct = run_all()
+    assert collapsed == direct
+    jac, _, sim = collapsed
+    # non-vacuous: every 5-copy group with shingles/tokens must produce
+    # all C(5,2)=10 intra pairs (3 texts have >=3 tokens; "tiny doc" and
+    # "" have no shingles but do fingerprint)
+    assert sum(1 for a, b, j in jac if a // 10 == b // 10 and j == 1.0) == 3 * 10
+    assert sum(1 for a, b, h in sim if a // 10 == b // 10 and h == 0) >= 4 * 10
