@@ -79,22 +79,62 @@ def read_danmaku_csv(
     return df
 
 
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    """Sniff a parquet footer once per path: is the ``ts`` column stored as
+    TIMESTAMP(NANOS) (older testdata generations) or TIMESTAMP(MICROS)?
+
+    ``path`` may be an events.parquet file or a directory of part files.
+    Footer-only read (no data pages) — cheap even on a 100 TB table, and
+    keeps the loader correct across driver testdata regenerations.
+    """
+    if path not in _EVENTS_TS_IS_NANOS:
+        try:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            f = path
+            if os.path.isdir(path):
+                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+                f = parts[0] if parts else path
+            import pyarrow as pa
+
+            t = pq.read_schema(f).field("ts").type
+            # TIMESTAMP(NANOS) or a raw int64 epoch-ns column — both are
+            # the legacy layout the div-1000 path handles.
+            _EVENTS_TS_IS_NANOS[path] = (
+                getattr(t, "unit", None) == "ns" or t == pa.int64()
+            )
+        except Exception:
+            _EVENTS_TS_IS_NANOS[path] = False
+    return _EVENTS_TS_IS_NANOS[path]
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    return events_ts_is_nanos(f"{sf_dir}/events.parquet")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table from ``{sf_dir}/{name}.parquet``.
 
     Parquet scans get column pruning + predicate pushdown for free; the
     explicit schema keeps types stable across scale factors.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads it as long
-    (``nanosAsLong``) and we truncate ns→µs into a proper TimestampType —
-    the same truncation DuckDB applies on read, so oracles agree.
+    ``events.ts`` may be parquet TIMESTAMP(NANOS) (older driver testdata:
+    Spark reads it as long via ``nanosAsLong`` and we truncate ns→µs — the
+    same truncation DuckDB applies on read) or TIMESTAMP(MICROS) (current
+    testdata: read natively as TimestampType). The footer sniff picks.
     """
     # Oracle comparisons assume UTC timestamp rendering; pin it even when
     # the caller's session (e.g. the driver harness's own SparkSession)
     # didn't come from our factory. Runtime-settable SQL conf — no-op on
     # already-UTC sessions.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(sf_dir):
         raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

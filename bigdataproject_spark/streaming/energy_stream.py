@@ -21,21 +21,28 @@ from bigdataproject_spark.operators.energy import (
     SENTIMENT_WEIGHT,
     WINDOW_SIZE_S,
 )
-from bigdataproject_spark.schemas import EVENTS_RAW
+from bigdataproject_spark.schemas import EVENTS, EVENTS_RAW
+from bigdataproject_spark.sources.readers import events_ts_is_nanos
 
 
 def read_event_stream(
     spark, path: str, *, max_files_per_trigger: int = 10
 ) -> DataFrame:
     """File-based event stream over the same parquet layout as the batch
-    table (each micro-batch picks up new files). ns→µs conversion as in
-    the batch loader (readers.load_table)."""
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
+    table (each micro-batch picks up new files). Footer-sniffed ns→µs
+    conversion as in the batch loader (readers.load_table)."""
+    if events_ts_is_nanos(path):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_energy(

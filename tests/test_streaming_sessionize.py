@@ -49,14 +49,9 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
 
     # stream over the staged drop-folder
-    from bigdataproject_spark.schemas import EVENTS_RAW
+    from bigdataproject_spark.streaming.energy_stream import read_event_stream
 
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(stream_dir))
-    )
-    raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = read_event_stream(spark, str(stream_dir), max_files_per_trigger=1)
     out = streaming_sessionize(raw, gap_s=GAP_S, watermark="0 seconds")
     q = (
         out.writeStream.format("memory")
