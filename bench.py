@@ -6,7 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect). A warmup query amortizes JVM/codegen startup so the
-numbers reflect steady-state plan execution.
+numbers reflect steady-state plan execution. Per-query time is the
+MEDIAN of 3 timed passes: single-pass wall times on a shared local[32]
+box vary ±15% run-to-run (GC, page cache, co-tenants), which would
+drown real per-round deltas; the median keeps the number honest (no
+best-case cherry-pick) while suppressing one-off stalls.
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -55,9 +60,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(reg[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        passes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(reg[name].fn(spark, sf_dir))
+            passes.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(passes), 3)
 
     total = round(sum(timings.values()), 3)
     print(
