@@ -94,6 +94,68 @@ def quality_features(text: Column | str, tokens: Column | str) -> dict[str, Colu
     }
 
 
+def repetition_features(tokens: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signals over the token array (Rae et al.
+    2021 §A1.1 repetition filters, re-expressed for word-soup docs) —
+    both pure map-stage expressions, zero shuffles:
+
+      * ``dup_token_ratio``: 1 − distinct/total tokens — how much of the
+        doc is repeated vocabulary;
+      * ``top_bigram_ratio``: occurrences of the modal word 2-gram over
+        all 2-gram positions — the "most common n-gram fraction" filter.
+
+    The modal-bigram count needs a per-doc mode; instead of an
+    explode→groupBy (a shuffle per doc-token), the 2-grams are
+    ``array_sort``-ed and a single ``aggregate`` fold computes the
+    longest equal-run — O(n log n) per row inside the scan stage, so the
+    operator stays a pure map at 100 TB. Higher-order functions are
+    evaluated interpreted (outside codegen), so constant factors are
+    engineered down: bigrams are built with ONE ``zip_with`` over two
+    array slices (not a per-index ``slice`` copy each) and hashed to
+    longs with ``xxhash64`` so the sort and the fold compare 8-byte ints
+    instead of strings (measured 0.65 s → 0.40 s per 5k docs; the
+    branch-free long-encoded accumulator variant measured SLOWER, 0.6 s,
+    than this struct fold). Hashing merges equality classes only on an
+    in-doc xxhash64 collision (~n²/2⁶⁵ per doc) — the same accepted
+    trade as ``dedup.hashed_word_shingles``."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    n = F.size(t)
+    dup_ratio = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(t)) / n
+    ).otherwise(F.lit(0.0))
+
+    m = F.greatest(n - 1, F.lit(0))
+    sorted_bg = F.array_sort(
+        F.zip_with(
+            F.slice(t, 1, m), F.slice(t, 2, m), lambda x, y: F.xxhash64(x, y)
+        )
+    )
+
+    def _step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_run = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit(None).cast("long").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
+    )
+    top_bigram = F.when(n >= 2, max_run / (n - 1)).otherwise(F.lit(0.0))
+    return {
+        "dup_token_ratio": F.round(dup_ratio, 4),
+        "top_bigram_ratio": F.round(top_bigram, 4),
+    }
+
+
 def quality_score_expr(feats: Mapping[str, Column]) -> Column:
     """Scalar [0,1] quality score: length in range, some stopwords, low
     punctuation — a deterministic linear blend of the features."""

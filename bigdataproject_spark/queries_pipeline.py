@@ -21,6 +21,7 @@ from bigdataproject_spark.operators.dedup import (
     simhash_neardup_pairs,
     word_shingles,
 )
+from bigdataproject_spark.operators.decontam import ngram_contamination
 from bigdataproject_spark.operators.multimodal import extract_features, to_media_assets
 from bigdataproject_spark.operators.simsearch import brute_force_topk, ivf_topk, lsh_bucket_topk
 from bigdataproject_spark.operators.textstats import (
@@ -30,6 +31,7 @@ from bigdataproject_spark.operators.textstats import (
     lang_id_expr,
     quality_features,
     quality_score_expr,
+    repetition_features,
     token_counts,
     winnowing_fingerprints,
 )
@@ -456,6 +458,7 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens", tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False)
     )
     feats = quality_features("text", "tokens")
+    reps = repetition_features("tokens")
     with_feats = docs.select(
         "doc_id",
         feats["n_chars"].alias("n_chars"),
@@ -463,11 +466,17 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["mean_token_len"].alias("mean_token_len"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["punct_ratio"].alias("punct_ratio"),
+        reps["dup_token_ratio"].alias("dup_token_ratio"),
+        reps["top_bigram_ratio"].alias("top_bigram_ratio"),
     )
     named = {k: F.col(k) for k in
              ("n_chars", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio")}
     return with_feats.select(
-        "doc_id", *named, quality_score_expr(named).alias("quality")
+        "doc_id",
+        *named,
+        "dup_token_ratio",
+        "top_bigram_ratio",
+        quality_score_expr(named).alias("quality"),
     )
 
 
@@ -489,16 +498,41 @@ WITH t AS (
            ELSE 0.0 END, 4) AS stopword_ratio,
          round(CASE WHEN length(text) > 0 THEN
            (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
-           / length(text) ELSE 0.0 END, 4) AS punct_ratio
+           / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+         round(CASE WHEN len(toks) > 0 THEN
+           1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+           ELSE 0.0 END, 4) AS dup_token_ratio
   FROM t
+), bg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+1], ' '))
+         ELSE CAST([] AS VARCHAR[]) END AS bgs,
+         len(toks) AS n_tokens
+  FROM t
+), bgc AS (
+  SELECT doc_id, max(c) AS maxc
+  FROM (
+    SELECT doc_id, bgram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS bgram FROM bg)
+    GROUP BY doc_id, bgram
+  ) GROUP BY doc_id
+), rep AS (
+  SELECT bg.doc_id,
+         round(CASE WHEN bg.n_tokens >= 2 THEN
+           coalesce(bgc.maxc, 0) * 1.0 / (bg.n_tokens - 1)
+           ELSE 0.0 END, 4) AS top_bigram_ratio
+  FROM bg LEFT JOIN bgc USING (doc_id)
 )
-SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+SELECT f.doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        mean_token_len, stopword_ratio, punct_ratio,
+       dup_token_ratio, rep.top_bigram_ratio AS top_bigram_ratio,
        CAST(round(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
            + 0.3 * (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
            + 0.3 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS DOUBLE) AS quality
-FROM f ORDER BY doc_id
+FROM f JOIN rep USING (doc_id) ORDER BY f.doc_id
 """
 
 
@@ -615,18 +649,70 @@ FROM fp ORDER BY doc_id
 """
 
 
-def q_fingerprint_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-oracled part of fingerprinting: the md5 prefix fingerprint."""
+# --- train/eval contamination ------------------------------------------------
+
+CONTAM_N = 5  # word-gram length (13 in GPT-3's filter; 5 suits short docs)
+CONTAM_EVAL_CUT = "0d"  # md5(doc_id) hex prefix < '0d' ≈ 5% eval split
+CONTAM_FLAG = 0.5
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: flag training docs sharing 5-word-gram
+    content with a deterministic ~5% eval split (md5 key-range split, the
+    same engine-independent sampling as ``deterministic_sample``).
+
+    Eval gram set is broadcast; grams are portable 48-bit md5 hashes —
+    see operators/decontam.py for the 100 TB shape."""
     docs = _docs_tokens(spark, sf_dir)
-    return docs.select(
-        "doc_id", fingerprint_expr("tokens", 64).alias("fp_prefix64")
+    base = docs.select(
+        "doc_id",
+        portable_hashed_shingles("tokens", CONTAM_N).alias("grams"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("kh"),
     )
+    ev = base.filter(F.col("kh") < CONTAM_EVAL_CUT)
+    train = base.filter(F.col("kh") >= CONTAM_EVAL_CUT)
+    return ngram_contamination(
+        train, ev, id_col="doc_id", grams_col="grams", flag_threshold=CONTAM_FLAG
+    ).orderBy("doc_id")
 
 
-ORACLE_FINGERPRINT_PREFIX = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
-SELECT doc_id, md5(array_to_string(toks[1:64], ' ')) AS fp_prefix64
-FROM t ORDER BY doc_id
+ORACLE_CONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS kh
+  FROM documents
+), g AS (
+  SELECT doc_id, kh,
+         CASE WHEN len(toks) >= {CONTAM_N} THEN
+           list_distinct(list_transform(
+             generate_series(1, len(toks) - {CONTAM_N - 1}),
+             i -> CAST(concat('0x',
+                    substr(md5(array_to_string(toks[i:i+{CONTAM_N - 1}], ' ')), 1, 12))
+                  AS BIGINT)))
+         ELSE CAST([] AS BIGINT[]) END AS grams
+  FROM t
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gr FROM g WHERE kh < '{CONTAM_EVAL_CUT}'
+), tr AS (
+  SELECT doc_id, len(grams) AS n_grams, grams FROM g WHERE kh >= '{CONTAM_EVAL_CUT}'
+), post AS (
+  SELECT doc_id, unnest(grams) AS gr FROM tr
+), hits AS (
+  SELECT p.doc_id, CAST(count(ev.gr) AS BIGINT) AS n_hit
+  FROM post p LEFT JOIN ev ON p.gr = ev.gr
+  GROUP BY p.doc_id
+)
+SELECT tr.doc_id,
+       CAST(tr.n_grams AS BIGINT) AS n_grams,
+       coalesce(h.n_hit, 0) AS n_hit,
+       round(CASE WHEN tr.n_grams > 0
+             THEN coalesce(h.n_hit, 0) * 1.0 / tr.n_grams ELSE 0.0 END, 6)
+         AS contamination,
+       CAST(CASE WHEN tr.n_grams > 0
+             AND coalesce(h.n_hit, 0) * 1.0 / tr.n_grams >= {CONTAM_FLAG}
+            THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM tr LEFT JOIN hits h USING (doc_id)
+ORDER BY tr.doc_id
 """
 
 
@@ -711,7 +797,7 @@ PIPELINE_QUERIES = {
     "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
     "token_count": _q(q_token_count, ORACLE_TOKEN_COUNT),
     "doc_fingerprint": _q(q_fingerprint, ORACLE_FINGERPRINT),
-    "doc_fingerprint_prefix": _q(q_fingerprint_prefix, ORACLE_FINGERPRINT_PREFIX),
+    "contamination_check": _q(q_contamination, ORACLE_CONTAMINATION),
     "multimodal_meta": _q(q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "multimodal_features": _q(q_multimodal_features, ORACLE_MULTIMODAL_FEATURES),
 }
