@@ -605,20 +605,21 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix fingerprint (md5 of first 64 normalized tokens) + winnowing
     fingerprint set (k-gram min-hash windows).
 
-    Hash-checked: uses the md5 winnowing variant — hex-string k-gram
-    digests with lexicographic window minima reproduce identically in
-    DuckDB (ASCII hex collates the same everywhere), unlike the default
-    xxhash64 scale path. The fingerprint set is emitted sorted and
-    '|'-joined (driver canonicalizer can't sort list cells); project-level
-    subexpression elimination shares the one winnowing evaluation between
-    the count and the joined set."""
+    Hash-checked: uses the portable-48-bit md5 winnowing variant — the
+    k-gram digests and their numeric window minima reproduce identically
+    in DuckDB, unlike the default xxhash64 scale path. The fingerprint
+    set is emitted sorted and '|'-joined (driver canonicalizer can't
+    sort list cells); project-level subexpression elimination shares the
+    one winnowing evaluation between the count and the joined set."""
     docs = _docs_tokens(spark, sf_dir)
     fps = winnowing_fingerprints("tokens", k=5, window=4, hash_fn="md5")
     return docs.select(
         "doc_id",
         fingerprint_expr("tokens", 64).alias("fp_prefix64"),
         F.size(fps).cast("long").alias("n_winnow"),
-        F.array_join(F.array_sort(fps), "|").alias("winnow_set"),
+        F.array_join(
+            F.transform(F.array_sort(fps), lambda x: x.cast("string")), "|"
+        ).alias("winnow_set"),
     )
 
 
@@ -628,13 +629,15 @@ kg AS (
   SELECT doc_id, toks,
          CASE WHEN len(toks) >= 5 THEN
            list_transform(generate_series(1, len(toks) - 4),
-                          i -> md5(array_to_string(toks[i:i+4], ' ')))
-         ELSE CAST([] AS VARCHAR[]) END AS kg
+                          i -> CAST(concat('0x',
+                                 substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 12))
+                               AS BIGINT))
+         ELSE CAST([] AS BIGINT[]) END AS kg
   FROM t
 ),
 fp AS (
   SELECT doc_id, toks,
-    CASE WHEN len(kg) = 0 THEN CAST([] AS VARCHAR[])
+    CASE WHEN len(kg) = 0 THEN CAST([] AS BIGINT[])
          WHEN len(kg) < 4 THEN [list_aggregate(kg, 'min')]
          ELSE list_distinct(list_transform(generate_series(1, len(kg) - 3),
                 j -> list_aggregate(kg[j:j+3], 'min')))

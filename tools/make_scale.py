@@ -2,7 +2,6 @@
 import os
 from pyspark.sql import functions as F
 from bigdataproject_spark.session import get_spark
-from bigdataproject_spark.schemas import EVENTS_RAW
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1"
@@ -10,6 +9,9 @@ K = 10
 OFF = 100_000_000
 
 spark = get_spark("make_sf1")
+# keep ts columns parquet TIMESTAMP(MICROS) (not INT96) so the loader's
+# footer sniff sees the same physical type as the driver testdata
+spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 os.makedirs(DST, exist_ok=True)
 
 def save(df, name):
@@ -27,10 +29,10 @@ li = spark.read.parquet(f"{SRC}/lineitem.parquet")
 save(li.crossJoin(spark.range(K).select(F.col("id").alias("_i")))
       .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_i") * OFF).drop("_i"), "lineitem")
 
-ev = spark.read.schema(EVENTS_RAW).parquet(f"{SRC}/events.parquet")  # ts stays raw ns long
+ev = spark.read.parquet(f"{SRC}/events.parquet")  # ts is timestamp[us]
 save(ev.crossJoin(spark.range(K).select(F.col("id").alias("_i")))
       .withColumn("event_id", F.col("event_id") + F.col("_i") * OFF)
-      .withColumn("ts", F.col("ts") + F.col("_i") * F.lit(86_400_000_000_000))  # +i days in ns
+      .withColumn("ts", F.col("ts") + F.col("_i") * F.expr("INTERVAL 1 DAY"))
       .drop("_i"), "events")
 
 docs = spark.read.parquet(f"{SRC}/documents.parquet")
