@@ -233,17 +233,28 @@ def test_embedding_neardup_paths_agree(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     kw = dict(id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.2)
-    via_broadcast = embedding_neardup_pairs(emb, **kw, broadcast_max_rows=10**9)
-    via_shuffle = embedding_neardup_pairs(
-        emb, **kw, broadcast_max_rows=0, num_subblocks=4
+    via_broadcast = embedding_neardup_pairs(
+        emb, **kw, impl="native", broadcast_max_rows=10**9
     )
+    via_shuffle = embedding_neardup_pairs(
+        emb, **kw, impl="native", broadcast_max_rows=0, num_subblocks=4
+    )
+    via_blas = embedding_neardup_pairs(emb, **kw, num_subblocks=4)
     a = sorted((r.id_a, r.id_b, r.cosine) for r in via_broadcast.collect())
     b = sorted((r.id_a, r.id_b, r.cosine) for r in via_shuffle.collect())
+    c = sorted((r.id_a, r.id_b, r.cosine) for r in via_blas.collect())
     assert a == b
     assert len(a) > 0  # non-vacuous at sf0.001+
+    # BLAS path: same pair set; cosines equal to 6dp (the emitted
+    # rounding) — summation order may differ in the last ulp.
+    assert [(p, q) for p, q, _ in a] == [(p, q) for p, q, _ in c]
+    for (_, _, x), (_, _, y) in zip(a, c):
+        assert abs(x - y) < 2e-6
     plan = via_shuffle._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_sub" in plan  # composite sub-block key reached the join
+    blas_plan = via_blas._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in blas_plan  # Arrow cogroup reached
 
 
 def test_collapse_branches_agree(spark, monkeypatch):
