@@ -10,13 +10,13 @@ Scale design:
     back when the degree table is small (entity graphs: ≤ thousands of
     nodes) or shuffle-joined otherwise;
   * each iteration is contribution = ranks ⋈ transitions → groupBy(dst)
-    sum — the standard two-shuffle PageRank step; ranks are
-    ``localCheckpoint``-ed every ``checkpoint_every`` iterations:
-    persisting alone caches the DATA but the logical plan still
-    compounds per iteration until plan rendering/analysis blows up
-    (observed: OOM in AQE's explainString at ~15 iterations) — periodic
-    lineage truncation is mandatory for iterative DataFrame algorithms,
-    and batching it amortizes the eager materialization job;
+    sum — the standard two-shuffle PageRank step; each iteration's ranks
+    are ``localCheckpoint``-ed: persisting alone caches the DATA but the
+    logical plan still compounds per iteration until plan
+    rendering/analysis blows up (observed: OOM in AQE's explainString at
+    ~15 iterations) — lineage truncation is mandatory for iterative
+    DataFrame algorithms (and measured faster every iteration than
+    batched: plan compilation beats job-scheduling cost on local[32]);
   * dangling mass (nodes with no out-edges) is redistributed uniformly
     each iteration so ranks sum to 1 — required for correctness on
     graphs with sinks.
@@ -37,7 +37,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 20,
     undirected: bool = True,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Return (node, rank) with Σ rank = 1.
 
@@ -111,10 +111,13 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
             # Materialization barrier: truncate lineage (plan rendering
             # blows up around depth ~15) and only now release the
-            # iteration caches — the checkpoint holds the data. Doing
-            # this every `checkpoint_every` iterations instead of every
-            # iteration cuts the per-iteration eager job count ~4x
-            # (measured 22.6 s → 8 s for 20 iterations on local[32]).
+            # iteration caches — the checkpoint holds the data.
+            # checkpoint_every=1 measured FASTER than batching (9 s vs
+            # 18 s for 15 iterations at sf1): un-truncated multi-
+            # iteration towers cost more in analysis/AQE planning than
+            # the per-iteration eager job saves. The knob stays for
+            # clusters where job-scheduling latency dominates plan
+            # compilation.
             old = ranks
             ranks = new_ranks.localCheckpoint()
             old.unpersist()
