@@ -220,3 +220,104 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> None:
+    """Materialize the IVF index: corpus written Hive-partitioned by cell
+    plus a centroid table — the train-once/search-many storage layout
+    :func:`ivf_topk` computes in memory.
+
+    At 100 TB this is the shape that matters: a probe then prunes file
+    I/O (``PartitionFilters`` on ``cell=``), not just the join, so a
+    query reads n_probe/n_centroids of the corpus bytes. Writes
+    ``{path}/cells`` (neighbor_id, cv, cn, cell) and
+    ``{path}/centroids`` (cell, ctr)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    n_rows = c_feat.count()
+    k_eff = min(n_centroids, max(n_rows, 1))
+    model = KMeans(
+        k=k_eff, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(c_feat)
+    assigned = model.transform(c_feat).select(
+        "neighbor_id", "cv", "cn", F.col("prediction").alias("cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    ctr = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark.createDataFrame(ctr, "cell int, ctr array<double>").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF search against a :func:`ivf_write_index` layout with PARTITION
+    pruning: the probed cell set (≤ n_centroids values — a bounded
+    driver-side collect by construction, never data-sized) becomes a
+    static ``isin`` filter on the partition column, so the scan reads
+    only the probed cells' files. Semantics identical to
+    :func:`ivf_topk` given the same centroids; with
+    ``n_probe >= n_centroids`` it equals exact brute force (tested)."""
+    ctr_df = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
+    sq_dist = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"), "ctr", lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(ctr_df))
+        .select("q_id", "qv", "qn", "cell", sq_dist.alias("d2"))
+        .withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "qv", "qn", "cell")
+    )
+    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    corpus = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))
+    joined = corpus.join(F.broadcast(probes), on="cell")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
+    sim = joined.select(
+        "q_id",
+        "neighbor_id",
+        F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )

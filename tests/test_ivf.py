@@ -65,3 +65,46 @@ def test_tiny_corpus_clamps_centroids(spark, sf_dir):
         id_col="vec_id", vec_col="embedding", k=5, n_centroids=16, n_probe=4,
     )
     assert out.count() > 0  # k clamped to corpus size instead of throwing
+
+
+def test_ivf_indexed_prunes_and_full_probe_is_exact(spark, sf_dir, tmp_path):
+    """The materialized IVF layout must (a) scan only probed cells via
+    PARTITION pruning — not a post-scan data filter — and (b) reproduce
+    exact brute force when every cell is probed."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, idx, id_col="vec_id", vec_col="embedding", n_centroids=8)
+
+    import os
+
+    cell_dirs = {d for d in os.listdir(f"{idx}/cells") if d.startswith("cell=")}
+    assert len(cell_dirs) > 1  # real Hive layout
+
+    narrow = ivf_topk_indexed(
+        spark, idx, queries, id_col="vec_id", vec_col="embedding", k=5, n_probe=2
+    )
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "PartitionFilters: [isnotnull(cell" in plan
+    # the cell predicate must prune partitions, not filter rows post-scan
+    assert "PushedFilters: [In(cell" not in plan
+
+    full = ivf_topk_indexed(
+        spark, idx, queries, id_col="vec_id", vec_col="embedding", k=5,
+        n_probe=len(cell_dirs),
+    )
+    brute = brute_force_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5
+    )
+    a = [(r.q_id, r.rank, r.neighbor_id, r.cosine) for r in full.collect()]
+    b = [(r.q_id, r.rank, r.neighbor_id, r.cosine) for r in brute.collect()]
+    assert a == b
