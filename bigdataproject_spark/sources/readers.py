@@ -143,6 +143,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | None = None,
+    with_filename: str | None = None,
+) -> DataFrame:
+    """JSON-Lines document ingestion — the de-facto interchange format of
+    LLM training corpora (one JSON object per line). Explicit schema
+    (default: the ``documents`` table shape) — never ``inferSchema``,
+    which costs an extra full scan and drifts types between drops.
+
+    Corrupt lines land in ``_corrupt_record`` (PERMISSIVE mode) instead
+    of failing the 100 TB job; callers triage
+    ``df.cache().filter(col('_corrupt_record').isNotNull())`` (the cache
+    is Spark's documented requirement — a raw JSON scan can't be queried
+    on the corrupt column alone). ``path`` may be a
+    glob over any Hadoop-compatible FS; ``multiLine`` stays False so
+    splits stay line-aligned and a single file still parallelizes by
+    128 MB split, not by file."""
+    from pyspark.sql.types import StringType, StructField
+
+    base = schema if schema is not None else TESTDATA_TABLES["documents"]
+    if "_corrupt_record" not in base.fieldNames():
+        base = StructType(
+            list(base.fields) + [StructField("_corrupt_record", StringType())]
+        )
+    df = (
+        spark.read.schema(base)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if with_filename is not None:
+        df = df.withColumn(with_filename, F.input_file_name())
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several testdata tables at once."""
     if not names:

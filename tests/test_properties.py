@@ -114,3 +114,74 @@ def test_jaccard_pairs_bounds_and_dedup(spark, docs):
         assert (r.id_a, r.id_b) not in seen
         seen.add((r.id_a, r.id_b))
         assert 0.0 < r.jaccard <= 1.0
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_feature_bounds(spark, docs):
+    """Repetition signals are ratios: dup_token_ratio ∈ [0, 1),
+    top_bigram_ratio ∈ [0, 1]; all-equal tokens maximize both; a doc of
+    all-distinct tokens zeroes dup_token_ratio."""
+    from bigdataproject_spark.operators.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "i long, tokens array<string>"
+    )
+    reps = repetition_features("tokens")
+    rows = df.select(
+        "i",
+        F.size("tokens").alias("n"),
+        F.size(F.array_distinct("tokens")).alias("nd"),
+        reps["dup_token_ratio"].alias("dup"),
+        reps["top_bigram_ratio"].alias("top"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r.dup < 1.0 or (r.n == 0 and r.dup == 0.0)
+        assert 0.0 <= r.top <= 1.0
+        if r.n > 0 and r.nd == r.n:
+            assert r.dup == 0.0
+        if r.n >= 2 and r.nd == 1:
+            assert r.top == 1.0
+
+
+@given(
+    train=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    ev=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_contamination_matches_set_arithmetic(spark, train, ev):
+    """n_hit == |grams ∩ eval_set| per doc; rate bounded [0,1]; every
+    train row appears exactly once in the output."""
+    from bigdataproject_spark.operators.decontam import ngram_contamination
+
+    tdf = spark.createDataFrame(
+        [(i, sorted(set(g))) for i, g in enumerate(train)],
+        "id long, grams array<bigint>",
+    )
+    edf = spark.createDataFrame([(0, sorted(set(ev)))], "id long, grams array<bigint>")
+    out = {
+        r["id"]: r
+        for r in ngram_contamination(
+            tdf, edf, id_col="id", grams_col="grams"
+        ).collect()
+    }
+    assert set(out) == set(range(len(train)))
+    eset = set(ev)
+    for i, g in enumerate(train):
+        gs = set(g)
+        r = out[i]
+        assert r["n_grams"] == len(gs)
+        assert r["n_hit"] == len(gs & eset)
+        assert 0.0 <= r["contamination"] <= 1.0

@@ -55,3 +55,38 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     # partition pruning: only one directory scanned for part=1
     pruned = back.filter(F.col("part") == 1)
     assert pruned.count() == 25
+
+
+def test_read_documents_jsonl(spark, tmp_path):
+    """JSONL ingestion: explicit schema, corrupt-line triage instead of
+    job failure, glob + filename provenance."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.sources.readers import read_documents_jsonl
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "source": "a", "n_chars": 11},
+        {"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "b", "n_chars": 7},
+    ]
+    (d / "part1.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    (d / "part2.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": "ok", "lang": "en", "source": "a", "n_chars": 2})
+        + "\n{not json at all\n"
+    )
+
+    df = read_documents_jsonl(spark, str(d / "*.jsonl"), with_filename="_file")
+    # Spark disallows queries referencing ONLY _corrupt_record on a raw
+    # JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache for triage.
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 3
+    assert bad.count() == 1
+    assert dict(good.select("doc_id", "lang").collect()) == {1: "en", 2: "fr", 3: "en"}
+    assert [t for n, t in df.dtypes if n == "doc_id"] == ["bigint"]  # no inferSchema drift
+    files = {r["_file"].rsplit("/", 1)[-1] for r in good.collect()}
+    assert files == {"part1.jsonl", "part2.jsonl"}
