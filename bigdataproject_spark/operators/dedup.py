@@ -40,7 +40,8 @@ def word_shingles(tokens: Column | str, n: int = 3) -> Column:
     ``transform`` (which copies a k-window per element). Higher-order
     functions evaluate interpreted, so this constant factor is real:
     measured 4.9 s → 3.7 s for 50k docs (same distinct sets,
-    equivalence-tested). Short docs (< n tokens) yield []."""
+    equivalence-tested). Short docs (< n tokens) and NULL token arrays
+    yield []."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     m = F.greatest(F.size(t) - (n - 1), F.lit(0))
     z = F.slice(t, 1, m)
@@ -48,7 +49,9 @@ def word_shingles(tokens: Column | str, n: int = 3) -> Column:
         z = F.zip_with(
             z, F.slice(t, i + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
         )
-    return F.array_distinct(z)
+    # coalesce: NULL input (size = -1 → NULL slice) must keep yielding
+    # [], as the pre-zip_with implementation did.
+    return F.array_distinct(F.coalesce(z, F.array().cast("array<string>")))
 
 
 def hashed_word_shingles(tokens: Column | str, n: int = 3) -> Column:
@@ -823,12 +826,17 @@ def embedding_neardup_pairs(
     every sub-key, and each (block, sub) cogroup computes a chunked
     numpy float64 matmul for its probe×build cosine slab, emitting only
     pairs over threshold. The quadratic inner loop runs in BLAS instead
-    of one interpreted expression per pair (measured 11.8 s → 2.9 s for
-    20M pairs at sf1); parallelism is blocks × num_subblocks; the only
+    of one interpreted expression per pair (57 s → 1.4 s at sf1, 20M
+    candidate pairs); parallelism is blocks × num_subblocks; the only
     data movement is one shuffle (build side replicated num_subblocks×).
-    Output-proportional: the m² slab never leaves the worker. Values can
-    differ from the native paths only in the last ulp of the double dot
-    (summation order), which round-6 absorbs.
+    Output-proportional: the slab never leaves the worker — workers
+    emit RAW cosines with epsilon slack and the authoritative round-6 +
+    threshold filter runs Spark-side (same F.round as the native
+    paths), so the emitted pair set and values match `impl='native'`
+    except when the BLAS dot and the sequential dot round differently
+    at the 6th decimal (summation-order ulps; measure-zero in
+    practice). Null-block rows are dropped up front, matching the
+    native join's NULL-equals-nothing semantics.
 
     ``impl='native'``: pure-JVM expression paths, bit-identical to the
     DuckDB oracle's sequential dot. Two shapes, same pairs:
@@ -927,6 +935,12 @@ def _blas_block_pairs(
 
     s = num_subblocks
     keys = (["blk"] if has_block else []) + ["_sub"]
+    if has_block:
+        # null-block rows pair with nothing under the native join's
+        # blk == blk predicate (NULL equals nothing); groupBy would
+        # instead pool all NULLs into one (skew-prone) cogroup — drop
+        # them up front so the paths stay output-identical.
+        base = base.filter(F.col("blk").isNotNull())
     probe = base.withColumn("_sub", F.pmod(F.xxhash64(F.col("id")), F.lit(s)))
     build = base.withColumn(
         "_sub", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
@@ -954,10 +968,15 @@ def _blas_block_pairs(
             dots = vl[lo:hi] @ vr.T
             denom = np.outer(nl[lo:hi], nr)
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.round(dots / denom, 6)
+                cos = dots / denom
+            # RAW cosines with epsilon slack; the authoritative round-6
+            # + threshold filter runs Spark-side (F.round, HALF_UP) so
+            # the emitted values/pair set match the native paths exactly
+            # — np.round is half-to-even and could disagree at the
+            # rounding boundary.
             mask = (
                 (denom > 0)
-                & (cos >= threshold)
+                & (cos >= threshold - 1e-6)
                 & (ids_l[lo:hi, None] < ids_r[None, :])
             )
             ii, jj = np.nonzero(mask)
@@ -974,8 +993,11 @@ def _blas_block_pairs(
             }
         )
 
-    return (
+    cand = (
         probe.groupBy(*keys)
         .cogroup(build.groupBy(*keys))
         .applyInPandas(_pairs, schema="id_a long, id_b long, cosine double")
     )
+    return cand.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

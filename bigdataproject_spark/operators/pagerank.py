@@ -72,6 +72,7 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint()
+    last_ckpt = ranks  # the live checkpoint backing the current lineage
     pending: list[DataFrame] = []
     for it in range(iterations):
         contribs = (
@@ -118,9 +119,12 @@ def pagerank(
             # the per-iteration eager job saves. The knob stays for
             # clusters where job-scheduling latency dominates plan
             # compilation.
-            old = ranks
             ranks = new_ranks.localCheckpoint()
-            old.unpersist()
+            # release the PREVIOUS checkpoint (with checkpoint_every > 1
+            # the loop variable in between is a lazy frame whose
+            # unpersist would be a no-op, leaking every snapshot)
+            last_ckpt.unpersist()
+            last_ckpt = ranks
             for c in pending:
                 c.unpersist()
             pending = []

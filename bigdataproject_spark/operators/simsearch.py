@@ -120,6 +120,46 @@ def lsh_bucket_topk(
     )
 
 
+def _fit_quantizer(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    max_iter: int,
+):
+    """Shared IVF quantizer fit (ivf_topk and ivf_write_index must stay
+    in lockstep — same featurization, clamping, and seeding). Returns
+    (assigned, ctr_df, k_eff) or None for an empty corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    n_rows = c_feat.count()
+    if n_rows == 0:
+        return None
+    k_eff = min(n_centroids, n_rows)
+    model = KMeans(
+        k=k_eff, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(c_feat)
+    assigned = model.transform(c_feat).select(
+        "neighbor_id", "cv", "cn", F.col("prediction").alias("cell")
+    )
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    ctr_df = corpus.sparkSession.createDataFrame(
+        centroids, "cell int, ctr array<double>"
+    )
+    return assigned, ctr_df, k_eff
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,17 +190,15 @@ def ivf_topk(
     partitioned/bucketed by ``cell`` so a probe prunes file I/O, not just
     the join.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c_feat = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(vec_col).alias("cn"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    fitted = _fit_quantizer(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        max_iter=max_iter,
     )
-    n_rows = c_feat.count()
-    if n_rows == 0:
+    if fitted is None:
         # KMeans cannot fit zero rows; empty corpus → empty result with
         # the output schema
         q0 = queries.select(F.col(id_col).alias("q_id"))
@@ -170,20 +208,8 @@ def ivf_topk(
             F.lit(None).cast("double").alias("cosine"),
             F.lit(None).cast("int").alias("rank"),
         )
-    n_centroids = min(n_centroids, n_rows)
+    assigned, ctr_df, n_centroids = fitted
     n_probe = min(n_probe, n_centroids)
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(c_feat)
-    assigned = model.transform(c_feat).select(
-        "neighbor_id", "cv", "cn", F.col("prediction").alias("cell")
-    )
-
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    ctr_df = spark.createDataFrame(centroids, "cell int, ctr array<double>")
 
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -234,36 +260,29 @@ def ivf_write_index(
 ) -> None:
     """Materialize the IVF index: corpus written Hive-partitioned by cell
     plus a centroid table — the train-once/search-many storage layout
-    :func:`ivf_topk` computes in memory.
+    :func:`ivf_topk` computes in memory (same quantizer fit:
+    :func:`_fit_quantizer`).
 
     At 100 TB this is the shape that matters: a probe then prunes file
     I/O (``PartitionFilters`` on ``cell=``), not just the join, so a
     query reads n_probe/n_centroids of the corpus bytes. Writes
     ``{path}/cells`` (neighbor_id, cv, cn, cell) and
-    ``{path}/centroids`` (cell, ctr)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c_feat = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        l2_norm(vec_col).alias("cn"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    ``{path}/centroids`` (cell, ctr). Raises on an empty corpus — an
+    index of nothing is unreadable parquet, so fail loudly at build
+    time instead of at first search."""
+    fitted = _fit_quantizer(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        max_iter=max_iter,
     )
-    n_rows = c_feat.count()
-    k_eff = min(n_centroids, max(n_rows, 1))
-    model = KMeans(
-        k=k_eff, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(c_feat)
-    assigned = model.transform(c_feat).select(
-        "neighbor_id", "cv", "cn", F.col("prediction").alias("cell")
-    )
+    if fitted is None:
+        raise ValueError("ivf_write_index: corpus is empty; nothing to index")
+    assigned, ctr_df, _ = fitted
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
-    spark = corpus.sparkSession
-    ctr = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    spark.createDataFrame(ctr, "cell int, ctr array<double>").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/centroids")
+    ctr_df.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_topk_indexed(
@@ -304,6 +323,10 @@ def ivf_topk_indexed(
         .withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= n_probe)
         .select("q_id", "qv", "qn", "cell")
+        # persisted: evaluated once for the driver-side cell collect and
+        # again as the broadcast join input — without it the query scan,
+        # centroid cross-join, and window all run twice.
+        .persist()
     )
     cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
     corpus = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))

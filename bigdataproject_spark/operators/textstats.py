@@ -219,10 +219,9 @@ def winnowing_fingerprints(
     if hash_fn == "xxhash64":
         kgram_hashes = F.transform(kg_strings, lambda s: F.xxhash64(s))
     elif hash_fn == "md5":
-        kgram_hashes = F.transform(
-            kg_strings,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint"),
-        )
+        from bigdataproject_spark.operators.dedup import portable_hash48
+
+        kgram_hashes = F.transform(kg_strings, portable_hash48)
     else:  # pragma: no cover - guarded upstream
         raise ValueError(f"unsupported hash_fn {hash_fn!r}")
     empty_t = "array<bigint>"

@@ -95,14 +95,18 @@ def events_ts_is_nanos(path: str) -> bool:
             import glob
             import os
 
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             f = path
             if os.path.isdir(path):
                 parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-                f = parts[0] if parts else path
-            import pyarrow as pa
-
+                if not parts:
+                    # empty drop folder (normal for a file stream that
+                    # hasn't received data yet) — answer False now but
+                    # DON'T cache, so the sniff re-runs once files land
+                    return False
+                f = parts[0]
             t = pq.read_schema(f).field("ts").type
             # TIMESTAMP(NANOS) or a raw int64 epoch-ns column — both are
             # the legacy layout the div-1000 path handles.
@@ -110,7 +114,7 @@ def events_ts_is_nanos(path: str) -> bool:
                 getattr(t, "unit", None) == "ns" or t == pa.int64()
             )
         except Exception:
-            _EVENTS_TS_IS_NANOS[path] = False
+            return False  # transient failure: don't poison the cache
     return _EVENTS_TS_IS_NANOS[path]
 
 

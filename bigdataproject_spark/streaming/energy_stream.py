@@ -30,7 +30,11 @@ def read_event_stream(
 ) -> DataFrame:
     """File-based event stream over the same parquet layout as the batch
     table (each micro-batch picks up new files). Footer-sniffed ns→µs
-    conversion as in the batch loader (readers.load_table)."""
+    conversion as in the batch loader (readers.load_table). The sniff
+    runs at stream DEFINITION: on a still-empty drop folder it assumes
+    the current µs layout (nothing is cached, so re-defining the stream
+    after the first files land re-sniffs — do that for legacy
+    TIMESTAMP(NANOS) producers)."""
     if events_ts_is_nanos(path):
         raw = (
             spark.readStream.schema(EVENTS_RAW)

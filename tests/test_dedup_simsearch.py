@@ -309,3 +309,55 @@ def test_collapse_branches_agree(spark, monkeypatch):
     # "" have no shingles but do fingerprint)
     assert sum(1 for a, b, j in jac if a // 10 == b // 10 and j == 1.0) == 3 * 10
     assert sum(1 for a, b, h in sim if a // 10 == b // 10 and h == 0) >= 4 * 10
+
+
+def test_word_shingles_null_tokens(spark):
+    """NULL token arrays must shingle to [], not NULL (review regression:
+    the zip_with chain propagated NULL, making size() = -1 downstream)."""
+    from pyspark.sql import Row
+
+    from bigdataproject_spark.operators.dedup import (
+        portable_hashed_shingles,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [Row(i=1, tokens=None), Row(i=2, tokens=["a", "b", "c", "d"])],
+        "i long, tokens array<string>",
+    )
+    rows = {
+        r["i"]: (r["s"], r["h"])
+        for r in df.select(
+            "i",
+            F.size(word_shingles("tokens", 3)).alias("s"),
+            F.size(portable_hashed_shingles("tokens", 3)).alias("h"),
+        ).collect()
+    }
+    assert rows[1] == (0, 0)
+    assert rows[2] == (2, 2)
+
+
+def test_embedding_blas_null_block_matches_native(spark):
+    """Rows with a NULL block value pair with nothing — identical in the
+    BLAS cogroup path and the native join path (review regression: a
+    groupBy key pools NULLs, a join predicate drops them)."""
+    from pyspark.sql import Row
+
+    from bigdataproject_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        Row(id=1, v=[1.0, 0.0], blk="x"),
+        Row(id=2, v=[1.0, 0.01], blk="x"),
+        Row(id=3, v=[1.0, 0.0], blk=None),
+        Row(id=4, v=[1.0, 0.001], blk=None),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>, blk string")
+    kw = dict(id_col="id", vec_col="v", block_col="blk", threshold=0.5)
+    blas = sorted(
+        (r.id_a, r.id_b) for r in embedding_neardup_pairs(df, **kw).collect()
+    )
+    native = sorted(
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(df, **kw, impl="native").collect()
+    )
+    assert blas == native == [(1, 2)]  # null-block rows pair with nothing

@@ -108,3 +108,17 @@ def test_ivf_indexed_prunes_and_full_probe_is_exact(spark, sf_dir, tmp_path):
     a = [(r.q_id, r.rank, r.neighbor_id, r.cosine) for r in full.collect()]
     b = [(r.q_id, r.rank, r.neighbor_id, r.cosine) for r in brute.collect()]
     assert a == b
+
+
+def test_ivf_write_index_empty_corpus_raises(spark, sf_dir, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.simsearch import ivf_write_index
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        ivf_write_index(
+            emb, str(tmp_path / "idx"), id_col="vec_id", vec_col="embedding"
+        )

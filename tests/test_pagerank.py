@@ -88,3 +88,31 @@ def test_pagerank_bounded_jobs_per_iteration(spark):
     b = len(tracker.getJobIdsForGroup("pg_b"))
     per_iter = (b - a) / (iters_b - iters_a)
     assert per_iter <= 8.0, f"{per_iter} jobs/iteration (a={a}, b={b})"
+
+
+def test_checkpoint_cadence_is_output_invariant(spark):
+    """checkpoint_every only changes the physical schedule — ranks must
+    be identical (and checkpoints released) for any cadence."""
+    from pyspark.sql import Row
+
+    from bigdataproject_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b, w=1.0) for a, b in [(1, 2), (2, 3), (3, 1), (3, 4)]],
+        "src long, dst long, w double",
+    )
+    base = {
+        r["node"]: round(r["rank"], 10)
+        for r in pagerank(
+            edges, src="src", dst="dst", weight="w", iterations=9
+        ).collect()
+    }
+    for ck in (3, 4):
+        got = {
+            r["node"]: round(r["rank"], 10)
+            for r in pagerank(
+                edges, src="src", dst="dst", weight="w", iterations=9,
+                checkpoint_every=ck,
+            ).collect()
+        }
+        assert got == base
