@@ -22,6 +22,7 @@ from bigdataproject_spark.operators.dedup import (
     word_shingles,
 )
 from bigdataproject_spark.operators.decontam import ngram_contamination
+from bigdataproject_spark.operators.sampling import stratified_sample_filter
 from bigdataproject_spark.operators.multimodal import extract_features, to_media_assets
 from bigdataproject_spark.operators.simsearch import brute_force_topk, ivf_topk, lsh_bucket_topk
 from bigdataproject_spark.operators.textstats import (
@@ -283,25 +284,45 @@ ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 
 
 
+# Data-mixture rates: downsample the dominant language, keep the rest
+# at higher rates — the training-mix rebalancing shape.
+MIXTURE_RATES = {"en": 0.10, "zh": 0.40, "es": 0.30, "de": 0.30, "fr": 0.25}
+MIXTURE_DEFAULT = 0.05
+
+
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible ~10% document sample via content-independent key
-    hashing (md5 hex prefix range) — the scale-correct way to sample
-    training data: stable across runs, engines, partitionings, and
-    cluster sizes, unlike rand()-based sampling. Portable to the oracle
-    because md5 is standard and the cut is a plain string compare."""
+    """Reproducible STRATIFIED document sample (data-mixture resampling):
+    per-language keep rates cut on a content-independent 48-bit key hash
+    — the scale-correct way to rebalance a training mix: stable across
+    runs, engines, partitionings, and cluster sizes (unlike rand()),
+    keep-sets nest monotonically in the rate, and the whole thing is one
+    map-stage predicate (operators/sampling.py). Portable to the oracle
+    because the hash is the md5-prefix parse both engines compute."""
     docs = load_table(spark, sf_dir, "documents")
-    key_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    return (
-        docs.filter(key_hex < "1a")  # 26/256 ≈ 10.2%
-        .select("doc_id", "lang", F.length("text").alias("n_chars"))
+    keep = stratified_sample_filter(
+        F.col("doc_id"), "lang", MIXTURE_RATES, default_fraction=MIXTURE_DEFAULT
+    )
+    return docs.filter(keep).select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
     )
 
 
-ORACLE_DET_SAMPLE = """
+def _det_sample_oracle() -> str:
+    from bigdataproject_spark.operators.sampling import sample_cut
+
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {sample_cut(f)}"
+        for v, f in MIXTURE_RATES.items()
+    )
+    return f"""
 SELECT doc_id, lang, length(text) AS n_chars
 FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      < (CASE {cases} ELSE {sample_cut(MIXTURE_DEFAULT)} END)
 """
+
+
+ORACLE_DET_SAMPLE = _det_sample_oracle()
 
 
 # Synthetic embeddings are near-random (max same-label cosine ≈ 0.47 at
