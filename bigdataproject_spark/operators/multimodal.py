@@ -125,3 +125,108 @@ def extract_features(
     return cols.mapInPandas(
         decode_stub(fake=fake, dim=dim, normalize=normalize), schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, *, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Image resize stage: (asset_id, payload) → RESIZED_SCHEMA, 1:1.
+
+    Real deployments decode with PIL/opencv and re-encode; here the codec
+    is STUBBED (no image libs in this container): ``fake=True`` emits a
+    deterministic stride-sample of the payload bytes truncated to
+    width·height (so output size, schema, and batch shape are real), and
+    ``fake=False`` raises — the same honest-stub contract as
+    :func:`decode_stub`."""
+    import numpy as np
+    import pandas as pd
+
+    target = width * height
+
+    def fn(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present in "
+                    "this environment; pass fake=True for the test double"
+                )
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                if arr.size == 0:
+                    out.append(b"")
+                    continue
+                stride = max(1, arr.size // target)
+                out.append(arr[::stride][:target].tobytes())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    assets: DataFrame, *, n_frames: int, frame_interval_ms: int = 1000, fake: bool = False
+) -> DataFrame:
+    """Video frame-sampling stage: (asset_id, payload) → FRAME_SCHEMA,
+    1:N — each asset row explodes into ``n_frames`` frame rows inside the
+    mapInPandas iterator (output cardinality is decided per batch, the
+    shape a real demuxer needs).
+
+    STUBBED codec (no av/ffmpeg in this container): ``fake=True`` emits
+    the payload split into n_frames contiguous chunks with synthetic
+    timestamps; ``fake=False`` raises."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires demuxer libraries not present "
+                    "in this environment; pass fake=True for the test double"
+                )
+            ids, idxs, tss, chunks = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = payload or b""
+                step = max(1, len(b) // n_frames)
+                for f in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(f)
+                    tss.append(f * frame_interval_ms)
+                    chunks.append(b[f * step : (f + 1) * step])
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "payload": chunks,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(fn, schema=FRAME_SCHEMA)

@@ -44,3 +44,46 @@ def test_fake_decode_features(assets):
 def test_real_decode_is_gated(assets):
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         extract_features(assets, fake=False).collect()
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """Resize stage: 1:1 cardinality, bounded payloads, deterministic."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.multimodal import resize_images, to_media_assets
+    from bigdataproject_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50).withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    assets = to_media_assets(docs, id_col="doc_id", payload_col="payload", media_type="image")
+    out = resize_images(assets, width=8, height=4, fake=True)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.payload) <= 32 for r in rows)
+    again = {r.asset_id: bytes(r.payload) for r in resize_images(assets, width=8, height=4, fake=True).collect()}
+    assert {r.asset_id: bytes(r.payload) for r in rows} == again  # deterministic
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_images(assets, width=8, height=4).collect()
+
+
+def test_sample_frames_explodes(spark, sf_dir):
+    """Frame sampling: 1:N cardinality with ordered synthetic timestamps."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.multimodal import sample_frames, to_media_assets
+    from bigdataproject_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10).withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    assets = to_media_assets(docs, id_col="doc_id", payload_col="payload", media_type="video")
+    out = sample_frames(assets, n_frames=4, frame_interval_ms=250, fake=True)
+    rows = out.collect()
+    assert len(rows) == 40
+    per = {}
+    for r in rows:
+        per.setdefault(r.asset_id, []).append((r.frame_idx, r.ts_ms))
+    for frames in per.values():
+        assert sorted(frames) == [(0, 0), (1, 250), (2, 500), (3, 750)]
