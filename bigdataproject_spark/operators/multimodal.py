@@ -52,6 +52,19 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _require_codecs(fake: bool, what: str) -> None:
+    """Single source of the honest-stub contract: the codec step needs
+    libraries absent from this container; every stubbed stage raises
+    through here (at stage-definition time — not per batch, so an
+    all-empty-partition plan still fails loudly) unless the
+    deterministic ``fake`` double is requested."""
+    if not fake:
+        raise NotImplementedError(
+            f"{what} requires codec libraries not present in this "
+            "environment; pass fake=True for the deterministic test double"
+        )
+
+
 def to_media_assets(
     df: DataFrame, *, id_col: str, payload_col: str, media_type: str
 ) -> DataFrame:
@@ -89,12 +102,7 @@ def decode_stub(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "test double"
-                )
+            _require_codecs(fake, "media decode")
             feats = []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload or b"", dtype=np.uint8)
@@ -121,6 +129,7 @@ def extract_features(
     assets: DataFrame, *, fake: bool = False, dim: int = 8, normalize: bool = True
 ) -> DataFrame:
     """Run the (stubbed) decoder over the asset table via mapInPandas."""
+    _require_codecs(fake, "media decode")
     cols = assets.select("asset_id", "media_type", "payload")
     return cols.mapInPandas(
         decode_stub(fake=fake, dim=dim, normalize=normalize), schema=FEATURE_SCHEMA
@@ -160,15 +169,13 @@ def resize_images(
     import numpy as np
     import pandas as pd
 
+    _require_codecs(fake, "image resize")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"width and height must be positive, got {width}x{height}")
     target = width * height
 
     def fn(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires codec libraries not present in "
-                    "this environment; pass fake=True for the test double"
-                )
             out = []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload or b"", dtype=np.uint8)
@@ -204,13 +211,12 @@ def sample_frames(
     timestamps; ``fake=False`` raises."""
     import pandas as pd
 
+    _require_codecs(fake, "frame sampling")
+    if n_frames <= 0:
+        raise ValueError(f"n_frames must be positive, got {n_frames}")
+
     def fn(batches):
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires demuxer libraries not present "
-                    "in this environment; pass fake=True for the test double"
-                )
             ids, idxs, tss, chunks = [], [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 b = payload or b""

@@ -120,10 +120,12 @@ def pagerank(
             # clusters where job-scheduling latency dominates plan
             # compilation.
             ranks = new_ranks.localCheckpoint()
-            # release the PREVIOUS checkpoint (with checkpoint_every > 1
-            # the loop variable in between is a lazy frame whose
-            # unpersist would be a no-op, leaking every snapshot)
-            last_ckpt.unpersist()
+            # Checkpoint RDD blocks are reclaimed by the ContextCleaner
+            # once unreferenced (Dataset.unpersist only uncaches
+            # persist()-cached plans, not checkpoint RDDs) — dropping
+            # the previous snapshot's LAST reference here is what makes
+            # them collectable; holding it longer would accumulate one
+            # pinned snapshot per barrier.
             last_ckpt = ranks
             for c in pending:
                 c.unpersist()

@@ -317,18 +317,22 @@ def ivf_topk_indexed(
         lambda acc, x: acc + x,
     )
     wprobe = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("cell"))
-    probes = (
+    probe_plan = (
         q.crossJoin(F.broadcast(ctr_df))
         .select("q_id", "qv", "qn", "cell", sq_dist.alias("d2"))
         .withColumn("pr", F.row_number().over(wprobe))
         .filter(F.col("pr") <= n_probe)
         .select("q_id", "qv", "qn", "cell")
-        # persisted: evaluated once for the driver-side cell collect and
-        # again as the broadcast join input — without it the query scan,
-        # centroid cross-join, and window all run twice.
-        .persist()
     )
-    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    # One evaluation total: the probe assignment is bounded
+    # (n_queries × n_probe rows), so collect it once and rebuild the
+    # broadcast frame from the rows — a persist() here would leak in the
+    # cache manager for the session lifetime (no unpersist seam after
+    # returning a lazy result), and no persist means no second run of
+    # the query scan + centroid cross-join + window.
+    probe_rows = probe_plan.collect()
+    cells = sorted({r["cell"] for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows, probe_plan.schema)
     corpus = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))
     joined = corpus.join(F.broadcast(probes), on="cell")
     if exclude_self:

@@ -114,7 +114,10 @@ def events_ts_is_nanos(path: str) -> bool:
                 getattr(t, "unit", None) == "ns" or t == pa.int64()
             )
         except Exception:
-            return False  # transient failure: don't poison the cache
+            # Deterministic failures (corrupt footer, no ts field) cache
+            # as False so every load doesn't re-run metadata I/O; the
+            # transient empty-dir case returned above without caching.
+            _EVENTS_TS_IS_NANOS[path] = False
     return _EVENTS_TS_IS_NANOS[path]
 
 
