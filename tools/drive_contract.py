@@ -1,0 +1,91 @@
+"""Emulate the driver's correctness gate at sf0.01: run every queries()
+entry in Spark AND its oracle_sql() in DuckDB, compare row count +
+sorted-column value hash."""
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from bigdataproject_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(r[i] for i in order) for r in rows)
+    return out
+
+
+def vhash(rows):
+    h = hashlib.md5()
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def main():
+    spark = get_spark("drive-contract")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_pass = n_rows_only = n_fail = 0
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: spark_rows={len(srows)}")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        sc = canon(cols, srows)
+        oc = canon(ocols, orows)
+        rows_match = len(sc) == len(oc)
+        schema_match = sorted(cols) == sorted(ocols)
+        hash_match = vhash(sc) == vhash(oc)
+        if rows_match and schema_match and hash_match:
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(
+                f"FAIL {name}: rows {len(sc)} vs {len(oc)}, "
+                f"schema_match={schema_match}, hash_match={hash_match}"
+            )
+            if rows_match and schema_match:
+                for a, b in zip(sc, oc):
+                    if repr(a) != repr(b):
+                        print(f"  first diff: spark={a!r} oracle={b!r}")
+                        break
+    print(f"\npass={n_pass} rows_only={n_rows_only} fail={n_fail} total={len(qs)}")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
