@@ -630,16 +630,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-gram digests and their numeric window minima reproduce identically
     in DuckDB, unlike the default xxhash64 scale path. The fingerprint
     set is emitted sorted and '|'-joined (driver canonicalizer can't
-    sort list cells); project-level subexpression elimination shares the
-    one winnowing evaluation between the count and the joined set."""
+    sort list cells). The winnowing expression is bound to a NAMED
+    inner-projection column: referencing the raw expression from both
+    the count and the joined set evaluates the full winnowing pass twice
+    (measured 11.8 s vs 6.6 s at sf1) — CollapseProject refuses to
+    inline a non-cheap alias used more than once, which is exactly the
+    sharing the one-select form never gets."""
     docs = _docs_tokens(spark, sf_dir)
     fps = winnowing_fingerprints("tokens", k=5, window=4, hash_fn="md5")
-    return docs.select(
+    inner = docs.select(
         "doc_id",
         fingerprint_expr("tokens", 64).alias("fp_prefix64"),
-        F.size(fps).cast("long").alias("n_winnow"),
+        fps.alias("fps"),
+    )
+    return inner.select(
+        "doc_id",
+        "fp_prefix64",
+        F.size("fps").cast("long").alias("n_winnow"),
         F.array_join(
-            F.transform(F.array_sort(fps), lambda x: x.cast("string")), "|"
+            F.transform(F.array_sort("fps"), lambda x: x.cast("string")), "|"
         ).alias("winnow_set"),
     )
 
