@@ -36,3 +36,34 @@ def test_plan_hygiene(spark, sf_dir, name):
             assert _ALLOWED_PYTHON.get(name) == node, (
                 f"{name}: unexpected Python boundary {node}"
             )
+
+
+# Upper bounds on shuffle exchanges (hash/range partitioning — broadcast
+# exchanges excluded) for flagship plans; a regression that adds a
+# shuffle to a map-only corpus pass is exactly the 100 TB hazard this
+# repo engineers against.
+_MAX_SHUFFLES = {
+    "textstats_quality": 0,
+    "lang_id": 0,
+    "token_count": 0,
+    "doc_fingerprint": 0,
+    "dedup_exact": 1,  # one hash-agg exchange on the digest
+    "q5_region_revenue": 2,  # final agg + presentation sort
+    "q1_pricing_summary": 2,
+    "contamination_check": 3,  # eval distinct + per-doc agg + sort
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MAX_SHUFFLES))
+def test_shuffle_budget(spark, sf_dir, name):
+    import re
+
+    plan = (
+        REG[name]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n <= _MAX_SHUFFLES[name], f"{name}: {n} shuffles in plan"
