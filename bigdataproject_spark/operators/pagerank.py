@@ -72,7 +72,6 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint()
-    last_ckpt = ranks  # the live checkpoint backing the current lineage
     pending: list[DataFrame] = []
     for it in range(iterations):
         contribs = (
@@ -122,11 +121,11 @@ def pagerank(
             ranks = new_ranks.localCheckpoint()
             # Checkpoint RDD blocks are reclaimed by the ContextCleaner
             # once unreferenced (Dataset.unpersist only uncaches
-            # persist()-cached plans, not checkpoint RDDs) — dropping
-            # the previous snapshot's LAST reference here is what makes
-            # them collectable; holding it longer would accumulate one
+            # persist()-cached plans, not checkpoint RDDs) — `ranks`
+            # itself carries the only reference to the previous
+            # snapshot, so rebinding it above is what makes those blocks
+            # collectable; holding another alias would accumulate one
             # pinned snapshot per barrier.
-            last_ckpt = ranks
             for c in pending:
                 c.unpersist()
             pending = []

@@ -297,10 +297,16 @@ def ivf_topk_indexed(
     exclude_self: bool = True,
 ) -> DataFrame:
     """IVF search against a :func:`ivf_write_index` layout with PARTITION
-    pruning: the probed cell set (≤ n_centroids values — a bounded
-    driver-side collect by construction, never data-sized) becomes a
-    static ``isin`` filter on the partition column, so the scan reads
-    only the probed cells' files. Semantics identical to
+    pruning: only the DISTINCT probed cell ids (≤ n_centroids values — a
+    bounded driver-side collect by construction, never query- or
+    data-sized) are collected, and they become a static ``isin`` filter
+    on the partition column, so the scan reads only the probed cells'
+    files. The probe assignment itself (q_id, qv, qn, cell) stays a
+    distributed plan and reaches the corpus join as a broadcast — the
+    query table can be arbitrarily large. The probe plan is evaluated
+    twice (once reduced to distinct cells, once in the join); it is a
+    scan + broadcast-centroid cross-join + tiny window, so recompute is
+    cheaper than a session-lifetime persist leak. Semantics identical to
     :func:`ivf_topk` given the same centroids; with
     ``n_probe >= n_centroids`` it equals exact brute force (tested)."""
     ctr_df = spark.read.parquet(f"{path}/centroids")
@@ -324,17 +330,13 @@ def ivf_topk_indexed(
         .filter(F.col("pr") <= n_probe)
         .select("q_id", "qv", "qn", "cell")
     )
-    # One evaluation total: the probe assignment is bounded
-    # (n_queries × n_probe rows), so collect it once and rebuild the
-    # broadcast frame from the rows — a persist() here would leak in the
-    # cache manager for the session lifetime (no unpersist seam after
-    # returning a lazy result), and no persist means no second run of
-    # the query scan + centroid cross-join + window.
-    probe_rows = probe_plan.collect()
-    cells = sorted({r["cell"] for r in probe_rows})
-    probes = spark.createDataFrame(probe_rows, probe_plan.schema)
+    # Driver sees only the distinct probed cell ids (≤ n_centroids ints)
+    # for the static partition filter; the full (q_id, qv, qn, cell)
+    # assignment never leaves the executors — with a large query table a
+    # row collect here would be a driver OOM.
+    cells = sorted(r["cell"] for r in probe_plan.select("cell").distinct().collect())
     corpus = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))
-    joined = corpus.join(F.broadcast(probes), on="cell")
+    joined = corpus.join(F.broadcast(probe_plan), on="cell")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
     sim = joined.select(

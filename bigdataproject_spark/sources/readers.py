@@ -107,16 +107,24 @@ def events_ts_is_nanos(path: str) -> bool:
                     # DON'T cache, so the sniff re-runs once files land
                     return False
                 f = parts[0]
-            t = pq.read_schema(f).field("ts").type
+            try:
+                t = pq.read_schema(f).field("ts").type
+            except (OSError, IOError):
+                # Transient I/O (part file mid-write, momentary FS error):
+                # answer False for THIS call only — caching would pin a
+                # misclassification for the whole process even though the
+                # driver regenerates testdata in place between rounds.
+                return False
             # TIMESTAMP(NANOS) or a raw int64 epoch-ns column — both are
             # the legacy layout the div-1000 path handles.
             _EVENTS_TS_IS_NANOS[path] = (
                 getattr(t, "unit", None) == "ns" or t == pa.int64()
             )
         except Exception:
-            # Deterministic failures (corrupt footer, no ts field) cache
-            # as False so every load doesn't re-run metadata I/O; the
-            # transient empty-dir case returned above without caching.
+            # Deterministic failures only reach here (schema read OK but
+            # e.g. no ts field): cache as False so every load doesn't
+            # re-run metadata I/O; transient cases returned above without
+            # caching.
             _EVENTS_TS_IS_NANOS[path] = False
     return _EVENTS_TS_IS_NANOS[path]
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -225,7 +226,7 @@ def test_cosine_from_norms_bit_identical(spark):
 
 
 def test_embedding_neardup_paths_agree(spark, sf_dir):
-    """The salted shuffle path (build side over the broadcast row
+    """The salted shuffle path (build side over the broadcast byte
     threshold) must return exactly the same pairs as the broadcast path,
     and its plan must shuffle on the composite key instead of
     broadcasting the corpus."""
@@ -234,10 +235,10 @@ def test_embedding_neardup_paths_agree(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     kw = dict(id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.2)
     via_broadcast = embedding_neardup_pairs(
-        emb, **kw, impl="native", broadcast_max_rows=10**9
+        emb, **kw, impl="native", broadcast_max_bytes=2**60
     )
     via_shuffle = embedding_neardup_pairs(
-        emb, **kw, impl="native", broadcast_max_rows=0, num_subblocks=4
+        emb, **kw, impl="native", broadcast_max_bytes=0, num_subblocks=4
     )
     via_blas = embedding_neardup_pairs(emb, **kw, num_subblocks=4)
     a = sorted((r.id_a, r.id_b, r.cosine) for r in via_broadcast.collect())
@@ -255,6 +256,32 @@ def test_embedding_neardup_paths_agree(spark, sf_dir):
     assert "_sub" in plan  # composite sub-block key reached the join
     blas_plan = via_blas._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in blas_plan  # Arrow cogroup reached
+
+
+def test_embedding_neardup_blas_nonbigint_ids(spark):
+    """impl='blas' must carry the id column's Spark type into its output
+    schema (string ids here) and match the native path exactly; an
+    unsupported id type (float) must raise up front, not coerce."""
+    from bigdataproject_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        Row(id=f"doc-{i}", v=[float(i == j) * 0.9 + 0.1 for j in range(4)])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    kw = dict(id_col="id", vec_col="v", block_col=None, threshold=0.1)
+    blas = embedding_neardup_pairs(df, **kw, num_subblocks=2)
+    assert dict(blas.dtypes)["id_a"] == "string"
+    native = embedding_neardup_pairs(df, **kw, impl="native")
+    a = sorted((r.id_a, r.id_b) for r in blas.collect())
+    b = sorted((r.id_a, r.id_b) for r in native.collect())
+    assert a == b and len(a) > 0
+
+    bad = df.select(F.col("id").cast("double").alias("id"), "v")
+    with pytest.raises(TypeError, match="unsupported id column type"):
+        embedding_neardup_pairs(
+            bad, id_col="id", vec_col="v", block_col=None, threshold=0.1
+        ).collect()
 
 
 def test_collapse_branches_agree(spark, monkeypatch):
