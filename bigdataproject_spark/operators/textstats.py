@@ -69,17 +69,28 @@ def lang_id_expr(
 
 def quality_features(text: Column | str, tokens: Column | str) -> dict[str, Column]:
     """Quality-scoring feature set (length / punctuation / stopword ratios
-    — the classic C4/Gopher-style filters)."""
+    — the classic C4/Gopher-style filters).
+
+    Constant-factor engineering (HOFs evaluate interpreted, so per-token
+    work inside lambdas is the cost center; measured at sf0.1, noop
+    sink): the stopword test is ``isin`` — OptimizeIn rewrites >10
+    literals to an O(1) hash-set InSet, where ``array_contains`` on a
+    literal array scanned all 20 stopwords per token (−0.13 s); mean
+    token length sums lengths via one ``concat_ws`` (codegen, one pass)
+    instead of an interpreted per-token ``aggregate`` fold (−0.03 s);
+    punctuation is ``regexp_count`` (counts matches) instead of a
+    ``regexp_replace`` that materialized the stripped string just to
+    length it. All three are value-identical to the originals (same
+    counts, same pattern), so oracle hashes are unchanged."""
     s = F.col(text) if isinstance(text, str) else text
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     n_chars = F.length(s)
     n_tokens = F.size(t)
-    sw = F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS])
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*DEFAULT_STOPWORDS)))
+    n_punct = F.regexp_count(s, F.lit(r"[^\w\s]"))
     mean_tok_len = F.when(
         n_tokens > 0,
-        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tokens,
+        F.length(F.concat_ws("", t)) / n_tokens,
     ).otherwise(F.lit(0.0))
     return {
         "n_chars": n_chars.cast("long"),
@@ -94,7 +105,24 @@ def quality_features(text: Column | str, tokens: Column | str) -> dict[str, Colu
     }
 
 
-def repetition_features(tokens: Column | str) -> dict[str, Column]:
+def hashed_tokens_expr(tokens: Column | str) -> Column:
+    """xxhash64 each token once (array<string> → array<bigint>).
+
+    Bind the result to a NAMED column and hand that to
+    :func:`repetition_features` — every repetition signal then runs on
+    the 8-byte hashes, and the per-token string hashing happens exactly
+    once per row instead of once per consuming expression
+    (CollapseProject keeps a non-cheap alias referenced more than once
+    in its own projection, so a named column IS the sharing mechanism;
+    two separate output columns embedding this transform would each
+    re-evaluate it — HOFs run interpreted, outside codegen CSE)."""
+    t = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.transform(t, lambda x: F.xxhash64(x))
+
+
+def repetition_features(
+    tokens: Column | str, *, prehashed: bool = False
+) -> dict[str, Column]:
     """Gopher-style repetition signals over the token array (Rae et al.
     2021 §A1.1 repetition filters, re-expressed for word-soup docs) —
     both pure map-stage expressions, zero shuffles:
@@ -110,24 +138,32 @@ def repetition_features(tokens: Column | str) -> dict[str, Column]:
     longest equal-run — O(n log n) per row inside the scan stage, so the
     operator stays a pure map at 100 TB. Higher-order functions are
     evaluated interpreted (outside codegen), so constant factors are
-    engineered down: bigrams are built with ONE ``zip_with`` over two
-    array slices (not a per-index ``slice`` copy each) and hashed to
-    longs with ``xxhash64`` so the sort and the fold compare 8-byte ints
-    instead of strings (measured 0.65 s → 0.40 s per 5k docs; the
-    branch-free long-encoded accumulator variant measured SLOWER, 0.6 s,
+    engineered down: every signal runs on xxhash64'd tokens (pass
+    ``prehashed=True`` with a :func:`hashed_tokens_expr` NAMED column to
+    hash each token exactly once for the whole feature set); bigrams
+    combine two pre-hashed longs with shift-xor — pure bitwise, no
+    second hashing pass — built with ONE ``zip_with`` over two array
+    slices (not a per-index ``slice`` copy each); the sort and the fold
+    compare 8-byte ints instead of strings (the branch-free long-encoded
+    accumulator variant measured SLOWER, 0.6 s vs 0.4 s per 5k docs,
     than this struct fold). Hashing merges equality classes only on an
     in-doc xxhash64 collision (~n²/2⁶⁵ per doc) — the same accepted
-    trade as ``dedup.hashed_word_shingles``."""
+    trade as ``dedup.hashed_word_shingles``; dup_token_ratio inherits it
+    too (a collision could undercount distinct tokens by one)."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
-    n = F.size(t)
+    th = t if prehashed else hashed_tokens_expr(t)
+    n = F.size(t)  # same length either way; sizing `t` keeps the
+    # unhashed path from evaluating the transform just for its length
     dup_ratio = F.when(
-        n > 0, 1.0 - F.size(F.array_distinct(t)) / n
+        n > 0, 1.0 - F.size(F.array_distinct(th)) / n
     ).otherwise(F.lit(0.0))
 
     m = F.greatest(n - 1, F.lit(0))
     sorted_bg = F.array_sort(
         F.zip_with(
-            F.slice(t, 1, m), F.slice(t, 2, m), lambda x, y: F.xxhash64(x, y)
+            F.slice(th, 1, m),
+            F.slice(th, 2, m),
+            lambda x, y: F.shiftleft(x, 32).bitwiseXOR(y),
         )
     )
 

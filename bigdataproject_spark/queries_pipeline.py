@@ -29,6 +29,7 @@ from bigdataproject_spark.operators.textstats import (
     BPEISH_PATTERN,
     DEFAULT_LANG_MARKERS,
     fingerprint_expr,
+    hashed_tokens_expr,
     lang_id_expr,
     quality_features,
     quality_score_expr,
@@ -36,7 +37,7 @@ from bigdataproject_spark.operators.textstats import (
     token_counts,
     winnowing_fingerprints,
 )
-from bigdataproject_spark.sources.readers import load_table
+from bigdataproject_spark.sources.readers import fan_out, load_table
 
 # Tokens for dedup/fingerprint/lang-id: no stopword removal, keep 1-char
 # tokens (content-identity must not depend on the analysis stopword list).
@@ -474,12 +475,22 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner projection makes CollapseProject keep the expensive feature
     expressions single-evaluated (measured 2× on this query). No final
     orderBy: the driver's value-hash is order-insensitive and a global
-    sort of a map-only pass costs another ~2× at scale."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "tokens", tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False)
+    sort of a map-only pass costs another ~2× at scale. fan_out: the
+    interpreted feature work dominates this plan, so a small local
+    source must not serialize it onto one core (identity at scale —
+    see readers.fan_out)."""
+    docs = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .withColumn(
+            "tokens",
+            tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False),
+        )
+        # hash each token ONCE for the whole repetition feature set
+        # (named column = the sharing mechanism; see hashed_tokens_expr)
+        .withColumn("tokens_h", hashed_tokens_expr("tokens"))
     )
     feats = quality_features("text", "tokens")
-    reps = repetition_features("tokens")
+    reps = repetition_features("tokens_h", prehashed=True)
     with_feats = docs.select(
         "doc_id",
         feats["n_chars"].alias("n_chars"),
@@ -560,7 +571,9 @@ FROM f JOIN rep USING (doc_id) ORDER BY f.doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (argmax of per-language hit counts; earlier
     declared language wins ties; zero hits → 'und')."""
-    docs = _docs_tokens(spark, sf_dir)
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "tokens", _raw_tokens("text")
+    )
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
@@ -603,7 +616,7 @@ FROM c ORDER BY doc_id
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish-regex token counting per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tc = token_counts("text")
     return docs.select(
         "doc_id",
@@ -635,8 +648,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count and the joined set evaluates the full winnowing pass twice
     (measured 11.8 s vs 6.6 s at sf1) — CollapseProject refuses to
     inline a non-cheap alias used more than once, which is exactly the
-    sharing the one-select form never gets."""
-    docs = _docs_tokens(spark, sf_dir)
+    sharing the one-select form never gets. fan_out: winnowing is the
+    heaviest interpreted map pass in the registry — never serialize it
+    onto one core for a small source (identity at scale)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "tokens", _raw_tokens("text")
+    )
     fps = winnowing_fingerprints("tokens", k=5, window=4, hash_fn="md5")
     inner = docs.select(
         "doc_id",

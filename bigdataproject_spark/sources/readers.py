@@ -158,6 +158,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, min_splits: int | None = None) -> DataFrame:
+    """Fan an expensive per-row map pass out to the session's parallelism
+    when the source yields fewer input splits than that.
+
+    A small single-row-group parquet file is ONE Spark split no matter
+    the config (byte-range splitting cannot cross a row-group boundary),
+    so a heavy map pass — interpreted HOF chains over token arrays —
+    runs on one core of 32 (measured: the whole sf0.1 textstats pass on
+    a single 594 KB/5000-doc split). The guarded round-robin repartition
+    trades one tiny local shuffle for full-width parallelism.
+
+    At 100 TB the guard makes this the IDENTITY: input splits ≫
+    ``spark.sql.shuffle.partitions``, so no exchange ever enters the
+    plan and the pass stays a pure scan-stage map. The split count comes
+    from driver-side plan metadata (``getNumPartitions`` compiles the
+    RDD DAG but runs no job, scans no data)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if min_splits is None:
+        min_splits = target
+    if df.rdd.getNumPartitions() >= min_splits:
+        return df
+    return df.repartition(target)
+
+
 def read_documents_jsonl(
     spark: SparkSession,
     path: str,

@@ -41,7 +41,10 @@ def test_plan_hygiene(spark, sf_dir, name):
 # Upper bounds on shuffle exchanges (hash/range partitioning — broadcast
 # exchanges excluded) for flagship plans; a regression that adds a
 # shuffle to a map-only corpus pass is exactly the 100 TB hazard this
-# repo engineers against.
+# repo engineers against. The four corpus map passes stay at ZERO
+# hash/range exchanges; the only exchange they may carry is the guarded
+# ROUND-ROBIN fan-out (readers.fan_out — fires only when input splits <
+# parallelism, i.e. never at scale), pinned separately below.
 _MAX_SHUFFLES = {
     "textstats_quality": 0,
     "lang_id": 0,
@@ -67,3 +70,33 @@ def test_shuffle_budget(spark, sf_dir, name):
     )
     n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n <= _MAX_SHUFFLES[name], f"{name}: {n} shuffles in plan"
+
+
+_FAN_OUT_QUERIES = ["textstats_quality", "lang_id", "token_count", "doc_fingerprint"]
+
+
+@pytest.mark.parametrize("name", _FAN_OUT_QUERIES)
+def test_fan_out_is_roundrobin_only(spark, sf_dir, name):
+    """The corpus map passes may carry at most ONE exchange, and it must
+    be the round-robin fan-out — any hash/range partitioning entering
+    these plans is a real shuffle regression (caught above), and a
+    second round-robin would mean the data is being bounced twice."""
+    import re
+
+    plan = (
+        REG[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    rr = len(re.findall(r"Exchange roundrobinpartitioning", plan, re.IGNORECASE))
+    assert rr <= 1, f"{name}: {rr} round-robin exchanges"
+
+
+def test_fan_out_identity_when_splits_suffice(spark, sf_dir):
+    """fan_out must be the IDENTITY once the source already has enough
+    splits — the 100 TB contract (no exchange enters the plan)."""
+    from bigdataproject_spark.sources.readers import fan_out
+
+    df = spark.range(0, 1000, 1, 64)  # 64 partitions >= parallelism
+    assert fan_out(df) is df
+    small = spark.range(0, 1000, 1, 1)
+    plan = fan_out(small)._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobinpartitioning" in plan.lower()
