@@ -209,15 +209,38 @@ def ivf_topk(
             F.lit(None).cast("int").alias("rank"),
         )
     assigned, ctr_df, n_centroids = fitted
-    n_probe = min(n_probe, n_centroids)
+    return _ivf_search(
+        assigned,
+        ctr_df,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=min(n_probe, n_centroids),
+        exclude_self=exclude_self,
+    )
 
+
+def _ivf_search(
+    assigned: DataFrame,
+    ctr_df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared IVF search tail: probe the ``n_probe`` nearest cells per
+    query (tiny cross join against the broadcast centroid table,
+    squared-L2 — the quantizer's metric), then rank by cosine within the
+    probed cells. Used by both the KMeans and the sample quantizer."""
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
         l2_norm(vec_col).alias("qn"),
     )
-    # nearest n_probe cells per query: tiny cross join against the
-    # broadcast centroid table, squared-L2 (KMeans' metric)
     sq_dist = F.aggregate(
         F.zip_with(F.col("qv").cast("array<double>"), "ctr", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -245,6 +268,129 @@ def ivf_topk(
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
+    )
+
+
+def sample_centroids(
+    corpus: DataFrame, *, id_col: str, vec_col: str, n_centroids: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic 'sample' coarse quantizer: the centroids are the
+    vectors of the ``n_centroids`` smallest ids, cell = rank in that
+    order (FLANN-style sampled quantizer with a deterministic sample).
+    Unlike a KMeans fit, this is plain SQL given the corpus — so an IVF
+    search built on it is cross-engine hash-checkable, and stays correct
+    when the underlying data is regenerated. Driver collect bounded by
+    ``n_centroids`` rows (the same boundedness as the centroid table the
+    KMeans path already materializes via ``clusterCenters()``)."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(cell, list(r["v"])) for cell, r in enumerate(rows)]
+
+
+def assign_cell_expr(
+    vec: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid cell id as ONE map-side expression over a literal
+    centroid array — the 100 TB shape for quantizer assignment: a pure
+    projection inside the scan stage, no join, no shuffle (mirrors what
+    ``KMeansModel.transform`` does JVM-side). Ties on squared-L2 break
+    to the smallest cell (strict ``<`` keeps the earliest in the fold).
+
+    Pass a NAMED ``array<double>`` column: the vector is referenced once
+    per centroid inside the fold, and a named column is a cheap
+    attribute where an inline cast would copy the array per centroid."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    ctrs = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in ctr])
+                .cast("array<double>")
+                .alias("ctr"),
+            )
+            for cell, ctr in centroids
+        ]
+    )
+
+    def _d2(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _step(acc: Column, s: Column) -> Column:
+        nd = _d2(s["ctr"])
+        better = acc["cell"] < 0
+        better = better | (nd < acc["d2"])
+        return F.struct(
+            F.when(better, nd).otherwise(acc["d2"]).alias("d2"),
+            F.when(better, s["cell"]).otherwise(acc["cell"]).alias("cell"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("d2"), F.lit(-1).alias("cell")
+    )
+    return F.aggregate(ctrs, init, _step, lambda acc: acc["cell"])
+
+
+def ivf_topk_sampleq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k with the deterministic sample quantizer
+    (:func:`sample_centroids`): same multi-probe search mechanics as
+    :func:`ivf_topk` (shared ``_ivf_search`` tail), but every stage —
+    centroid pick, cell assignment, probe selection, cosine ranking —
+    is reproducible in ANSI SQL, which makes this the hash-checkable
+    registry variant. Cell assignment is a map-side literal-centroid
+    argmin (:func:`assign_cell_expr`), so the corpus is never shuffled
+    for the assignment — the same scale shape as KMeans transform."""
+    centroids = sample_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
+    if not centroids:
+        q0 = queries.select(F.col(id_col).alias("q_id"))
+        return q0.limit(0).select(
+            "q_id",
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+        F.col(vec_col).cast("array<double>").alias("_vd"),
+    ).select(
+        "neighbor_id", "cv", "cn", assign_cell_expr("_vd", centroids).alias("cell")
+    )
+    ctr_df = corpus.sparkSession.createDataFrame(
+        centroids, "cell int, ctr array<double>"
+    )
+    return _ivf_search(
+        assigned,
+        ctr_df,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=min(n_probe, len(centroids)),
+        exclude_self=exclude_self,
     )
 
 

@@ -24,7 +24,11 @@ from bigdataproject_spark.operators.dedup import (
 from bigdataproject_spark.operators.decontam import ngram_contamination
 from bigdataproject_spark.operators.sampling import stratified_sample_filter
 from bigdataproject_spark.operators.multimodal import extract_features, to_media_assets
-from bigdataproject_spark.operators.simsearch import brute_force_topk, ivf_topk, lsh_bucket_topk
+from bigdataproject_spark.operators.simsearch import (
+    brute_force_topk,
+    ivf_topk_sampleq,
+    lsh_bucket_topk,
+)
 from bigdataproject_spark.operators.textstats import (
     BPEISH_PATTERN,
     DEFAULT_LANG_MARKERS,
@@ -449,20 +453,76 @@ WHERE rank <= {ANN_K} ORDER BY q_id, rank
 
 
 
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 6
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: KMeans coarse quantizer, 6-of-16 cell
-    multi-probe (rows-only: clustering is engine-specific). Completes the
-    ANN trio: exact brute force / LSH sign-buckets / IVF."""
+    """IVF approximate top-10, 6-of-16 cell multi-probe, with the
+    deterministic SAMPLE quantizer (centroids = vectors of the 16
+    smallest ids) — every stage is plain SQL, so this entry is
+    hash-checked against DuckDB end-to-end (centroid pick, map-side
+    argmin cell assignment, multi-probe, cosine rank). The KMeans
+    quantizer path (`ivf_topk`) keeps its own equality bound test
+    (full-probe == brute force) and the materialized partition-pruned
+    index (`ivf_topk_indexed`). Completes the ANN trio: exact brute
+    force / LSH sign-buckets / IVF."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
+    return ivf_topk_sampleq(
         emb,
         _ann_queries(emb),
         id_col="vec_id",
         vec_col="embedding",
         k=ANN_K,
-        n_centroids=16,
-        n_probe=6,
+        n_centroids=IVF_N_CENTROIDS,
+        n_probe=IVF_N_PROBE,
     )
+
+
+def _sql_d2(v: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({v})), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ctr AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS ctr
+  FROM e ORDER BY vec_id LIMIT {IVF_N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_d2('e.v', 'c.ctr')} ASC,
+                                       c.cell ASC) AS rn
+    FROM e, ctr c) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}
+), probes AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_sql_d2('q.qv', 'c.ctr')} ASC,
+                                       c.cell ASC) AS pr
+    FROM q, ctr c) WHERE pr <= {IVF_N_PROBE}
+), sims AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, a.v) /
+               (sqrt(list_dot_product(p.qv, p.qv)) *
+                sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id != p.q_id
+), ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {ANN_K} ORDER BY q_id, rank
+"""
 
 
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,7 +902,7 @@ PIPELINE_QUERIES = {
     "embedding_neardup": _q(q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "ann_brute_topk": _q(q_ann_brute, ORACLE_ANN_BRUTE),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
-    "ann_ivf_topk": _q(q_ann_ivf, None),
+    "ann_ivf_topk": _q(q_ann_ivf, ORACLE_ANN_IVF),
     "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
     "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
     "token_count": _q(q_token_count, ORACLE_TOKEN_COUNT),

@@ -67,6 +67,36 @@ def test_tiny_corpus_clamps_centroids(spark, sf_dir):
     assert out.count() > 0  # k clamped to corpus size instead of throwing
 
 
+def test_sampleq_full_probe_equals_brute_force(spark, sf_dir):
+    """The sample-quantizer IVF (the hash-checked registry variant) must
+    also collapse to exact brute force when every cell is probed, and
+    its assignment plan must stay map-side (no shuffle of the corpus
+    for cell assignment)."""
+    from bigdataproject_spark.operators.simsearch import ivf_topk_sampleq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5)
+    full = ivf_topk_sampleq(
+        emb, q, id_col="vec_id", vec_col="embedding", k=5,
+        n_centroids=8, n_probe=8,
+    )
+    e = sorted((r.q_id, r.rank, r.neighbor_id, r.cosine) for r in exact.collect())
+    f = sorted((r.q_id, r.rank, r.neighbor_id, r.cosine) for r in full.collect())
+    assert e == f
+
+
+def test_sampleq_empty_corpus(spark, sf_dir):
+    from bigdataproject_spark.operators.simsearch import ivf_topk_sampleq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk_sampleq(
+        emb.limit(0), emb.limit(3), id_col="vec_id", vec_col="embedding", k=5
+    )
+    assert out.count() == 0
+    assert out.columns == ["q_id", "neighbor_id", "cosine", "rank"]
+
+
 def test_ivf_indexed_prunes_and_full_probe_is_exact(spark, sf_dir, tmp_path):
     """The materialized IVF layout must (a) scan only probed cells via
     PARTITION pruning — not a post-scan data filter — and (b) reproduce
