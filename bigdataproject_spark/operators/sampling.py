@@ -50,14 +50,31 @@ def stratified_sample_filter(
     """Per-stratum deterministic keep-predicate (data-mixture sampling).
 
     ``fractions`` maps stratum value → keep rate; unlisted strata use
-    ``default_fraction``. One hash + one CASE per row — a pure map-stage
-    expression. Because every stratum cuts the same hash, per-stratum
-    keep-sets nest monotonically in the rate, so reweighting a mixture
-    between pipeline versions only adds/removes rows at the margin
-    (cache- and dedup-friendly)."""
+    ``default_fraction``. One hash + one lookup per row — a pure
+    map-stage expression. Because every stratum cuts the same hash,
+    per-stratum keep-sets nest monotonically in the rate, so reweighting
+    a mixture between pipeline versions only adds/removes rows at the
+    margin (cache- and dedup-friendly).
+
+    Small mixtures (≤16 strata) use a CASE chain (codegen-friendly,
+    cheapest); larger ones a constant-folded MAP literal lookup
+    (``try_element_at`` — NULL on miss, never ANSI-throws), keeping the
+    expression tree FLAT instead of an O(n)-depth nested-when tower that
+    blows up analysis/codegen for a 500-source mixture map. A NULL
+    stratum falls to ``default_fraction`` on both paths. Beyond a few
+    thousand strata, prefer joining a broadcast rate table instead of an
+    in-plan literal."""
     k = F.col(key) if isinstance(key, str) else key
     s = F.col(stratum) if isinstance(stratum, str) else stratum
-    cut: Column = F.lit(sample_cut(default_fraction))
-    for value, frac in fractions.items():
-        cut = F.when(s == value, F.lit(sample_cut(frac))).otherwise(cut)
+    default_cut = F.lit(sample_cut(default_fraction))
+    if len(fractions) <= 16:
+        cut: Column = default_cut
+        for value, frac in fractions.items():
+            cut = F.when(s == value, F.lit(sample_cut(frac))).otherwise(cut)
+    else:
+        m = F.map_from_arrays(
+            F.array(*[F.lit(v) for v in fractions]),
+            F.array(*[F.lit(sample_cut(f)) for f in fractions.values()]),
+        )
+        cut = F.coalesce(F.try_element_at(m, s), default_cut)
     return portable_hash48(k.cast("string")) < cut

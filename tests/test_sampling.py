@@ -59,6 +59,58 @@ def test_stratified_rates_per_stratum(spark, sf_dir):
         assert abs(by_lang.get(lang, 0) / n_stratum - f) < 0.12
 
 
+def test_stratified_map_path_matches_when_chain(spark, sf_dir):
+    """A 200-stratum mixture (map-literal path) must produce exactly the
+    same keep-set as the equivalent per-stratum when-chain predicates,
+    keep a FLAT plan (no nested-when tower, no Exchange), and fall back
+    to the default rate for unlisted and NULL strata."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "src", F.concat(F.lit("source-"), (F.col("doc_id") % 200).cast("string"))
+    )
+    rates = {f"source-{i}": (i % 10) / 10.0 for i in range(200)}
+    keep = stratified_sample_filter("doc_id", "src", rates, default_fraction=0.0)
+    got = {r["doc_id"] for r in docs.filter(keep).select("doc_id").collect()}
+
+    expected = set()
+    for i in range(0, 200, 37):  # spot-check a spread of strata
+        src = f"source-{i}"
+        flat = docs.filter(
+            (F.col("src") == src)
+            & deterministic_sample_filter("doc_id", rates[src])
+        )
+        expected |= {r["doc_id"] for r in flat.select("doc_id").collect()}
+        got_stratum = {
+            r["doc_id"]
+            for r in docs.filter(keep)
+            .filter(F.col("src") == src)
+            .select("doc_id")
+            .collect()
+        }
+        flat_ids = {r["doc_id"] for r in flat.select("doc_id").collect()}
+        assert got_stratum == flat_ids, src
+    assert expected <= got
+
+    plan = (
+        docs.filter(keep).select("doc_id")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("CASE WHEN") <= 2  # flat lookup, not a 200-deep tower
+
+    # unlisted + NULL strata -> default (0.0 here: dropped)
+    weird = docs.withColumn(
+        "src",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("unlisted")).otherwise(F.lit(None)),
+    )
+    assert weird.filter(
+        stratified_sample_filter("doc_id", "src", rates, default_fraction=0.0)
+    ).count() == 0
+    n_all = weird.count()
+    assert weird.filter(
+        stratified_sample_filter("doc_id", "src", rates, default_fraction=1.0)
+    ).count() == n_all
+
+
 def test_sample_cut_bounds():
     assert sample_cut(0.0) == 0
     assert sample_cut(1.0) == 1 << 48
