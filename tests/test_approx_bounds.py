@@ -10,16 +10,42 @@ recall bounded.)
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.queries import registry
 
 
-def test_approx_distinct_within_hll_bound(spark, sf_dir):
-    """approx_count_distinct(rsd=0.01) must land within 5% of the exact
-    per-group distinct count (HLL++ at rsd 1% is far tighter in practice;
-    5% leaves headroom without letting a broken sketch through)."""
-    rows = registry()["approx_distinct_users"].fn(spark, sf_dir).collect()
+@pytest.fixture(scope="module")
+def sf1_events_dir(spark):
+    """Bench-scale (sf1 ≈ 1M events × 10 copies = 10M rows) events-only
+    dataset for the approximate-operator bounds — the sketches must hold
+    at the scale the headline bench runs at, not just at test sf. Built
+    once per session from sf0.1 by key-shifted union (same recipe as
+    tools/make_scale.py), events table only (both bound-tested queries
+    read nothing else)."""
+    dst = "/tmp/sf1_boundtest"
+    if not os.path.exists(os.path.join(dst, "events.parquet", "_SUCCESS")):
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+            out = (
+                ev.crossJoin(spark.range(10).select(F.col("id").alias("_i")))
+                .withColumn("event_id", F.col("event_id") + F.col("_i") * 100_000_000)
+                .withColumn("ts", F.col("ts") + F.col("_i") * F.expr("INTERVAL 1 DAY"))
+                .drop("_i")
+            )
+            out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    return dst
+
+
+def _check_hll_bound(spark, sf):
+    rows = registry()["approx_distinct_users"].fn(spark, sf).collect()
     assert rows
     for r in rows:
         assert r["exact_users"] > 0
@@ -27,18 +53,14 @@ def test_approx_distinct_within_hll_bound(spark, sf_dir):
         assert rel_err <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
 
 
-def test_energy_approx_flag_agrees_with_exact_window(spark, sf_dir):
-    """The approx_percentile + broadcast-threshold flag (the 100TB path)
-    must agree with the exact percent_rank window flag on ≥97% of rows,
-    and every disagreement must sit next to the per-key energy threshold
-    (the only place a quantile sketch may legitimately differ)."""
-    approx = (
-        registry()["energy_approx_flag"]
-        .fn(spark, sf_dir)
-        .select("event_type", "bucket_s", "energy_r", F.col("is_high").alias("ah"))
-    )
+def _check_energy_flag_agreement(spark, sf):
     from pyspark.sql import Window
 
+    approx = (
+        registry()["energy_approx_flag"]
+        .fn(spark, sf)
+        .select("event_type", "bucket_s", "energy_r", F.col("is_high").alias("ah"))
+    )
     exact = approx.withColumn(
         "eh",
         F.percent_rank().over(
@@ -65,3 +87,30 @@ def test_energy_approx_flag_agrees_with_exact_window(spark, sf_dir):
             (F.col("ah") != F.col("eh")) & (F.abs(F.col("pr") - 0.9) > 0.02)
         )
         assert far.count() == 0
+
+
+def test_approx_distinct_within_hll_bound(spark, sf_dir):
+    """approx_count_distinct(rsd=0.01) must land within 5% of the exact
+    per-group distinct count (HLL++ at rsd 1% is far tighter in practice;
+    5% leaves headroom without letting a broken sketch through)."""
+    _check_hll_bound(spark, sf_dir)
+
+
+def test_approx_distinct_within_hll_bound_sf1(spark, sf1_events_dir):
+    """Same HLL ε bound at bench scale (10M events): register growth must
+    not degrade the sketch beyond its nominal rsd."""
+    _check_hll_bound(spark, sf1_events_dir)
+
+
+def test_energy_approx_flag_agrees_with_exact_window(spark, sf_dir):
+    """The approx_percentile + broadcast-threshold flag (the 100TB path)
+    must agree with the exact percent_rank window flag on ≥97% of rows,
+    and every disagreement must sit next to the per-key energy threshold
+    (the only place a quantile sketch may legitimately differ)."""
+    _check_energy_flag_agreement(spark, sf_dir)
+
+
+def test_energy_approx_flag_agrees_with_exact_window_sf1(spark, sf1_events_dir):
+    """Same flag-agreement bound at bench scale: the quantile sketch's
+    accuracy parameter must hold as group sizes grow 1000×."""
+    _check_energy_flag_agreement(spark, sf1_events_dir)
