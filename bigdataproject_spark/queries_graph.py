@@ -17,7 +17,7 @@ from bigdataproject_spark.operators.graph import (
     graph_edges,
     graph_nodes,
 )
-from bigdataproject_spark.sources.readers import load_table
+from bigdataproject_spark.sources.readers import fan_out, load_table
 
 # 16 aliases → 9 canonical entities (analogue of the reference's 33 → 17).
 DOC_ALIASES: dict[str, str] = {
@@ -50,7 +50,10 @@ hits AS (
 
 
 def _entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: per-alias contains() extraction is a heavy map over text —
+    # it must not serialize onto one core for a small/single-split source
+    # (identity at scale; measured 28 s single-core at a 100× scale-up).
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return extract_entity_table(docs, "text", DOC_ALIASES)
 
 

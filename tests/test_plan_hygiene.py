@@ -51,7 +51,12 @@ _MAX_SHUFFLES = {
     "token_count": 0,
     "doc_fingerprint": 0,
     "dedup_exact": 1,  # one hash-agg exchange on the digest
-    "q5_region_revenue": 2,  # final agg + presentation sort
+    # orderkey-shuffle (both fact sides) + final agg + presentation sort.
+    # The fact-fact join is PINNED to shuffle (see q5's docstring): the
+    # previous budget of 2 was only reachable by broadcasting the orders
+    # FACT, which Catalyst's compressed-size stats wrongly allowed and
+    # which collapses at a 100× scale-up.
+    "q5_region_revenue": 4,
     "q1_pricing_summary": 2,
     "contamination_check": 3,  # eval distinct + per-doc agg + sort
 }

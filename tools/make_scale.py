@@ -1,50 +1,98 @@
-"""Synthesize a 10x scale-up of sf0.1 (~sf1) by unioning key-shifted copies."""
+"""Synthesize a Kx scale-up of sf0.1 by unioning key-shifted copies.
+
+Usage: python tools/make_scale.py [K] [DST]
+  K    scale multiplier over sf0.1 (default 10 -> ~sf1)
+  DST  output dir (default /tmp/sf{K/10})
+
+Key shifting keeps fact-table keys disjoint across copies (join
+fan-outs stay realistic); event timestamps shift one day per copy so
+sessionization/windows see new activity, not 100 coincident clones of
+the same minute. Duplicated documents are an intentional property: the
+dedup pipelines must survive a corpus where every doc has K exact
+copies (worst case for LSH bucket width).
+"""
 import os
+import sys
+
 from pyspark.sql import functions as F
+
 from bigdataproject_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1"
-K = 10
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf{K / 10:g}"
 OFF = 100_000_000
 
-spark = get_spark("make_sf1")
+spark = get_spark(f"make_scale_{K}x")
 # keep ts columns parquet TIMESTAMP(MICROS) (not INT96) so the loader's
 # footer sniff sees the same physical type as the driver testdata
 spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 os.makedirs(DST, exist_ok=True)
 
-def save(df, name):
+
+def save(df, name, n_files: int | None = None):
+    """Fact tables are written as ≥32 files: a real table at this scale
+    is never one file, and a single-row-group parquet file caps scan
+    parallelism at 1 task no matter the split config. Dims stay as-is."""
+    if n_files:
+        df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+
+def expand(df, shifts):
+    """Union K key-shifted copies; `shifts` maps column -> per-copy shift
+    expression factory (copy index column `_i`)."""
+    out = df.crossJoin(spark.range(K).select(F.col("id").alias("_i")))
+    for col, mk in shifts.items():
+        out = out.withColumn(col, mk(F.col("_i")))
+    return out.drop("_i")
+
 
 # dims: copy
 for t in ["region", "nation", "supplier", "customer", "part"]:
     save(spark.read.parquet(f"{SRC}/{t}.parquet"), t)
 
-orders = spark.read.parquet(f"{SRC}/orders.parquet")
-save(orders.crossJoin(spark.range(K).select(F.col("id").alias("_i")))
-      .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_i") * OFF).drop("_i"), "orders")
-
-li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-save(li.crossJoin(spark.range(K).select(F.col("id").alias("_i")))
-      .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_i") * OFF).drop("_i"), "lineitem")
-
-ev = spark.read.parquet(f"{SRC}/events.parquet")  # ts is timestamp[us]
-save(ev.crossJoin(spark.range(K).select(F.col("id").alias("_i")))
-      .withColumn("event_id", F.col("event_id") + F.col("_i") * OFF)
-      .withColumn("ts", F.col("ts") + F.col("_i") * F.expr("INTERVAL 1 DAY"))
-      .drop("_i"), "events")
-
-docs = spark.read.parquet(f"{SRC}/documents.parquet")
-save(docs.crossJoin(spark.range(K).select(F.col("id").alias("_i")))
-      .withColumn("doc_id", F.col("doc_id") + F.col("_i") * OFF).drop("_i"), "documents")
+N_FILES = 32
+save(
+    expand(
+        spark.read.parquet(f"{SRC}/orders.parquet"),
+        {"o_orderkey": lambda i: F.col("o_orderkey") + i * OFF},
+    ),
+    "orders",
+    N_FILES,
+)
+save(
+    expand(
+        spark.read.parquet(f"{SRC}/lineitem.parquet"),
+        {"l_orderkey": lambda i: F.col("l_orderkey") + i * OFF},
+    ),
+    "lineitem",
+    N_FILES,
+)
+save(
+    expand(
+        spark.read.parquet(f"{SRC}/events.parquet"),  # ts is timestamp[us]
+        {
+            "event_id": lambda i: F.col("event_id") + i * OFF,
+            "ts": lambda i: F.col("ts") + i * F.expr("INTERVAL 1 DAY"),
+        },
+    ),
+    "events",
+    N_FILES,
+)
+save(
+    expand(
+        spark.read.parquet(f"{SRC}/documents.parquet"),
+        {"doc_id": lambda i: F.col("doc_id") + i * OFF},
+    ),
+    "documents",
+    N_FILES,
+)
 
 emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-cols = emb.columns
-idc = "emb_id" if "emb_id" in cols else cols[0]
-save(emb.crossJoin(spark.range(K).select(F.col("id").alias("_i")))
-      .withColumn(idc, F.col(idc) + F.col("_i") * OFF).drop("_i"), "embeddings")
+idc = "emb_id" if "emb_id" in emb.columns else emb.columns[0]
+save(expand(emb, {idc: lambda i: F.col(idc) + i * OFF}), "embeddings", N_FILES)
 
-for t in ["lineitem","orders","events","documents","embeddings"]:
+for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
     print(t, spark.read.parquet(f"{DST}/{t}.parquet").count())
 spark.stop()
