@@ -29,11 +29,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (47 of 50 — FP-Growth via exact
-    subset enumeration, minhash-LSH/simhash/winnowing via portable md5
-    hash families computed identically by both engines). Omitted only
-    where the approximation itself is engine-specific: HyperLogLog
-    (approx_distinct_users), MLlib KMeans centroids (ann_ivf_topk), and
-    the approx_percentile sketch (energy_approx_flag) — each bound-tested
-    against exact results in tests/ instead."""
+    """DuckDB-equivalent SQL per query (50 of 50 — FP-Growth via exact
+    subset enumeration; minhash-LSH/simhash/winnowing/HLL via portable
+    md5 hash families computed identically by both engines; the IVF
+    coarse quantizer via a deterministic-sample snapshot; the adaptive
+    top-decile flag via a deterministic histogram quantile). Each
+    approximate operator is additionally ε-bound-tested against the
+    exact computation at sf and sf1 in tests/test_approx_bounds.py and
+    tests/test_ivf.py."""
     return {name: q.oracle for name, q in registry().items() if q.oracle is not None}

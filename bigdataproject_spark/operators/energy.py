@@ -121,6 +121,60 @@ def flag_top_pct_approx(
     )
 
 
+def flag_top_pct_binned(
+    df: DataFrame,
+    *,
+    key: str = "key",
+    order: str = "energy",
+    pct: float = HIGHLIGHT_PCT,
+    resolution: int = 16,
+) -> DataFrame:
+    """Deterministic-sketch variant of :func:`flag_top_pct_approx`: a
+    fixed-width histogram quantile instead of the ``approx_percentile``
+    GK sketch, so the flag is engine-portable and hash-checkable against
+    an ANSI-SQL oracle (the GK sketch's internals are Spark-specific).
+
+    Algorithm (same 100 TB shape as the approx variant — no per-key sort):
+      1. bin = floor(order·resolution) (pure map; ``order`` pre-rounded
+         to 6dp so both engines bin identical doubles, the same trick
+         the exact variant uses for rank ordering);
+      2. per-(key, bin) counts — ONE map-side-combinable aggregate whose
+         output is ≤ keys × value_range × resolution rows, independent of
+         input row count;
+      3. threshold bin per key = min bin with running count ≥ pct·total,
+         computed by a window over the TINY histogram table;
+      4. broadcast the per-key threshold back; is_high = bin ≥ threshold.
+
+    Approximation error vs the exact percent_rank flag is at most the
+    rows sharing the threshold's histogram bin (width 1/resolution in
+    ``order`` units) — bound-tested in tests/test_approx_bounds.py at sf
+    and sf1. The histogram is value-range-bounded, not input-bounded:
+    keys × range × resolution rows; pick ``resolution`` so that stays
+    ≪ the bucketed frame (16 bins/unit over a few-hundred-unit energy
+    range → a few thousand bins per key).
+    """
+    binned = df.withColumn(
+        "_bin", F.floor(F.round(F.col(order), 6) * resolution).cast("long")
+    )
+    hist = binned.groupBy(key, "_bin").agg(F.count(F.lit(1)).alias("_n"))
+    cum = hist.select(
+        key,
+        "_bin",
+        F.sum("_n").over(Window.partitionBy(key).orderBy("_bin")).alias("_cum"),
+        F.sum("_n").over(Window.partitionBy(key)).alias("_tot"),
+    )
+    thr = (
+        cum.filter(F.col("_cum") >= F.lit(pct) * F.col("_tot"))
+        .groupBy(key)
+        .agg(F.min("_bin").alias("_thr_bin"))
+    )
+    return (
+        binned.join(F.broadcast(thr), on=key)
+        .withColumn("is_high", F.col("_bin") >= F.col("_thr_bin"))
+        .drop("_bin", "_thr_bin")
+    )
+
+
 def energy_pipeline(
     events: DataFrame,
     *,

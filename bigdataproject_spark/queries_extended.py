@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.contract import Query as _q
-from bigdataproject_spark.operators.energy import flag_top_pct_approx
+from bigdataproject_spark.operators.energy import flag_top_pct_binned
 from bigdataproject_spark.operators.temporal import asof_join, range_join_count
 from bigdataproject_spark.sources.readers import load_table
 
@@ -312,13 +312,18 @@ ORDER BY minute_s
 """
 
 
-# --- approx-percentile highlight (scale variant of W1–W3; rows-only) ---------
+# --- binned-quantile highlight (scale variant of W1–W3) ----------------------
 
 
 def q_energy_approx_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100TB path for the reference's adaptive threshold: per-key
-    approx_percentile + broadcast join instead of a sort-per-partition
-    window (quantile-sketch internals are engine-specific → rows-only)."""
+    """The 100TB path for the reference's adaptive threshold: a
+    histogram-quantile per-key threshold + broadcast join instead of a
+    sort-per-partition window. Upgraded in r3 from ``approx_percentile``
+    (GK sketch, engine-specific → was rows-only) to the deterministic
+    binned quantile (``flag_top_pct_binned``), which keeps the identical
+    no-per-key-sort plan shape but hash-matches a DuckDB oracle running
+    the same algorithm. The GK-sketch variant stays available
+    (``flag_top_pct_approx``) and bound-tested."""
     ev = load_table(spark, sf_dir, "events")
     per_bucket = (
         ev.groupBy(
@@ -329,7 +334,7 @@ def q_energy_approx_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("energy", 0.37 * F.col("sentiment") + 0.63 * F.col("density"))
     )
     return (
-        flag_top_pct_approx(per_bucket, key="event_type", order="energy", pct=0.9)
+        flag_top_pct_binned(per_bucket, key="event_type", order="energy", pct=0.9)
         .select(
             "event_type",
             "bucket_s",
@@ -339,6 +344,37 @@ def q_energy_approx_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_s")
     )
+
+
+ORACLE_ENERGY_APPROX_FLAG = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS bucket_s,
+         count(*) AS density,
+         sum(value) AS sentiment
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT event_type, bucket_s, density,
+         0.37*sentiment + 0.63*density AS energy,
+         CAST(floor(round(0.37*sentiment + 0.63*density, 6) * 16) AS BIGINT) AS bin
+  FROM agg
+), hist AS (
+  SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+), thr AS (
+  SELECT event_type, min(bin) AS thr_bin
+  FROM cum WHERE c >= 0.9 * tot GROUP BY event_type
+)
+SELECT e.event_type, e.bucket_s, e.density,
+       round(e.energy, 4) AS energy_r,
+       e.bin >= t.thr_bin AS is_high
+FROM e JOIN thr t USING (event_type)
+ORDER BY e.event_type, e.bucket_s
+"""
 
 
 
@@ -452,7 +488,7 @@ EXTENDED_QUERIES = {
     "outer_join_user_activity": _q(q_outer_join, ORACLE_OUTER_JOIN),
     "json_props_stats": _q(q_json_props, ORACLE_JSON_PROPS),
     "sql_density_per_minute": _q(q_sql_density, ORACLE_SQL_DENSITY),
-    "energy_approx_flag": _q(q_energy_approx_flag, None),
+    "energy_approx_flag": _q(q_energy_approx_flag, ORACLE_ENERGY_APPROX_FLAG),
     "quantiles_by_type": _q(q_quantiles_by_type, ORACLE_QUANTILES),
     "energy_timeline_nested": _q(q_energy_timeline_nested, ORACLE_ENERGY_NESTED),
 }

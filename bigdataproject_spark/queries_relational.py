@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.contract import Query as _q
+from bigdataproject_spark.operators.sketches import hll_count_distinct, hll_oracle_cte
 from bigdataproject_spark.sources.readers import load_table
 
 
@@ -491,18 +492,39 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) per event_type — sketch values are
-    engine-specific, so no SQL oracle (rows-only check); the exact count
-    rides along for human sanity."""
+    """Approximate distinct users per event_type via the PORTABLE HLL
+    sketch (``operators/sketches.py``): explicit md5-derived registers +
+    integer-exact fold, so the estimate hash-matches a DuckDB oracle
+    running the identical algorithm (upgraded from rows-only in r3).
+
+    The exact count rides along (its own map-side-combinable distinct
+    agg, broadcast-joined — 5 key rows) both for human sanity and so the
+    sf/sf1 ε-bound tests read one frame. The built-in HLL++
+    ``approx_count_distinct`` path stays bound-tested in
+    ``tests/test_approx_bounds.py`` as the no-oracle-needed alternative.
+    """
     ev = load_table(spark, sf_dir, "events")
+    approx = hll_count_distinct(ev, key="event_type", value_col="user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-        )
+        approx.join(F.broadcast(exact), on="event_type")
+        .select("event_type", "approx_users", "exact_users")
         .orderBy("event_type")
     )
+
+
+ORACLE_APPROX_DISTINCT = f"""
+WITH hll AS ({{hll_cte}}),
+x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type)
+SELECT hll.event_type, hll.approx_users, x.exact_users
+FROM hll JOIN x USING (event_type)
+ORDER BY hll.event_type
+""".format(
+    hll_cte=hll_oracle_cte(table="events", key="event_type", value_col="user_id")
+)
 
 
 RELATIONAL_QUERIES = {
@@ -519,5 +541,5 @@ RELATIONAL_QUERIES = {
     "date_monthly_orders": _q(q_date_monthly, ORACLE_DATE_MONTHLY),
     "sessionize_events": _q(q_sessionize, ORACLE_SESSIONIZE),
     "pivot_event_counts": _q(q_pivot_events, ORACLE_PIVOT),
-    "approx_distinct_users": _q(q_approx_distinct, None),
+    "approx_distinct_users": _q(q_approx_distinct, ORACLE_APPROX_DISTINCT),
 }

@@ -1,11 +1,16 @@
-"""Error-bound verification for the two registry queries whose sketches
-are intrinsically engine-specific (rows-only at the driver): the repo-side
-guarantee is a measured bound against the EXACT computation, which is the
-strongest check an approximate operator admits.
+"""Error-bound verification for the approximate operators.
 
-(The third rows-only query, ann_ivf_topk, gets the same treatment in
-tests/test_ivf.py: full-probe == brute force exactly, partial-probe
-recall bounded.)
+Since r3 the two registry entries here are PORTABLE sketches
+(operators/sketches.py HLL, energy.flag_top_pct_binned) and hash-checked
+against DuckDB oracles running the identical algorithm — the driver
+verifies they compute what they claim; these tests verify what they
+claim is CLOSE TO EXACT, at test sf and at bench scale (sf1).
+
+The engine-specific Spark built-ins (``approx_count_distinct`` HLL++,
+``percentile_approx``-based ``flag_top_pct_approx``) remain supported
+alternatives and get the same ε bounds below — a measured bound against
+the exact computation being the strongest check a non-portable sketch
+admits.
 """
 
 from __future__ import annotations
@@ -103,14 +108,65 @@ def test_approx_distinct_within_hll_bound_sf1(spark, sf1_events_dir):
 
 
 def test_energy_approx_flag_agrees_with_exact_window(spark, sf_dir):
-    """The approx_percentile + broadcast-threshold flag (the 100TB path)
+    """The binned-quantile + broadcast-threshold flag (the 100TB path)
     must agree with the exact percent_rank window flag on ≥97% of rows,
     and every disagreement must sit next to the per-key energy threshold
-    (the only place a quantile sketch may legitimately differ)."""
+    (the only place a histogram quantile may legitimately differ)."""
     _check_energy_flag_agreement(spark, sf_dir)
 
 
 def test_energy_approx_flag_agrees_with_exact_window_sf1(spark, sf1_events_dir):
-    """Same flag-agreement bound at bench scale: the quantile sketch's
-    accuracy parameter must hold as group sizes grow 1000×."""
+    """Same flag-agreement bound at bench scale: bin occupancy around the
+    threshold must not balloon as group sizes grow 1000×."""
     _check_energy_flag_agreement(spark, sf1_events_dir)
+
+
+def test_builtin_hll_within_bound(spark, sf_dir):
+    """The engine-specific built-in (approx_count_distinct, rsd=0.01)
+    stays a supported alternative to the portable sketch — same ε bound
+    vs exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel_err <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
+
+
+def test_builtin_gk_flag_agrees_with_binned(spark, sf_dir):
+    """flag_top_pct_approx (percentile_approx GK sketch) must agree with
+    the portable binned flag on ≥97% of bucket rows — the two 100TB
+    variants may only differ in threshold-adjacent rows."""
+    from pyspark.sql import functions as FF
+
+    from bigdataproject_spark.operators.energy import (
+        bucket_energy,
+        flag_top_pct_approx,
+        flag_top_pct_binned,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = bucket_energy(
+        ev,
+        key="event_type",
+        bucket=(FF.floor(FF.unix_timestamp("ts") / 10) * 10).cast("long"),
+        weight=FF.col("value"),
+    )
+    a = flag_top_pct_approx(agg).select(
+        "key", "bucket", FF.col("is_high").alias("gk")
+    )
+    b = flag_top_pct_binned(agg).select(
+        "key", "bucket", FF.col("is_high").alias("binned")
+    )
+    j = a.join(b, on=["key", "bucket"])
+    total = j.count()
+    assert total > 0
+    n_dis = j.filter(FF.col("gk") != FF.col("binned")).count()
+    assert n_dis / total <= 0.03, f"{n_dis}/{total} variant disagreements"

@@ -59,6 +59,14 @@ _MAX_SHUFFLES = {
     "q5_region_revenue": 4,
     "q1_pricing_summary": 2,
     "contamination_check": 3,  # eval distinct + per-doc agg + sort
+    # two independent map-side-combinable agg pipelines over events
+    # (HLL registers → fold; exact distinct expand) + presentation sort;
+    # every post-scan frame is ≤ keys × 4096 rows.
+    "approx_distinct_users": 5,
+    # bucket agg ×2 (hist path + flag path — the accepted
+    # thresholds-then-join double-scan shape), tiny hist window chain,
+    # presentation sort. No per-key sort of the bucketed frame anywhere.
+    "energy_approx_flag": 5,
 }
 
 
