@@ -71,8 +71,12 @@ def hll_count_distinct(
         F.lit(_RHO_MAX) - F.length(F.bin(w))
     )
 
+    # NULLs are excluded (matching count(DISTINCT ...) semantics); without
+    # the filter a NULL value would land in a NULL register bucket that
+    # count(*) sees but the isum sum skips, biasing v by one.
     registers = (
-        df.select(F.col(key), bucket.alias("_b"), rho.alias("_rho"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(key), bucket.alias("_b"), rho.alias("_rho"))
         .groupBy(key, "_b")
         .agg(F.max("_rho").alias("_m"))
     )
@@ -124,7 +128,7 @@ FROM (
         SELECT {key},
                CAST(concat('0x', substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))
                     AS BIGINT) AS h
-        FROM {table}
+        FROM {table} WHERE {value_col} IS NOT NULL
       ) GROUP BY {key}, h & {m - 1}
     ) GROUP BY {key}
   )

@@ -121,6 +121,22 @@ def test_energy_approx_flag_agrees_with_exact_window_sf1(spark, sf1_events_dir):
     _check_energy_flag_agreement(spark, sf1_events_dir)
 
 
+def test_portable_hll_skips_nulls(spark):
+    """NULL values must not contribute registers — count(DISTINCT x)
+    semantics. A frame that is 50% NULLs estimates the same cardinality
+    as the NULL-free half."""
+    from bigdataproject_spark.operators.sketches import hll_count_distinct
+
+    base = spark.range(200).select(
+        F.lit("k").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),
+    )
+    est = hll_count_distinct(base, key="k", value_col="v").collect()[0]
+    exact = base.agg(F.countDistinct("v")).collect()[0][0]
+    assert exact == 100
+    assert abs(est["approx_users"] - exact) / exact <= 0.05
+
+
 def test_builtin_hll_within_bound(spark, sf_dir):
     """The engine-specific built-in (approx_count_distinct, rsd=0.01)
     stays a supported alternative to the portable sketch — same ε bound
