@@ -156,7 +156,17 @@ def flag_top_pct_binned(
     binned = df.withColumn(
         "_bin", F.floor(F.round(F.col(order), 6) * resolution).cast("long")
     )
-    hist = binned.groupBy(key, "_bin").agg(F.count(F.lit(1)).alias("_n"))
+    # NULL `order` rows are excluded from the histogram (matching the GK
+    # variant, whose percentile_approx ignores NULLs) — and crucially
+    # keep NULL bins out of the cumulative window, whose default NULL
+    # placement differs between Spark (FIRST) and DuckDB (LAST). A NULL
+    # row still flags as NULL on output (`NULL >= thr` is NULL in both
+    # engines).
+    hist = (
+        binned.filter(F.col("_bin").isNotNull())
+        .groupBy(key, "_bin")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     cum = hist.select(
         key,
         "_bin",

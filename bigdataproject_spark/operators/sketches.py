@@ -121,7 +121,7 @@ FROM (
            {m} - count(*) AS v,
            sum(CAST(1 AS BIGINT) << ({_RHO_MAX} - mx)) AS isum
     FROM (
-      SELECT {key}, h & {m - 1} AS b,
+      SELECT {key},
              max(CASE WHEN (h >> {HLL_P}) = 0 THEN {_RHO_MAX}
                       ELSE {_RHO_MAX} - length(bin(h >> {HLL_P})) END) AS mx
       FROM (

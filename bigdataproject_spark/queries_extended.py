@@ -359,7 +359,8 @@ WITH agg AS (
          CAST(floor(round(0.37*sentiment + 0.63*density, 6) * 16) AS BIGINT) AS bin
   FROM agg
 ), hist AS (
-  SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2
+  SELECT event_type, bin, count(*) AS n FROM e
+  WHERE bin IS NOT NULL GROUP BY 1, 2
 ), cum AS (
   SELECT event_type, bin,
          sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS c,

@@ -515,16 +515,15 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_CTE = hll_oracle_cte(table="events", key="event_type", value_col="user_id")
 ORACLE_APPROX_DISTINCT = f"""
-WITH hll AS ({{hll_cte}}),
+WITH hll AS ({_HLL_CTE}),
 x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
       FROM events GROUP BY event_type)
 SELECT hll.event_type, hll.approx_users, x.exact_users
 FROM hll JOIN x USING (event_type)
 ORDER BY hll.event_type
-""".format(
-    hll_cte=hll_oracle_cte(table="events", key="event_type", value_col="user_id")
-)
+"""
 
 
 RELATIONAL_QUERIES = {

@@ -25,9 +25,9 @@ from bigdataproject_spark.queries import registry
 
 @pytest.fixture(scope="module")
 def sf1_events_dir(spark):
-    """Bench-scale (sf1 ≈ 1M events × 10 copies = 10M rows) events-only
-    dataset for the approximate-operator bounds — the sketches must hold
-    at the scale the headline bench runs at, not just at test sf. Built
+    """Bench-scale (sf0.1's 100k events × 10 copies = 1M rows ≈ sf1)
+    events-only dataset for the approximate-operator bounds — the
+    sketches must hold at 10× the scale the headline bench runs at. Built
     once per session from sf0.1 by key-shifted union (same recipe as
     tools/make_scale.py), events table only (both bound-tested queries
     read nothing else)."""
@@ -95,9 +95,10 @@ def _check_energy_flag_agreement(spark, sf):
 
 
 def test_approx_distinct_within_hll_bound(spark, sf_dir):
-    """approx_count_distinct(rsd=0.01) must land within 5% of the exact
-    per-group distinct count (HLL++ at rsd 1% is far tighter in practice;
-    5% leaves headroom without letting a broken sketch through)."""
+    """The registered portable HLL (p=12: σ ≈ 1.6% in the raw regime,
+    tighter under linear counting) must land within 5% of the exact
+    per-group distinct count — headroom without letting a broken sketch
+    through."""
     _check_hll_bound(spark, sf_dir)
 
 
@@ -160,8 +161,6 @@ def test_builtin_gk_flag_agrees_with_binned(spark, sf_dir):
     """flag_top_pct_approx (percentile_approx GK sketch) must agree with
     the portable binned flag on ≥97% of bucket rows — the two 100TB
     variants may only differ in threshold-adjacent rows."""
-    from pyspark.sql import functions as FF
-
     from bigdataproject_spark.operators.energy import (
         bucket_energy,
         flag_top_pct_approx,
@@ -172,17 +171,17 @@ def test_builtin_gk_flag_agrees_with_binned(spark, sf_dir):
     agg = bucket_energy(
         ev,
         key="event_type",
-        bucket=(FF.floor(FF.unix_timestamp("ts") / 10) * 10).cast("long"),
-        weight=FF.col("value"),
+        bucket=(F.floor(F.unix_timestamp("ts") / 10) * 10).cast("long"),
+        weight=F.col("value"),
     )
     a = flag_top_pct_approx(agg).select(
-        "key", "bucket", FF.col("is_high").alias("gk")
+        "key", "bucket", F.col("is_high").alias("gk")
     )
     b = flag_top_pct_binned(agg).select(
-        "key", "bucket", FF.col("is_high").alias("binned")
+        "key", "bucket", F.col("is_high").alias("binned")
     )
     j = a.join(b, on=["key", "bucket"])
     total = j.count()
     assert total > 0
-    n_dis = j.filter(FF.col("gk") != FF.col("binned")).count()
+    n_dis = j.filter(F.col("gk") != F.col("binned")).count()
     assert n_dis / total <= 0.03, f"{n_dis}/{total} variant disagreements"

@@ -1,6 +1,6 @@
-"""Mirror of the driver's DuckDB-oracle check at sf0.001: every query with
-an oracle must match on columns + row multiset; rows-only queries must at
-least run and return a stable row count twice."""
+"""Mirror of the driver's DuckDB-oracle check at sf0.001: every query in
+the registry must carry an oracle (50/50 since r3) and match it on
+columns + row multiset."""
 
 from __future__ import annotations
 
@@ -11,7 +11,13 @@ from bigdataproject_spark.queries import registry
 
 REG = registry()
 WITH_ORACLE = sorted(n for n, q in REG.items() if q.oracle is not None)
-ROWS_ONLY = sorted(n for n, q in REG.items() if q.oracle is None)
+
+
+def test_every_query_is_oracled():
+    """Since the r3 portable-sketch promotion there are no rows-only
+    entries left; a query regressing to oracle=None is a coverage loss
+    the driver would silently downgrade to a weaker check."""
+    assert WITH_ORACLE == sorted(REG)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
@@ -21,13 +27,3 @@ def test_oracle_parity(spark, sf_dir, name):
     cols, rows = run_oracle(q.oracle, sf_dir)
     problems = compare(df, cols, rows)
     assert not problems, f"{name}: " + "; ".join(problems)
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    q = REG[name]
-    df = q.fn(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
-    # stable schema
-    assert len(df.columns) > 0

@@ -137,3 +137,37 @@ def test_minhash_coefficients_deterministic_and_in_field():
     for A, B in a:
         assert 1 <= A < MINHASH_P
         assert 0 <= B < MINHASH_P
+
+
+def test_portable_hll_raw_branch_parity_high_cardinality(spark):
+    """Cross-engine parity of the HLL's RAW-estimate branch (e_raw, the
+    1.04/sqrt(m) regime) — every repo dataset stays under the 2.5·m
+    linear-counting switch-over, so without this test the isum fold /
+    shiftleft / bin()-rank arithmetic would ship unexercised. 60k
+    distinct values forces the raw branch in both engines; the two
+    estimates must agree EXACTLY (that is the portability claim), and
+    both must sit within the sketch's nominal error of the truth."""
+    import duckdb
+
+    from bigdataproject_spark.operators.sketches import (
+        HLL_M,
+        hll_count_distinct,
+        hll_oracle_cte,
+    )
+
+    n = 60_000
+    df = spark.range(n).select(F.lit("k").alias("k"), F.col("id").alias("v"))
+    spark_est = hll_count_distinct(df, key="k", value_col="v").collect()[0][
+        "approx_users"
+    ]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW t AS SELECT 'k' AS k, CAST(range AS BIGINT) AS v"
+        f" FROM range({n})"
+    )
+    duck_est = con.sql(
+        hll_oracle_cte(table="t", key="k", value_col="v")
+    ).fetchall()[0][1]
+    assert spark_est == duck_est, (spark_est, duck_est)
+    assert spark_est > 2.5 * HLL_M  # genuinely the raw branch
+    assert abs(spark_est - n) / n <= 0.05
