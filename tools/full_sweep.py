@@ -1,0 +1,116 @@
+"""Full-registry sweep at a given SF dir: every queries() entry once,
+wall seconds + shuffle byte deltas, with a per-query watchdog.
+
+Usage: python tools/full_sweep.py SF_DIR [TIMEOUT_S]
+
+The headline sweep (tools/scale_sweep.py) covers the 12 bench queries
+with medians; this one answers a different question — does EVERY
+registered query still complete, and with a sane plan, at 100x? A
+query that exceeds TIMEOUT_S (default 600) is cancelled via its job
+group and recorded as {"timeout": true} instead of wedging the sweep.
+
+Prints one JSON line:
+  {"sf_dir": ..., "timeout_s": ..., "queries": {name: {"sec": ...,
+   "shuffle_write_mb": ..., "shuffle_read_mb": ...} | {"timeout": true}
+   | {"error": "..."}}, "total_sec": ...}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigdataproject_spark.queries import registry
+from bigdataproject_spark.session import get_spark
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def shuffle_totals(base_url: str) -> tuple[int, int]:
+    apps = json.load(urllib.request.urlopen(f"{base_url}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{base_url}/api/v1/applications/{app_id}/stages?status=complete"
+        )
+    )
+    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    return w, r
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    timeout_s = float(sys.argv[2]) if len(sys.argv) > 2 else 600.0
+    spark = get_spark(
+        "full-sweep",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
+    sc = spark.sparkContext
+    base_url = sc.uiWebUrl
+    reg = registry()
+
+    out: dict[str, dict] = {}
+    for name in sorted(reg):
+        w0, r0 = shuffle_totals(base_url)
+        result: dict = {}
+        err: list[BaseException] = []
+
+        def run(q=reg[name], group=name) -> None:
+            sc.setJobGroup(group, group, interruptOnCancel=True)
+            try:
+                _force(q.fn(spark, sf_dir))
+            except BaseException as ex:  # noqa: BLE001 — recorded below
+                err.append(ex)
+            finally:
+                sc.setJobGroup("", "")
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        sec = time.perf_counter() - t0
+        if th.is_alive():
+            sc.cancelJobGroup(name)
+            th.join(60)
+            result = {"timeout": True, "sec": round(sec, 1)}
+        elif err:
+            # a cancelled-job error after our own cancel is still a timeout
+            result = {"error": f"{type(err[0]).__name__}: {err[0]}"[:300]}
+        else:
+            w1, r1 = shuffle_totals(base_url)
+            result = {
+                "sec": round(sec, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+            }
+        out[name] = result
+        print(f"  {name}: {result}", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "timeout_s": timeout_s,
+                "queries": out,
+                "total_sec": round(
+                    sum(q.get("sec", 0.0) for q in out.values()), 1
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
