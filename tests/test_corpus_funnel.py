@@ -1,0 +1,107 @@
+"""End-to-end corpus-cleaning funnel (operators/corpus.py): stage
+labels, precedence, survivor selection, and the stats aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.operators.corpus import (
+    KEPT,
+    clean_corpus,
+    corpus_funnel,
+    funnel_stats,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the fox "
+    "is back to the den because the day is warm and the night is cold"
+)
+# near-dup pair: identical 30+ token prefix, one extra trailing token
+NEAR_A = (
+    "the story begins when the old sailor and the young cook set out "
+    "to sea because the harbor is empty and the wind is fair for travel"
+)
+NEAR_B = NEAR_A + " tonight"
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),                       # kept
+        (2, "der hund und die katze nicht ist hier und der tag ist gut"),  # lang
+        (3, "the !!! ??? ###"),          # en but low quality
+        (4, GOOD),                       # exact dup of 1
+        (5, GOOD),                       # exact dup of 1
+        (6, NEAR_A),                     # kept (min id of near-dup cluster)
+        (7, NEAR_B),                     # near dup of 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    return df.withColumn("tokens", tokens)
+
+
+def test_funnel_stages(spark):
+    funnel = corpus_funnel(_docs(spark), jaccard_threshold=0.8)
+    got = {r["doc_id"]: r["stage"] for r in funnel.collect()}
+    assert got == {
+        1: KEPT,
+        2: "lang",
+        3: "quality",
+        4: "exact_dup",
+        5: "exact_dup",
+        6: KEPT,
+        7: "near_dup",
+    }
+
+
+def test_funnel_lang_and_quality_columns(spark):
+    funnel = corpus_funnel(_docs(spark))
+    by_id = {r["doc_id"]: r for r in funnel.collect()}
+    assert by_id[2]["lang"] == "de"
+    assert by_id[1]["lang"] == "en"
+    assert by_id[3]["quality"] < 0.5 <= by_id[1]["quality"]
+
+
+def test_clean_corpus_keeps_original_schema(spark):
+    docs = _docs(spark)
+    kept = clean_corpus(docs, jaccard_threshold=0.8)
+    assert kept.columns == docs.columns
+    assert {r["doc_id"] for r in kept.collect()} == {1, 6}
+
+
+def test_funnel_stats_partition_corpus(spark):
+    docs = _docs(spark)
+    funnel = corpus_funnel(docs)
+    stats = {r["stage"]: r["n_docs"] for r in funnel_stats(funnel).collect()}
+    assert sum(stats.values()) == docs.count()
+    assert stats[KEPT] == 2
+    assert stats["exact_dup"] == 2
+
+
+def test_near_dup_disabled(spark):
+    funnel = corpus_funnel(_docs(spark), near_dup=False)
+    got = {r["doc_id"]: r["stage"] for r in funnel.collect()}
+    assert got[6] == KEPT and got[7] == KEPT
+    # upstream stages unaffected
+    assert got[2] == "lang" and got[4] == "exact_dup"
+
+
+def test_funnel_on_real_documents(spark, sf_dir):
+    """Smoke at sf0.001: every doc gets exactly one stage; kept set
+    equals clean_corpus output; multilingual corpus rejects something."""
+    from bigdataproject_spark.sources.readers import load_table
+    from bigdataproject_spark.functions.tokenize import tokenize_expr
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens",
+        tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False),
+    )
+    funnel = corpus_funnel(docs)
+    n = docs.count()
+    assert funnel.count() == n
+    stats = {r["stage"]: r["n_docs"] for r in funnel_stats(funnel).collect()}
+    assert sum(stats.values()) == n
+    assert stats.get(KEPT, 0) > 0
+    kept = clean_corpus(docs)
+    assert kept.count() == stats.get(KEPT, 0)
