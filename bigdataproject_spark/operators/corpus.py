@@ -10,9 +10,13 @@ crawler's exact dmid skip, crawler/spider_worker.py:73-77); this is a
 north-star composition per BASELINE.json.
 
 Scale design — the whole funnel costs:
-  * ONE map pass over the corpus (tokenize + lang + quality evaluated
-    together; the rejection label is a single CASE over the shared
-    columns — no per-stage jobs, no re-tokenization),
+  * one LOGICAL map projection over the corpus (tokenize + lang +
+    quality evaluated together; the rejection label is a single CASE
+    over the shared columns — no per-stage jobs). Each dedup consumer
+    re-scans the parquet and re-evaluates that projection; at 100 TB a
+    columnar re-scan is the right default over persisting the
+    tokenized corpus (callers who want the trade can persist the
+    funnel's input themselves),
   * the exact-dedup digest aggregate (one shuffle on a high-entropy
     key) joined back semi-style,
   * the minhash-LSH pipeline on the ELIGIBLE subset only (filtering

@@ -206,14 +206,38 @@ def energy_pipeline(
     return flag_top_pct(agg) if exact else flag_top_pct_approx(agg)
 
 
-def timeline(df: DataFrame, *, key: str = "key", round_dp: int = 2) -> DataFrame:
+def timeline(
+    df: DataFrame,
+    *,
+    key: str = "key",
+    round_dp: int = 2,
+    max_buckets: int | None = None,
+) -> DataFrame:
     """Per-key sorted timeline array (SURVEY A6 / S7 replacement).
 
     ``array_sort`` on the collected structs makes ordering explicit; struct
     field order (time first) makes time the sort key. The JSON shape matches
     hot/all_episodes_energy.json: [{time, value, high}] with value rounded
     to 2dp (hot/spark_energy.py:110).
-    """
+
+    ``max_buckets`` is the size cap SURVEY §7.4.7 plans for 100 TB keys:
+    ``collect_list`` materializes the whole per-key array in one
+    aggregation buffer, so an UNBOUNDED key (a never-ending stream
+    mapped onto one timeline) is an executor-OOM hazard — measured at
+    the sf10 sweep, a ~860k-bucket key costs ~13 s to collect+sort and
+    ~30 MB of JSON. With a cap, rows beyond the first ``max_buckets``
+    buckets (by time, per key) are dropped BEFORE the collect via a
+    row_number window — the aggregation buffer is bounded by
+    construction, not sliced after the fact. In the reference workload
+    the cap is naturally the video duration (a 100-min episode has 600
+    ten-second buckets)."""
+    if max_buckets is not None:
+        w = Window.partitionBy(key).orderBy("bucket")
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_buckets)
+            .drop("_rn")
+        )
     elem = F.struct(
         F.col("bucket").alias("time"),
         F.round(F.col("energy"), round_dp).alias("value"),

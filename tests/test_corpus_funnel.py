@@ -87,6 +87,20 @@ def test_near_dup_disabled(spark):
     assert got[2] == "lang" and got[4] == "exact_dup"
 
 
+def test_funnel_on_empty_corpus(spark):
+    """Zero-row robustness (mirrors test_empty_tables.py for the
+    registry): every funnel stage — including the minhash + components
+    chain — must survive an empty corpus."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, tokens array<string>"
+    )
+    funnel = corpus_funnel(docs)
+    assert funnel.count() == 0
+    assert funnel.columns == ["doc_id", "stage", "lang", "quality"]
+    assert clean_corpus(docs).count() == 0
+    assert funnel_stats(funnel).count() == 0
+
+
 def test_funnel_on_real_documents(spark, sf_dir):
     """Smoke at sf0.001: every doc gets exactly one stage; kept set
     equals clean_corpus output; multilingual corpus rejects something."""

@@ -94,3 +94,21 @@ def test_timeline_sorted(spark, sf_dir):
     for row in tl.collect():
         times = [e["time"] for e in row.timeline]
         assert times == sorted(times)
+
+
+def test_timeline_max_buckets_is_time_prefix(spark, sf_dir):
+    """The size cap keeps the FIRST max_buckets buckets by time per key
+    — exactly the uncapped timeline's prefix — and bounds the collected
+    array before aggregation (executor-memory cap for unbounded keys)."""
+    ev = _events(spark, sf_dir)
+    out = energy_pipeline(
+        ev, key="event_type", time_col="ts", weight=F.col("value"), media_time=False
+    )
+    full = {r["key"]: r.timeline for r in timeline(out).collect()}
+    capped = {
+        r["key"]: r.timeline for r in timeline(out, max_buckets=5).collect()
+    }
+    assert set(capped) == set(full)
+    for k, tl_c in capped.items():
+        assert len(tl_c) == min(5, len(full[k]))
+        assert tl_c == full[k][: len(tl_c)]
