@@ -21,8 +21,12 @@ Scale design — the whole funnel costs:
     key) joined back semi-style,
   * the minhash-LSH pipeline on the ELIGIBLE subset only (filtering
     before dedup shrinks the quadratic stage exactly when the corpus is
-    dirtiest), then connected components on the verified pairs (tiny
-    relative to the corpus) broadcast-joined back,
+    dirtiest), then connected components on the verified pairs. The
+    drop-list joins back onto the corpus by id: AQE converts that join
+    to a broadcast at runtime when the list is small (the usual case —
+    it holds only near-dup losers), and the static sort-merge fallback
+    is the honest shape for a pathologically dup-heavy corpus where the
+    drop-list is a constant fraction of the data,
   * funnel stats as one map-side-combinable groupBy over the labels.
 Rejection precedence is fixed (lang -> quality -> exact_dup ->
 near_dup): a doc failing two stages reports the earliest, matching how

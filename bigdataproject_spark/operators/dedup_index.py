@@ -1,0 +1,212 @@
+"""Incremental near-dup detection against a persisted signature index.
+
+Production dedup is incremental: a daily crawl batch must be checked
+against the WHOLE historical corpus without recomputing the corpus'
+signatures (re-running full-corpus LSH per batch is quadratic in
+corpus-lifetime). The store is the minhash index itself — band rows for
+candidate generation plus hashed shingle sets for exact verification —
+so a batch costs: signatures over the BATCH only, one equi-join against
+the stored band rows, verification joins against the stored shingle
+sets, then an append of the accepted docs' rows. The reference's
+resumable dedup (crawler/spider_worker.py:105-113) is the exact-id
+version of this idea; this generalizes it to content similarity.
+
+Scale shape: the stored `bands` table is read with a filter pushed on
+nothing (every band row is a candidate target) but joined on the
+high-entropy (band_id, band_hash) key — the batch side is small, so
+AQE broadcasts it and the corpus-side table is scanned once, never
+shuffled. The verify joins touch only candidate ids (semi-join-sized
+reads). State lives entirely in parquet — no driver memory, resumable
+by construction, and `append_to_index` keeps it monotone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.operators.dedup import lsh_band_rows
+
+
+def _prepared(
+    docs: DataFrame, *, id_col: str, shingles_col: str
+) -> DataFrame:
+    return docs.filter(F.size(shingles_col) > 0).select(
+        F.col(id_col).alias("id"), F.col(shingles_col).alias("sh")
+    )
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "murmur3",
+    append: bool = False,
+) -> None:
+    """Materialize (or extend) the index: ``{path}/bands`` with
+    (id, band_id, band_hash) and ``{path}/shingles`` with (id, sh).
+
+    The same (num_hashes, bands, hash_family) MUST be used for every
+    write and query against one index path — band keys from different
+    families never collide, so a mismatch silently finds nothing;
+    callers keep the parameters with the path (they are also the
+    arguments of :func:`incremental_minhash_pairs`)."""
+    mode = "append" if append else "overwrite"
+    band_df = lsh_band_rows(
+        docs,
+        id_col=id_col,
+        shingles_col=shingles_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
+    )
+    band_df.write.mode(mode).parquet(f"{path}/bands")
+    _prepared(docs, id_col=id_col, shingles_col=shingles_col).write.mode(
+        mode
+    ).parquet(f"{path}/shingles")
+
+
+def incremental_minhash_pairs(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "murmur3",
+) -> DataFrame:
+    """Verified near-dup pairs touching the new batch: (id_a, id_b,
+    jaccard, vs_index) where id_a is always a new-batch doc, id_b is a
+    stored doc (``vs_index`` true) or another new-batch doc (``vs_index``
+    false, emitted once with id_a < id_b). Equivalent to running the
+    full-corpus pipeline on stored ∪ new and keeping the pairs that
+    involve a new doc (equality tested in tests/test_dedup_index.py).
+
+    No identical-set collapse here (the batch is the small side; the
+    collapse front-end pays off on full-corpus self-joins — see
+    minhash_lsh_dedup_pairs)."""
+    new_prep = _prepared(new_docs, id_col=id_col, shingles_col=shingles_col)
+    new_bands = lsh_band_rows(
+        new_docs,
+        id_col=id_col,
+        shingles_col=shingles_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
+    )
+    stored_bands = spark.read.parquet(f"{path}/bands")
+    stored_sh = spark.read.parquet(f"{path}/shingles")
+
+    nb = new_bands.select(
+        F.col("id").alias("id_a"), "band_id", "band_hash"
+    )
+    # new vs stored: every (new, old) bucket collision, both orders kept
+    # as (new, old); new vs new: one order (a < b).
+    cand_old = (
+        nb.join(
+            stored_bands.select(
+                F.col("id").alias("id_b"), "band_id", "band_hash"
+            ),
+            on=["band_id", "band_hash"],
+        )
+        .select("id_a", "id_b")
+        .withColumn("vs_index", F.lit(True))
+    )
+    cand_new = (
+        nb.join(
+            new_bands.select(
+                F.col("id").alias("id_b"), "band_id", "band_hash"
+            ),
+            on=["band_id", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .withColumn("vs_index", F.lit(False))
+    )
+    cands = cand_old.unionByName(cand_new).distinct()
+
+    lookup_a = new_prep.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    lookup_b = (
+        stored_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        .unionByName(
+            new_prep.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            )
+        )
+    )
+    joined = cands.join(lookup_a, "id_a").join(lookup_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter / union, 6)
+    return joined.select(
+        "id_a", "id_b", jac.alias("jaccard"), "vs_index"
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def accept_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "murmur3",
+) -> DataFrame:
+    """The full incremental step: find the batch docs that are NOT
+    near-dups of the stored corpus or of an earlier (smaller-id) batch
+    doc, append their signatures to the index, and return them.
+
+    Keep-policy mirrors the engine default: a batch doc is dropped when
+    it matches the stored corpus, or a smaller batch id (the min id of
+    a within-batch dup chain survives — consistent with the
+    connected-components min-label policy; use operators/concomp.py on
+    the pairs when explicit cluster ids are needed).
+
+    The drop-list is localCheckpoint'd BEFORE the index append: that
+    truncates the survivor plan's lineage so it no longer reads
+    ``{path}/bands`` — re-evaluating the returned frame after the
+    append must not see the batch's own just-appended signatures."""
+    pairs = incremental_minhash_pairs(
+        spark,
+        new_docs,
+        path,
+        id_col=id_col,
+        shingles_col=shingles_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
+    )
+    dropped = (
+        pairs.filter("vs_index")
+        .select(F.col("id_a").alias(id_col))
+        .unionByName(
+            pairs.filter("NOT vs_index").select(F.col("id_b").alias(id_col))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    survivors = new_docs.join(dropped, id_col, "left_anti")
+    write_minhash_index(
+        survivors,
+        path,
+        id_col=id_col,
+        shingles_col=shingles_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
+        append=True,
+    )
+    return survivors

@@ -1,0 +1,146 @@
+"""Incremental dedup index (operators/dedup_index.py): the persisted
+band/shingle store must give exactly the pairs the full-corpus pipeline
+finds, restricted to pairs touching the new batch; accept_batch must
+keep min-id survivors and extend the index monotonically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.operators.dedup import (
+    hashed_word_shingles,
+    minhash_lsh_dedup_pairs,
+)
+from bigdataproject_spark.operators.dedup_index import (
+    accept_batch,
+    incremental_minhash_pairs,
+    write_minhash_index,
+)
+
+THRESHOLD = 0.8
+BASE = (
+    "the story begins when the old sailor and the young cook set out "
+    "to sea because the harbor is empty and the wind is fair for travel"
+)
+
+
+def _docs(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    return df.withColumn("tokens", tokens).withColumn(
+        "shingles", hashed_word_shingles("tokens", 3)
+    )
+
+
+OLD_ROWS = [
+    (1, BASE),
+    (2, BASE + " tonight"),                      # near-dup of 1
+    (3, "completely different content about spark query engines and "
+        "their adaptive execution of shuffles joins and aggregates at "
+        "scale with columnar storage and vectorized readers"),
+    (4, "a third unrelated document that talks about cooking rice with "
+        "mushrooms and herbs in a heavy pot over a slow fire until the "
+        "grains are tender and the broth is gone"),
+]
+NEW_ROWS = [
+    (11, BASE + " again"),                       # near-dup of 1/2 (stored)
+    (12, "fresh unique text on gardening tomatoes in clay soil with "
+         "compost mulch and careful watering through the hot months of "
+         "the growing season until harvest time arrives"),
+    (13, "fresh unique text on gardening tomatoes in clay soil with "
+         "compost mulch and careful watering through the hot months of "
+         "the growing season until harvest time ends"),  # near-dup of 12
+]
+
+
+def _pair_set(rows):
+    return {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in rows
+    }
+
+
+def test_incremental_equals_full_corpus_restriction(spark, tmp_path):
+    old = _docs(spark, OLD_ROWS)
+    new = _docs(spark, NEW_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+
+    inc = incremental_minhash_pairs(
+        spark, new, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()
+    got = _pair_set(inc)
+
+    full = minhash_lsh_dedup_pairs(
+        old.unionByName(new),
+        id_col="doc_id",
+        shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()
+    new_ids = {r[0] for r in NEW_ROWS}
+    want = {
+        k: j
+        for k, j in _pair_set(full).items()
+        if k[0] in new_ids or k[1] in new_ids
+    }
+    assert got == want
+    assert want, "fixture must actually contain cross-batch near-dups"
+    # the near-dup of a stored doc is flagged vs_index
+    flags = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r["vs_index"]
+        for r in inc
+    }
+    assert flags[(1, 11)] is True and flags[(12, 13)] is False
+
+
+def test_accept_batch_survivors_and_index_growth(spark, tmp_path):
+    old = _docs(spark, OLD_ROWS)
+    new = _docs(spark, NEW_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+
+    kept = accept_batch(
+        spark, new, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    # 11 dropped (dup of stored 1/2); 13 dropped (dup of smaller 12)
+    assert {r["doc_id"] for r in kept.collect()} == {12}
+    # the survivor's signatures are now in the store
+    ids = {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").select("id").collect()
+    }
+    assert ids == {1, 2, 3, 4, 12}
+
+    # a later batch duplicating the accepted survivor is caught
+    batch2 = _docs(spark, [(21, NEW_ROWS[1][1] + " indeed")])
+    pairs2 = incremental_minhash_pairs(
+        spark, batch2, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs2} == {(21, 12)}
+    # re-evaluating the earlier survivor frame after the append must not
+    # self-match (lineage was checkpointed before the append)
+    assert {r["doc_id"] for r in kept.collect()} == {12}
+
+
+def test_empty_batch(spark, tmp_path):
+    old = _docs(spark, OLD_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+    empty = _docs(spark, []).limit(0)
+    assert (
+        incremental_minhash_pairs(
+            spark, empty, idx, id_col="doc_id", shingles_col="shingles",
+            threshold=THRESHOLD,
+        ).count()
+        == 0
+    )
+    kept = accept_batch(
+        spark, empty, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    assert kept.count() == 0
+    assert spark.read.parquet(f"{idx}/shingles").count() == 4
