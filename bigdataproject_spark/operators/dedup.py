@@ -845,13 +845,19 @@ def embedding_neardup_pairs(
     ``impl='native'``: pure-JVM expression paths, bit-identical to the
     DuckDB oracle's sequential dot. Two shapes, same pairs:
 
-    * Catalyst's optimized-plan size estimate ≤ ``broadcast_max_bytes``
-      (default 256 MB): broadcast the build side and repartition the
-      probe side, so parallelism comes from probe partitions. The
-      estimate comes from parquet footer metadata scaled by column
-      pruning — a pure metadata lookup, no job, no scan — and it is in
-      BYTES, so wide embeddings count their real memory, unlike a row
-      gate. Pass ``broadcast_max_bytes=0`` to force the shuffle path.
+    * Catalyst's optimized-plan size estimate, INFLATED by a 4×
+      decompression factor, ≤ ``broadcast_max_bytes`` (default 256 MB):
+      broadcast the build side and repartition the probe side, so
+      parallelism comes from probe partitions. The estimate comes from
+      parquet footer metadata scaled by column pruning — a pure
+      metadata lookup, no job, no scan — and it is in BYTES, so wide
+      embeddings count their real memory, unlike a row gate. The
+      inflation factor exists because footer bytes are COMPRESSED
+      on-disk bytes and the broadcast relation is uncompressed rows —
+      the same under-estimate that once let Catalyst broadcast a
+      15M-row fact in q5 (see PLANS.md); 4× is conservative for float
+      arrays (zstd ~1.5-2×) plus row overhead. Pass
+      ``broadcast_max_bytes=0`` to force the shuffle path.
     * larger corpora: EXACT salted self-join — probe rows keyed by
       ``xxhash64(id) % num_subblocks``, build rows replicated to every
       sub-key, shuffle equi-join on the composite (block, sub) key.
@@ -893,7 +899,9 @@ def embedding_neardup_pairs(
         sim.alias("cosine"),
     ]
 
-    if _plan_size_bytes(base) <= broadcast_max_bytes:
+    # 4x: footer estimates are compressed bytes, broadcasts are
+    # uncompressed rows (see docstring).
+    if _plan_size_bytes(base) * 4 <= broadcast_max_bytes:
         a = base.repartition(n_part, "id").alias("a")
         b = base.alias("b")
         cond = F.col("a.id") < F.col("b.id")

@@ -89,6 +89,14 @@ def incremental_minhash_pairs(
     full-corpus pipeline on stored ∪ new and keeping the pairs that
     involve a new doc (equality tested in tests/test_dedup_index.py).
 
+    Rows are unique per ORIENTED (id_a, id_b). On a RESUMED batch
+    (some batch ids already appended to the store) self-pairs are
+    dropped, a pair reachable both via the store and via the batch
+    reports ``vs_index`` true, and a pair of two batch docs one of
+    which is also stored can appear in both orientations — once as
+    (new, stored) and once as (smaller-new, larger-new); accept_batch
+    handles both and stays idempotent.
+
     No identical-set collapse here (the batch is the small side; the
     collapse front-end pays off on full-corpus self-joins — see
     minhash_lsh_dedup_pairs)."""
@@ -107,8 +115,9 @@ def incremental_minhash_pairs(
     nb = new_bands.select(
         F.col("id").alias("id_a"), "band_id", "band_hash"
     )
-    # new vs stored: every (new, old) bucket collision, both orders kept
-    # as (new, old); new vs new: one order (a < b).
+    # new vs stored: every (new, old) bucket collision kept as
+    # (new, old); the id_a != id_b guard drops the degenerate self-pair
+    # a RESUMED batch would produce (its ids already live in the store).
     cand_old = (
         nb.join(
             stored_bands.select(
@@ -116,6 +125,7 @@ def incremental_minhash_pairs(
             ),
             on=["band_id", "band_hash"],
         )
+        .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .withColumn("vs_index", F.lit(True))
     )
@@ -130,11 +140,22 @@ def incremental_minhash_pairs(
         .select("id_a", "id_b")
         .withColumn("vs_index", F.lit(False))
     )
-    cands = cand_old.unionByName(cand_new).distinct()
+    # one row per (id_a, id_b): when a pair is reachable both ways
+    # (partner id present in the store AND in the batch — the resumed
+    # case again), vs_index=true wins, recording that the store already
+    # knows the partner.
+    cands = (
+        cand_old.unionByName(cand_new)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("vs_index").alias("vs_index"))
+    )
 
     lookup_a = new_prep.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
     )
+    # dropDuplicates: an id present in both store and batch carries the
+    # same shingle set (content-keyed ids); keep one copy so the verify
+    # join stays one row per candidate.
     lookup_b = (
         stored_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         .unionByName(
@@ -142,6 +163,7 @@ def incremental_minhash_pairs(
                 F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
             )
         )
+        .dropDuplicates(["id_b"])
     )
     joined = cands.join(lookup_a, "id_a").join(lookup_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -189,12 +211,23 @@ def accept_batch(
         bands=bands,
         hash_family=hash_family,
     )
+    already_stored = new_docs.select(F.col(id_col)).join(
+        spark.read.parquet(f"{path}/shingles").select(
+            F.col("id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
     dropped = (
         pairs.filter("vs_index")
         .select(F.col("id_a").alias(id_col))
         .unionByName(
             pairs.filter("NOT vs_index").select(F.col("id_b").alias(id_col))
         )
+        # idempotent resume: a batch id already present in the store
+        # (a crash after a partial append, a re-run) must not append a
+        # second copy of its signatures.
+        .unionByName(already_stored)
         .distinct()
         .localCheckpoint()
     )

@@ -178,8 +178,14 @@ def flag_top_pct_binned(
         .groupBy(key)
         .agg(F.min("_bin").alias("_thr_bin"))
     )
+    # LEFT join: a key whose every `order` is NULL has no histogram rows
+    # and therefore no threshold row — an inner join would silently drop
+    # the whole key, where the GK variant keeps it. With the left join
+    # its rows survive and `NULL >= NULL-thr` flags NULL, matching the
+    # "NULL row flags NULL" contract above (regression-tested in
+    # tests/test_energy.py).
     return (
-        binned.join(F.broadcast(thr), on=key)
+        binned.join(F.broadcast(thr), on=key, how="left")
         .withColumn("is_high", F.col("_bin") >= F.col("_thr_bin"))
         .drop("_bin", "_thr_bin")
     )

@@ -448,8 +448,13 @@ def ivf_topk_indexed(
     data-sized) are collected, and they become a static ``isin`` filter
     on the partition column, so the scan reads only the probed cells'
     files. The probe assignment itself (q_id, qv, qn, cell) stays a
-    distributed plan and reaches the corpus join as a broadcast — the
-    query table can be arbitrarily large. The probe plan is evaluated
+    distributed plan and reaches the corpus join as a broadcast — so
+    the QUERY BATCH must fit the broadcast budget (n_queries × n_probe
+    rows incl. vectors; building the broadcast relation materializes it
+    driver-side like any broadcast join). That bounds a batch at
+    roughly the autoBroadcastJoinThreshold scale, not "arbitrary":
+    split a huge query table into batches, or swap the broadcast for a
+    shuffle equi-join on cell when queries outweigh the probed cells. The probe plan is evaluated
     twice (once reduced to distinct cells, once in the join); it is a
     scan + broadcast-centroid cross-join + tiny window, so recompute is
     cheaper than a session-lifetime persist leak. Semantics identical to

@@ -373,7 +373,7 @@ WITH agg AS (
 SELECT e.event_type, e.bucket_s, e.density,
        round(e.energy, 4) AS energy_r,
        e.bin >= t.thr_bin AS is_high
-FROM e JOIN thr t USING (event_type)
+FROM e LEFT JOIN thr t USING (event_type)
 ORDER BY e.event_type, e.bucket_s
 """
 

@@ -55,8 +55,17 @@ _SQL_TOKENS = (
 )
 
 
-def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_tokens(
+    spark: SparkSession, sf_dir: str, *, fan: bool = False
+) -> DataFrame:
+    """documents + raw token array; ``fan=True`` adds the guarded
+    round-robin fan_out for queries whose per-doc expression work
+    dominates (heavy map passes on possibly-single-split local files —
+    identity at scale, see readers.fan_out). Dedup/shuffle-bound
+    consumers keep the default: their cost centers are post-shuffle."""
     docs = load_table(spark, sf_dir, "documents")
+    if fan:
+        docs = fan_out(docs)
     return docs.withColumn("tokens", _raw_tokens("text"))
 
 
@@ -631,9 +640,7 @@ FROM f JOIN rep USING (doc_id) ORDER BY f.doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (argmax of per-language hit counts; earlier
     declared language wins ties; zero hits → 'und')."""
-    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
-        "tokens", _raw_tokens("text")
-    )
+    docs = _docs_tokens(spark, sf_dir, fan=True)
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
@@ -711,9 +718,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing the one-select form never gets. fan_out: winnowing is the
     heaviest interpreted map pass in the registry — never serialize it
     onto one core for a small source (identity at scale)."""
-    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
-        "tokens", _raw_tokens("text")
-    )
+    docs = _docs_tokens(spark, sf_dir, fan=True)
     fps = winnowing_fingerprints("tokens", k=5, window=4, hash_fn="md5")
     inner = docs.select(
         "doc_id",

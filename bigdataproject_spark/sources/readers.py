@@ -108,12 +108,22 @@ def events_ts_is_nanos(path: str) -> bool:
                     return False
                 f = parts[0]
             try:
-                t = pq.read_schema(f).field("ts").type
-            except (OSError, IOError):
-                # Transient I/O (part file mid-write, momentary FS error):
-                # answer False for THIS call only — caching would pin a
-                # misclassification for the whole process even though the
-                # driver regenerates testdata in place between rounds.
+                schema = pq.read_schema(f)
+            except Exception:
+                # ANY failed footer read is treated as transient (a part
+                # file mid-write raises pyarrow ArrowInvalid — a
+                # ValueError, not an OSError — and a momentary FS error
+                # raises OSError): answer False for THIS call only.
+                # Caching a failed read would pin a misclassification for
+                # the whole process even though the driver regenerates
+                # testdata in place between rounds.
+                return False
+            try:
+                t = schema.field("ts").type
+            except KeyError:
+                # Footer read fine, no ts column — deterministic for this
+                # file: cache so every load doesn't re-run metadata I/O.
+                _EVENTS_TS_IS_NANOS[path] = False
                 return False
             # TIMESTAMP(NANOS) or a raw int64 epoch-ns column — both are
             # the legacy layout the div-1000 path handles.
@@ -121,11 +131,9 @@ def events_ts_is_nanos(path: str) -> bool:
                 getattr(t, "unit", None) == "ns" or t == pa.int64()
             )
         except Exception:
-            # Deterministic failures only reach here (schema read OK but
-            # e.g. no ts field): cache as False so every load doesn't
-            # re-run metadata I/O; transient cases returned above without
-            # caching.
-            _EVENTS_TS_IS_NANOS[path] = False
+            # Anything unexpected outside the footer read (e.g. glob or
+            # isdir failure) — treat as transient, don't cache.
+            return False
     return _EVENTS_TS_IS_NANOS[path]
 
 

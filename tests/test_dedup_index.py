@@ -126,6 +126,41 @@ def test_accept_batch_survivors_and_index_growth(spark, tmp_path):
     assert {r["doc_id"] for r in kept.collect()} == {12}
 
 
+def test_resumed_batch_is_idempotent(spark, tmp_path):
+    """Re-running accept_batch on the SAME batch (crash-resume) must
+    not re-append signatures, emit self-pairs, or change survivors."""
+    old = _docs(spark, OLD_ROWS)
+    new = _docs(spark, NEW_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+    first = {r["doc_id"] for r in accept_batch(
+        spark, new, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()}
+    assert first == {12}
+    n_store = spark.read.parquet(f"{idx}/shingles").count()
+
+    # resume: the whole batch again, 12 now already stored
+    pairs = incremental_minhash_pairs(
+        spark, new, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()
+    assert all(r["id_a"] != r["id_b"] for r in pairs)
+    # oriented rows are unique
+    oriented = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(oriented) == len(set(oriented))
+    # 13 vs stored 12 is now visible as a vs_index pair
+    assert any(
+        {r["id_a"], r["id_b"]} == {12, 13} and r["vs_index"] for r in pairs
+    )
+    again = {r["doc_id"] for r in accept_batch(
+        spark, new, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()}
+    assert again == set()  # nothing new to accept
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_store
+
+
 def test_empty_batch(spark, tmp_path):
     old = _docs(spark, OLD_ROWS)
     idx = str(tmp_path / "idx")

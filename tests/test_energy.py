@@ -10,6 +10,7 @@ from bigdataproject_spark.operators.energy import (
     energy_pipeline,
     flag_top_pct,
     flag_top_pct_approx,
+    flag_top_pct_binned,
     timeline,
 )
 from bigdataproject_spark.sources.readers import load_table
@@ -83,6 +84,23 @@ def test_exact_vs_approx_flags_agree(spark, sf_dir):
     # percentile_approx uses a different tie convention at the exact
     # threshold value; allow <2% disagreement.
     assert disagree / total < 0.02, f"{disagree}/{total} flags disagree"
+
+
+def test_binned_flag_keeps_all_null_key(spark):
+    """A key whose every order value is NULL has no histogram rows and
+    no threshold — its rows must still come back (is_high NULL), not
+    vanish through an inner threshold join."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", None), ("b", None)],
+        "key string, energy double",
+    )
+    out = flag_top_pct_binned(df).collect()
+    assert len(out) == 5
+    b_rows = [r for r in out if r["key"] == "b"]
+    assert len(b_rows) == 2
+    assert all(r["is_high"] is None for r in b_rows)
+    # the populated key still flags its top decile
+    assert any(r["is_high"] for r in out if r["key"] == "a")
 
 
 def test_timeline_sorted(spark, sf_dir):

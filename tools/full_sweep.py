@@ -17,33 +17,18 @@ Prints one JSON line:
 from __future__ import annotations
 
 import json
-import os
 import sys
 import threading
 import time
-import urllib.request
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sweeplib import (  # noqa: E402 (sys.path bootstrap lives here)
+    active_stage_count,
+    force as _force,
+    shuffle_totals,
+)
 
 from bigdataproject_spark.queries import registry
 from bigdataproject_spark.session import get_spark
-
-
-def _force(df) -> None:
-    df.write.mode("overwrite").format("noop").save()
-
-
-def shuffle_totals(base_url: str) -> tuple[int, int]:
-    apps = json.load(urllib.request.urlopen(f"{base_url}/api/v1/applications"))
-    app_id = apps[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(
-            f"{base_url}/api/v1/applications/{app_id}/stages?status=complete"
-        )
-    )
-    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    r = sum(s.get("shuffleReadBytes", 0) for s in stages)
-    return w, r
 
 
 def main() -> None:
@@ -83,6 +68,15 @@ def main() -> None:
         if th.is_alive():
             sc.cancelJobGroup(name)
             th.join(60)
+            # drain: cancellation is async — let the cancelled query's
+            # in-flight stages finish before the next query's timing /
+            # shuffle-delta window opens, or they pollute its row.
+            drain_t0 = time.monotonic()
+            while (
+                active_stage_count(base_url) > 0
+                and time.monotonic() - drain_t0 < 120
+            ):
+                time.sleep(2)
             result = {"timeout": True, "sec": round(sec, 1)}
         elif err:
             # a cancelled-job error after our own cancel is still a timeout

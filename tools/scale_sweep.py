@@ -20,28 +20,12 @@ import json
 import statistics
 import sys
 import time
-import urllib.request
+
+from sweeplib import force as _force, shuffle_totals  # noqa: E402 (sys.path bootstrap)
 
 from bench import HEADLINE
 from bigdataproject_spark.queries import registry
 from bigdataproject_spark.session import get_spark
-
-
-def _force(df) -> None:
-    df.write.mode("overwrite").format("noop").save()
-
-
-def shuffle_totals(base_url: str) -> tuple[int, int]:
-    apps = json.load(urllib.request.urlopen(f"{base_url}/api/v1/applications"))
-    app_id = apps[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(
-            f"{base_url}/api/v1/applications/{app_id}/stages?status=complete"
-        )
-    )
-    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    r = sum(s.get("shuffleReadBytes", 0) for s in stages)
-    return w, r
 
 
 def main() -> None:
