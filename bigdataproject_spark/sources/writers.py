@@ -60,3 +60,42 @@ def write_json(
     Nested rows (e.g. struct timelines) serialize directly; no collect().
     """
     _prep(df, single_file, None).write.mode(mode).json(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    n_shards: int,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Shard a training corpus into ``shard=N/`` partitions with a
+    DETERMINISTIC content-keyed assignment: shard = xxhash64(key) mod
+    n_shards. Determinism matters the same way it does for
+    operators/sampling.py — a retried job, a re-run on regenerated
+    data, or a different cluster layout lands every record in the same
+    shard, so downstream epoch shuffling / resume bookkeeping stays
+    stable. One shuffle (repartition on the shard id so each shard is
+    written contiguously by as few tasks as possible), then a
+    Hive-partitioned layout a trainer can read shard-by-shard with
+    partition pruning."""
+    from pyspark.sql import functions as F
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    out = df.withColumn(
+        "shard", F.pmod(F.xxhash64(key_col), F.lit(n_shards)).cast("int")
+    )
+    w = (
+        out.repartition("shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
+    if format == "parquet":
+        w.parquet(path)
+    elif format == "json":
+        w.json(path)
+    else:
+        raise ValueError(f"unsupported shard format {format!r}")

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.sources.readers import read_danmaku_csv
@@ -90,3 +92,38 @@ def test_read_documents_jsonl(spark, tmp_path):
     assert [t for n, t in df.dtypes if n == "doc_id"] == ["bigint"]  # no inferSchema drift
     files = {r["_file"].rsplit("/", 1)[-1] for r in good.collect()}
     assert files == {"part1.jsonl", "part2.jsonl"}
+
+
+def test_write_training_shards(spark, tmp_path, sf_dir):
+    """Deterministic content-keyed sharding: stable across rewrites,
+    partition-pruned reads, every row in exactly one shard."""
+    from bigdataproject_spark.sources.writers import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, key_col="doc_id", n_shards=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    sizes = {r["shard"]: r["n"] for r in back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == set(range(8))
+    # xxhash64 balance: no shard more than 2x the mean on 500+ docs
+    assert max(sizes.values()) <= 2 * n / 8
+
+    # determinism: a rewrite lands every doc in the same shard
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(docs, path2, key_col="doc_id", n_shards=8)
+    a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"]) for r in
+         spark.read.parquet(path2).select("doc_id", "shard").collect()}
+    assert a == b
+
+    # partition pruning: a shard filter reaches PartitionFilters
+    one = spark.read.parquet(path).filter(F.col("shard") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+
+    with pytest.raises(ValueError):
+        write_training_shards(docs, path, key_col="doc_id", n_shards=0)
