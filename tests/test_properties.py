@@ -185,3 +185,31 @@ def test_contamination_matches_set_arithmetic(spark, train, ev):
         assert r["n_grams"] == len(gs)
         assert r["n_hit"] == len(gs & eset)
         assert 0.0 <= r["contamination"] <= 1.0
+
+
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    chunk=st.integers(min_value=1, max_value=40),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_chunking_coverage_property(spark, n, chunk, data):
+    """For ANY (n, chunk_tokens, overlap): chunks are token-aligned,
+    ≤ chunk_tokens long, consecutive chunks repeat exactly `overlap`
+    tokens, and stripping the repeats reconstructs the document."""
+    from bigdataproject_spark.operators.chunking import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    toks = [f"t{i}" for i in range(n)]
+    df = spark.createDataFrame([(1, toks)], "doc_id long, tokens array<string>")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert rows[0]["n_chunks"] == len(rows)
+    rebuilt: list[str] = []
+    for r in rows:
+        parts = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        assert len(parts) == r["n_tokens"] <= chunk
+        rebuilt.extend(parts if not rebuilt else parts[overlap:])
+    assert rebuilt == toks
