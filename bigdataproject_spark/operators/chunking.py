@@ -33,6 +33,10 @@ def chunk_spans(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     t = F.col(tokens) if isinstance(tokens, str) else tokens
+    # NULL-array guard lives HERE, not just in chunk_documents: size(NULL)
+    # is -1 and would yield a garbage (0, 0, -1) span for any caller
+    # composing this expression directly.
+    t = F.coalesce(t, F.array().cast("array<string>"))
     stride = chunk_tokens - overlap
     n = F.size(t)
     # number of chunks: 1 for n <= chunk_tokens (incl. n = 0), else
@@ -73,8 +77,6 @@ def chunk_documents(
     t = F.coalesce(
         F.col(tokens_col), F.array().cast("array<string>")
     )
-    # spans over the COALESCED array: size(NULL) is -1 and would turn
-    # the span arithmetic negative.
     spans = chunk_spans(t, chunk_tokens=chunk_tokens, overlap=overlap)
     exploded = docs.select(
         F.col(id_col),

@@ -12,6 +12,7 @@ single-task serialization point), and JSON is written by executors via
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _prep(df: DataFrame, single_file: bool, partition_by: list[str] | None) -> DataFrame:
@@ -81,8 +82,6 @@ def write_training_shards(
     written contiguously by as few tasks as possible), then a
     Hive-partitioned layout a trainer can read shard-by-shard with
     partition pruning."""
-    from pyspark.sql import functions as F
-
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     out = df.withColumn(

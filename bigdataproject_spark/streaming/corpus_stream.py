@@ -25,6 +25,13 @@ from bigdataproject_spark.operators.textstats import (
     quality_score_expr,
 )
 from bigdataproject_spark.schemas import DOCUMENTS
+from bigdataproject_spark.streaming.energy_stream import run_to_memory
+
+__all__ = [
+    "read_document_stream",
+    "clean_document_stream",
+    "run_to_memory",
+]
 
 
 def read_document_stream(
@@ -74,15 +81,3 @@ def clean_document_stream(
         text_out.alias("text"),
         *[c.alias(n) for n, c in counts.items()],
     )
-
-
-def run_to_memory(df: DataFrame, name: str) -> None:
-    """Drain the bounded stream into an in-memory sink (availableNow)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
