@@ -153,17 +153,21 @@ def incremental_minhash_pairs(
     lookup_a = new_prep.select(
         F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
     )
-    # dropDuplicates: an id present in both store and batch carries the
-    # same shingle set (content-keyed ids); keep one copy so the verify
-    # join stays one row per candidate.
+    # One row per id when an id exists in both store and batch (the
+    # resumed case; same content by assumption): keep the batch copy and
+    # ANTI-JOIN the store against the broadcast batch ids. NOT
+    # dropDuplicates over the union — that shuffles the ENTIRE store
+    # per batch (measured 40% of a 5k-batch check against a 500k store);
+    # the anti-join leaves the store map-side.
+    batch_ids = F.broadcast(new_prep.select(F.col("id")))
     lookup_b = (
-        stored_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        stored_sh.join(batch_ids, "id", "left_anti")
+        .select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         .unionByName(
             new_prep.select(
                 F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
             )
         )
-        .dropDuplicates(["id_b"])
     )
     joined = cands.join(lookup_a, "id_a").join(lookup_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -218,11 +222,15 @@ def accept_batch(
         id_col,
         "left_semi",
     )
+    # one pass over the candidate pipeline: drop the batch doc (id_a)
+    # when the partner is stored, else the larger batch id (id_b) —
+    # two .filter() branches would evaluate the whole LSH+verify plan
+    # twice.
     dropped = (
-        pairs.filter("vs_index")
-        .select(F.col("id_a").alias(id_col))
-        .unionByName(
-            pairs.filter("NOT vs_index").select(F.col("id_b").alias(id_col))
+        pairs.select(
+            F.when(F.col("vs_index"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
         )
         # idempotent resume: a batch id already present in the store
         # (a crash after a partial append, a re-run) must not append a
