@@ -1,0 +1,95 @@
+"""Corpus-level line dedup (operators/linededup.py): unit semantics,
+keep-first convention, whitespace preservation, DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import duckdb
+
+from bigdataproject_spark.operators.linededup import dedup_lines, hot_lines
+
+ROWS = [
+    (1, "COOKIE BANNER\nreal content one\n\nfooter text"),
+    (2, "cookie banner\nreal content two\nfooter text"),
+    (3, "unique document\nwith its own lines"),
+    (4, "footer text"),
+    (5, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_drop_all_occurrences(spark):
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(_docs(spark)).collect()}
+    # 'cookie banner' (case-normalized) ×2 and 'footer text' ×3 are hot;
+    # blank lines survive; original casing survives on kept lines
+    assert out[1] == "real content one\n"
+    assert out[2] == "real content two"
+    assert out[3] == "unique document\nwith its own lines"
+    assert out[4] == ""
+    assert out[5] == ""
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_keep_first_occurrence(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(_docs(spark), keep_first=True).collect()
+    }
+    # globally-first occurrence survives: doc 1's banner and footer
+    assert out[1] == "COOKIE BANNER\nreal content one\n\nfooter text"
+    assert out[2] == "real content two"
+    assert out[4] == ""
+
+
+def test_hot_lines_audit(spark):
+    hot = hot_lines(_docs(spark)).collect()
+    assert sorted(r["n_occurrences"] for r in hot) == [2, 3]
+
+
+def test_min_count_threshold(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(_docs(spark), min_count=3).collect()
+    }
+    # only 'footer text' (×3) is hot at min_count=3
+    assert out[1] == "COOKIE BANNER\nreal content one\n"
+    assert out[2] == "cookie banner\nreal content two"
+
+
+def test_other_columns_pass_through(spark):
+    docs = _docs(spark).withColumn("lang", __import__("pyspark").sql.functions.lit("en"))
+    out = dedup_lines(docs)
+    assert out.columns == docs.columns
+    assert out.count() == 5
+
+
+def test_duckdb_oracle_parity(spark):
+    got = {
+        r["doc_id"]: r["text"] for r in dedup_lines(_docs(spark)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in
+                   [(i, t.replace("\n", "' || chr(10) || '")) for i, t in ROWS])
+        + ") v(doc_id, text)"
+    )
+    oracle = dict(con.execute("""
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(ls) AS line,
+                 unnest(generate_series(1, len(ls))) AS pos
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs)
+        ),
+        k AS (SELECT *, CASE WHEN trim(line) != '' THEN lower(trim(line)) END AS key FROM l),
+        hot AS (SELECT key FROM k WHERE key IS NOT NULL
+                GROUP BY key HAVING count(*) >= 2),
+        kept AS (SELECT doc_id, pos, line FROM k
+                 WHERE key IS NULL OR key NOT IN (SELECT key FROM hot))
+        SELECT d.doc_id,
+               coalesce(string_agg(kept.line, chr(10) ORDER BY kept.pos), '') AS text
+        FROM docs d LEFT JOIN kept USING (doc_id) GROUP BY d.doc_id
+    """).fetchall())
+    assert got == oracle
