@@ -42,6 +42,16 @@ def test_funnel_plan_no_cartesian_no_python(spark, sf_dir):
         assert "MapInPandas" not in plan
 
 
+def test_linededup_plan_no_cartesian_no_python(spark, sf_dir):
+    from bigdataproject_spark.operators.linededup import dedup_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    for kf in (False, True):
+        plan = _plan(dedup_lines(docs, keep_first=kf))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 def test_redact_is_single_map_projection(spark, sf_dir):
     """Redaction + counts must stay one shuffle-free codegen'd map pass
     — the whole point of the regexp-chain design."""
