@@ -87,11 +87,23 @@ def dedup_lines(
 
     marked = lines.join(F.broadcast(hot), "_key", "left")
     if keep_first:
+        # Rank ONLY the hot rows: a corpus-wide window over every line
+        # would put all NULL-key (blank) lines into a single window
+        # partition — one task sorting billions of rows at scale. The
+        # hot subset is the boilerplate fraction; everything else is
+        # trivially kept.
         w = Window.partitionBy("_key").orderBy("_id", "_pos")
-        marked = marked.withColumn(
-            "_drop",
-            F.col("_hot").isNotNull() & (F.row_number().over(w) > 1),
+        hot_rows = (
+            lines.join(F.broadcast(hot.select("_key")), "_key")
+            .withColumn("_rn", F.row_number().over(w))
         )
+        marked = marked.join(
+            hot_rows.filter(F.col("_rn") > 1).select(
+                "_id", "_pos", F.lit(True).alias("_dup_occ")
+            ),
+            ["_id", "_pos"],
+            "left",
+        ).withColumn("_drop", F.col("_dup_occ").isNotNull())
     else:
         marked = marked.withColumn("_drop", F.col("_hot").isNotNull())
 
