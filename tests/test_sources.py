@@ -127,3 +127,33 @@ def test_write_training_shards(spark, tmp_path, sf_dir):
 
     with pytest.raises(ValueError):
         write_training_shards(docs, path, key_col="doc_id", n_shards=0)
+
+
+def test_ts_sniff_transient_failure_not_cached(spark, tmp_path):
+    """A failed footer read (e.g. a part file mid-write raises pyarrow
+    ArrowInvalid, a ValueError — not OSError) must answer False for that
+    call ONLY: once the real file lands, the sniff must see it. A
+    pinned False on a TIMESTAMP(NANOS) layout would silently misread
+    every timestamp by 1000x for the process lifetime."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdataproject_spark.sources.readers import events_ts_is_nanos
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    f = d / "part-0000.parquet"
+
+    # truncated footer -> ArrowInvalid inside the sniff
+    pq.write_table(pa.table({"ts": pa.array([1], pa.int64())}), f)
+    raw = f.read_bytes()
+    f.write_bytes(raw[: len(raw) // 2])
+    assert events_ts_is_nanos(str(d)) is False
+
+    # the real nanos-layout file lands; a cached False would hide it
+    f.write_bytes(raw)
+    assert events_ts_is_nanos(str(d)) is True
+
+    # and a successful read IS cached (no re-sniff cost per load)
+    f.unlink()
+    assert events_ts_is_nanos(str(d)) is True
