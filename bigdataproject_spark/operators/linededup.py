@@ -8,43 +8,74 @@ each document without its over-represented lines. The reference has no
 counterpart (danmaku are single lines); north-star op per
 BASELINE.json.
 
-Scale shape: explode lines → ONE map-side-combinable count shuffle on
-the 8-byte line hash → broadcast-or-shuffle join of the hot-line set
-back onto the exploded lines (the hot set is tiny by definition:
-lines repeated ≥ min_count; AQE broadcasts it) → per-document
-reassembly via collect_list(struct(pos, line)) + array_sort. The
-reassembly buffer is bounded by document size (same bound as the
-document itself), unlike the unbounded timeline case.
+Scale shape: explode lines → ONE map-side-combinable aggregation on
+the 8-byte line hash (count + min(struct(doc, pos)) — both partial-agg
+friendly, so a line occurring 10^9 times costs its combiner-reduced
+count, never a 10^9-row task) → join of the hot-line set back onto the
+exploded lines → per-document reassembly via
+collect_list(struct(pos, line)) + array_sort. The hot-set join carries
+NO broadcast hint: with the default ``min_count=2`` a web-scale corpus
+can have billions of qualifying lines, so a pinned broadcast is a
+guaranteed OOM — AQE converts to broadcast at runtime exactly when the
+measured hot-set size is actually small. The reassembly buffer is
+bounded by document size (same bound as the document itself), unlike
+the unbounded timeline case.
 
 Semantics:
-  * lines are split on '\n'; counting normalizes (trim + casefold) so
-    formatting variants of one boilerplate line pool together, but the
-    ORIGINAL line text is what survives into the rebuilt document;
+  * lines are split on ``\\r?\\n`` and rejoined with ``\\n`` — CRLF
+    corpora come back LF-normalized (the alternative, preserving a
+    trailing ``\\r`` on every kept line, poisons downstream exact-hash
+    dedup);
+  * counting normalizes (trim + casefold) so formatting variants of
+    one boilerplate line pool together, but the ORIGINAL line text is
+    what survives into the rebuilt document;
   * whitespace-only lines are never counted and never dropped — they
     are formatting, not content, and dropping them would corrupt
     documents that merely share blank lines;
   * ``keep_first=False`` (default): every occurrence of a line seen
     ≥ min_count times is dropped (boilerplate removal);
     ``keep_first=True``: the single globally-first occurrence (by
-    (doc id, position)) survives — C4's "all but one" convention.
+    (doc id, position)) survives — C4's "all but one" convention. The
+    first occurrence is ``min(struct(doc, pos))`` computed inside the
+    same count aggregation: no per-key window, so a single hot line
+    never serializes into one task.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
+            "_pos", "_line"
+        ),
     ).withColumn(
         "_key",
         F.when(
             F.trim("_line") != "",
             F.xxhash64(F.lower(F.trim("_line"))),
         ),
+    )
+
+
+def _hot_stats(
+    docs: DataFrame, *, id_col: str, text_col: str, min_count: int
+) -> DataFrame:
+    """(_key, _n, _first) for normalized lines appearing ≥ min_count
+    times — one combinable shuffle (partial count + partial min)."""
+    return (
+        _lines(docs, id_col, text_col)
+        .filter(F.col("_key").isNotNull())
+        .groupBy("_key")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("_id", "_pos")).alias("_first"),
+        )
+        .filter(F.col("_n") >= min_count)
     )
 
 
@@ -58,12 +89,10 @@ def hot_lines(
     """(line_key, n_occurrences) for normalized lines appearing at least
     ``min_count`` times corpus-wide — the audit view (join a sample of
     line text back for human review)."""
-    return (
-        _lines(docs, id_col, text_col)
-        .filter(F.col("_key").isNotNull())
-        .groupBy(F.col("_key").alias("line_key"))
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= min_count)
+    return _hot_stats(
+        docs, id_col=id_col, text_col=text_col, min_count=min_count
+    ).select(
+        F.col("_key").alias("line_key"), F.col("_n").alias("n_occurrences")
     )
 
 
@@ -81,31 +110,22 @@ def dedup_lines(
     """
     others = [c for c in docs.columns if c != text_col]
     lines = _lines(docs, id_col, text_col)
-    hot = hot_lines(
+    hot = _hot_stats(
         docs, id_col=id_col, text_col=text_col, min_count=min_count
-    ).select(F.col("line_key").alias("_key"), F.lit(True).alias("_hot"))
+    ).select("_key", "_first")
 
-    marked = lines.join(F.broadcast(hot), "_key", "left")
+    marked = lines.join(hot, "_key", "left")
     if keep_first:
-        # Rank ONLY the hot rows: a corpus-wide window over every line
-        # would put all NULL-key (blank) lines into a single window
-        # partition — one task sorting billions of rows at scale. The
-        # hot subset is the boilerplate fraction; everything else is
-        # trivially kept.
-        w = Window.partitionBy("_key").orderBy("_id", "_pos")
-        hot_rows = (
-            lines.join(F.broadcast(hot.select("_key")), "_key")
-            .withColumn("_rn", F.row_number().over(w))
+        # globally-first occurrence of a hot line survives; the keep
+        # mark is an equality against the pre-aggregated min struct —
+        # no window, no per-key ordering task.
+        drop = F.col("_first").isNotNull() & ~(
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("_pos") == F.col("_first._pos"))
         )
-        marked = marked.join(
-            hot_rows.filter(F.col("_rn") > 1).select(
-                "_id", "_pos", F.lit(True).alias("_dup_occ")
-            ),
-            ["_id", "_pos"],
-            "left",
-        ).withColumn("_drop", F.col("_dup_occ").isNotNull())
     else:
-        marked = marked.withColumn("_drop", F.col("_hot").isNotNull())
+        drop = F.col("_first").isNotNull()
+    marked = marked.withColumn("_drop", drop)
 
     rebuilt = (
         marked.filter(~F.col("_drop"))

@@ -63,6 +63,20 @@ def write_json(
     _prep(df, single_file, None).write.mode(mode).json(path)
 
 
+def training_shard_plan(
+    df: DataFrame, *, key_col: str, n_shards: int
+) -> DataFrame:
+    """The shard-assignment plan behind :func:`write_training_shards`,
+    exposed so plan-hygiene gates can pin its shape: one projection
+    adding the content-keyed shard id, then exactly ONE exchange (the
+    repartition on shard)."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(key_col), F.lit(n_shards)).cast("int")
+    ).repartition("shard")
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -82,13 +96,8 @@ def write_training_shards(
     written contiguously by as few tasks as possible), then a
     Hive-partitioned layout a trainer can read shard-by-shard with
     partition pruning."""
-    if n_shards <= 0:
-        raise ValueError("n_shards must be positive")
-    out = df.withColumn(
-        "shard", F.pmod(F.xxhash64(key_col), F.lit(n_shards)).cast("int")
-    )
     w = (
-        out.repartition("shard")
+        training_shard_plan(df, key_col=key_col, n_shards=n_shards)
         .write.mode(mode)
         .partitionBy("shard")
     )

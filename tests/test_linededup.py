@@ -65,6 +65,43 @@ def test_other_columns_pass_through(spark):
     assert out.count() == 5
 
 
+def test_crlf_normalized(spark):
+    """CRLF corpora: counting pools CRLF/LF variants of one line, and
+    rebuilt documents come back LF-normalized with no stray '\\r'."""
+    docs = spark.createDataFrame(
+        [
+            (1, "banner\r\nkeep one\r\ntail"),
+            (2, "banner\nkeep two\ntail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(docs).collect()}
+    # 'banner' and 'tail' are hot across the CRLF/LF variants
+    assert out[1] == "keep one"
+    assert out[2] == "keep two"
+    assert "\r" not in out[1]
+
+
+def test_zipf_hot_line_stress(spark):
+    """Skew-shape stress: one boilerplate line in EVERY document (the
+    cookie-banner case). keep_first must survive without a per-key
+    window — the first global occurrence is kept, all others dropped,
+    and unique lines pass through untouched."""
+    n = 2000
+    docs = spark.createDataFrame(
+        [(i, f"COOKIE BANNER\nunique line {i}") for i in range(n)],
+        "doc_id long, text string",
+    ).repartition(8)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(docs, keep_first=True).collect()
+    }
+    assert out[0] == "COOKIE BANNER\nunique line 0"
+    survivors = [i for i in range(1, n) if "COOKIE" in out[i]]
+    assert survivors == []
+    assert all(out[i].endswith(f"unique line {i}") for i in range(n))
+
+
 def test_duckdb_oracle_parity(spark):
     got = {
         r["doc_id"]: r["text"] for r in dedup_lines(_docs(spark)).collect()

@@ -50,6 +50,52 @@ def test_linededup_plan_no_cartesian_no_python(spark, sf_dir):
         plan = _plan(dedup_lines(docs, keep_first=kf))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+        # the keep-first mark is a pre-aggregated min(struct), never a
+        # per-key window: one boilerplate line occurring 10^9 times must
+        # not become a single-task sort (r3 verdict hazard #2)
+        assert "Window" not in plan
+        # the hot-set join must not pin a broadcast: with min_count=2 the
+        # hot set can be billions of rows at web scale (hazard #1). AQE
+        # may still CHOOSE broadcast at runtime from measured sizes, but
+        # the static plan must leave the choice open (no ResolvedHint →
+        # the pre-AQE physical plan keeps a sort-merge/shuffle join for
+        # the hot-set side rather than an unconditional BroadcastExchange
+        # feeding it).
+        assert plan.count("BroadcastExchange") == 0 or "AdaptiveSparkPlan" in plan
+
+
+def test_hot_lines_count_is_combinable(spark, sf_dir):
+    """hot_lines' shuffle must carry partial (map-side-combined)
+    aggregates — count and min both reduce before the exchange."""
+    from bigdataproject_spark.operators.linededup import dedup_lines, hot_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plan = _plan(hot_lines(docs))
+    assert "partial_count" in plan
+    plan = _plan(dedup_lines(docs, keep_first=True))
+    assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_chunking_zero_shuffle(spark, sf_dir):
+    """chunk_documents is one generate in the scan stage — any Exchange
+    means a 100 TB chunk pass started shuffling the corpus."""
+    from bigdataproject_spark.operators.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    plan = _plan(chunk_documents(docs, chunk_tokens=64, overlap=8))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_training_shards_single_exchange(spark, sf_dir):
+    """write_training_shards' plan: exactly one repartition exchange
+    (the content-keyed shard assignment), nothing else."""
+    from bigdataproject_spark.sources.writers import training_shard_plan
+
+    docs = _docs(spark, sf_dir)
+    plan = _plan(training_shard_plan(docs, key_col="doc_id", n_shards=8))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
 
 
 def test_redact_is_single_map_projection(spark, sf_dir):
