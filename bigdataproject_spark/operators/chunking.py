@@ -33,12 +33,13 @@ def chunk_spans(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     t = F.col(tokens) if isinstance(tokens, str) else tokens
+    stride = chunk_tokens - overlap
     # NULL-array guard lives HERE, not just in chunk_documents: size(NULL)
     # is -1 and would yield a garbage (0, 0, -1) span for any caller
-    # composing this expression directly.
-    t = F.coalesce(t, F.array().cast("array<string>"))
-    stride = chunk_tokens - overlap
-    n = F.size(t)
+    # composing this expression directly. Guard on size rather than
+    # coalescing with a typed empty array so the expression works on ANY
+    # element type (array<int> token ids, not just array<string>).
+    n = F.when(t.isNull(), F.lit(0)).otherwise(F.size(t))
     # number of chunks: 1 for n <= chunk_tokens (incl. n = 0), else
     # 1 + ceil((n - chunk_tokens) / stride) — every start past the first
     # must add at least one new token.

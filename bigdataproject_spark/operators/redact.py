@@ -25,16 +25,24 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# dotted quad with per-octet 0-255 range check (shared by the ipv4
+# pattern and the email pattern's IP-literal host alternative)
+_IPV4 = (
+    r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}"
+)
+
 # Ordered: applied top-to-bottom by redact_expr.
 PII_PATTERNS: dict[str, str] = {
     # scheme://non-space — greedy, swallows query strings and userinfo
     "url": r"https?://[^\s]+",
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    # dotted quad with per-octet 0-255 range check
-    "ipv4": (
-        r"\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-        r"(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+    # host is a named domain with an alphabetic TLD OR a dotted-quad IP
+    # literal (user@192.168.1.1) — without the alternative the later
+    # ipv4 pass would redact only the host and leave 'user@' exposed
+    "email": (
+        r"[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|" + _IPV4 + r")"
     ),
+    "ipv4": r"\b" + _IPV4 + r"\b",
     # international-ish: optional +, 9-15 digits with optional
     # space/dash/paren separators, ends on a digit. '.' is deliberately
     # NOT a separator: dotted digit runs are overwhelmingly IPs /

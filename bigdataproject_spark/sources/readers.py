@@ -118,13 +118,17 @@ def events_ts_is_nanos(path: str) -> bool:
                 # the whole process even though the driver regenerates
                 # testdata in place between rounds.
                 return False
-            try:
-                t = schema.field("ts").type
-            except KeyError:
+            # Membership check, not field()+catch: older pyarrow returns
+            # None from schema.field(missing) instead of raising KeyError,
+            # which would fall to the transient handler and defeat the
+            # cache (footer I/O re-run on every load). `in schema.names`
+            # is deterministic across pyarrow versions.
+            if "ts" not in schema.names:
                 # Footer read fine, no ts column — deterministic for this
                 # file: cache so every load doesn't re-run metadata I/O.
                 _EVENTS_TS_IS_NANOS[path] = False
                 return False
+            t = schema.field("ts").type
             # TIMESTAMP(NANOS) or a raw int64 epoch-ns column — both are
             # the legacy layout the div-1000 path handles.
             _EVENTS_TS_IS_NANOS[path] = (

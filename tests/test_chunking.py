@@ -75,6 +75,26 @@ def test_empty_and_null_docs(spark):
     assert rows[3]["chunk_text"] == "a" and rows[3]["n_chunks"] == 1
 
 
+def test_spans_on_int_token_ids(spark):
+    """chunk_spans is type-agnostic: tokenization policy stays the
+    caller's, including integer token-id arrays (the NULL guard must
+    not pin the element type to string)."""
+    df = spark.createDataFrame(
+        [(1, list(range(10))), (2, None)],
+        "doc_id long, ids array<int>",
+    )
+    rows = {
+        r["doc_id"]: r["sp"]
+        for r in df.select(
+            "doc_id", chunk_spans("ids", chunk_tokens=4, overlap=1).alias("sp")
+        ).collect()
+    }
+    assert [(s["start"], s["length"]) for s in rows[1]] == [
+        (0, 4), (3, 4), (6, 4)
+    ]
+    assert [(s["start"], s["length"]) for s in rows[2]] == [(0, 0)]
+
+
 def test_invalid_params(spark):
     with pytest.raises(ValueError):
         chunk_spans("t", chunk_tokens=0)

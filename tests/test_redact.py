@@ -24,6 +24,9 @@ CASES = [
     ("call 555.010.4477 today", "call 555.010.4477 today"),
     ("v1.2.3.4000 stays", "v1.2.3.4000 stays"),
     ("a url with creds http://u:p@h.example/x", "a url with creds <url>"),
+    # IP-literal hosts redact as one email token — without the
+    # dotted-quad alternative the ipv4 pass would leave 'user@' exposed
+    ("mail user@192.168.1.1 ok", "mail <email> ok"),
     ("no pii here", "no pii here"),
     ("", ""),
 ]

@@ -46,6 +46,7 @@ def main() -> None:
     reg = registry()
 
     out: dict[str, dict] = {}
+    leaked: list[str] = []  # queries whose thread survived cancel+drain
     for name in sorted(reg):
         w0, r0 = shuffle_totals(base_url)
         result: dict = {}
@@ -78,6 +79,14 @@ def main() -> None:
             ):
                 time.sleep(2)
             result = {"timeout": True, "sec": round(sec, 1)}
+            if th.is_alive():
+                # cancel+drain failed (e.g. a stage wedged in a
+                # non-interruptible native call): the leaked daemon
+                # thread's stages pollute every later row's wall time
+                # and shuffle deltas — record it so those rows are
+                # marked tainted instead of silently trusted.
+                leaked.append(name)
+                result["leaked_thread"] = True
         elif err:
             # a cancelled-job error after our own cancel is still a timeout
             result = {"error": f"{type(err[0]).__name__}: {err[0]}"[:300]}
@@ -88,6 +97,8 @@ def main() -> None:
                 "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
                 "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
             }
+        if leaked and name not in leaked:
+            result["tainted_by"] = list(leaked)
         out[name] = result
         print(f"  {name}: {result}", file=sys.stderr, flush=True)
 
@@ -96,6 +107,7 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "timeout_s": timeout_s,
+                "leaked_threads": leaked,
                 "queries": out,
                 "total_sec": round(
                     sum(q.get("sec", 0.0) for q in out.values()), 1
