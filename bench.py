@@ -7,10 +7,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect). A warmup query amortizes JVM/codegen startup so the
 numbers reflect steady-state plan execution. Per-query time is the
-MEDIAN of 3 timed passes: single-pass wall times on a shared local[32]
-box vary ±15% run-to-run (GC, page cache, co-tenants), which would
+MEDIAN of 5 timed passes, and the per-query [min, max] spread is
+reported alongside: single-pass wall times on a shared local[32] box
+vary ±15-40% run-to-run (GC, page cache, co-tenants), which would
 drown real per-round deltas; the median keeps the number honest (no
-best-case cherry-pick) while suppressing one-off stalls.
+best-case cherry-pick) and the spread makes the noise floor explicit
+instead of a prose disclaimer.
+
+A BYTE-IDENTICAL control query (frozen below — never edit) runs with
+the same median/spread protocol. Its round-over-round drift measures
+the box, not the code: divide any cross-round per-query delta by the
+control's delta before reading it as a regression.
 """
 
 from __future__ import annotations
@@ -21,6 +28,8 @@ import re
 import statistics
 import sys
 import time
+
+from pyspark.sql import functions as F
 
 from bigdataproject_spark.queries import registry
 from bigdataproject_spark.session import get_spark
@@ -40,9 +49,31 @@ HEADLINE = [
     "textstats_quality",
 ]
 
+PASSES = 5
+
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _control(spark, sf_dir: str):
+    """FROZEN environment control — byte-identical across rounds from
+    r4 on. DO NOT EDIT: its only job is to drift with the box."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return df.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s"),
+        F.avg("l_extendedprice").alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _timed(fn) -> tuple[float, list[float]]:
+    passes = []
+    for _ in range(PASSES):
+        t0 = time.perf_counter()
+        _force(fn())
+        passes.append(time.perf_counter() - t0)
+    return statistics.median(passes), passes
 
 
 def main() -> None:
@@ -55,17 +86,17 @@ def main() -> None:
     # warmup: JVM + whole-stage-codegen compile + parquet footer caches,
     # one pass over every headline query so the timed pass measures
     # steady-state plan execution rather than first-run compilation.
+    _force(_control(spark, sf_dir))
     for name in HEADLINE:
         _force(reg[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        passes = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _force(reg[name].fn(spark, sf_dir))
-            passes.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(passes), 3)
+        med, passes = _timed(lambda n=name: reg[n].fn(spark, sf_dir))
+        timings[name] = round(med, 3)
+        spread[name] = [round(min(passes), 3), round(max(passes), 3)]
+    ctl_med, ctl_passes = _timed(lambda: _control(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +106,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "passes": PASSES,
+                "control": {
+                    "name": "frozen_lineitem_agg",
+                    "median": round(ctl_med, 3),
+                    "spread": [
+                        round(min(ctl_passes), 3),
+                        round(max(ctl_passes), 3),
+                    ],
+                },
                 "sf": sf,
             }
         )
