@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdataproject_spark.operators.dedup import lsh_band_rows
+from bigdataproject_spark.operators.dedup import _plan_size_bytes, lsh_band_rows
 
 
 def _prepared(
@@ -251,3 +251,73 @@ def accept_batch(
         append=True,
     )
     return survivors
+
+
+_TARGET_FILE_BYTES = 128 << 20  # one comfortable parquet split
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    num_files: int | None = None,
+) -> dict[str, dict[str, int]]:
+    """Rewrite the index in place: thousands of per-batch appended part
+    files (``accept_batch`` appends every batch) become a few large
+    files, clustered for the read patterns the index serves.
+
+    ``bands`` is re-bucketed on ``band_hash`` and sorted within files by
+    (band_id, band_hash): batch checks join on that key, so clustering
+    gives parquet min-max row-group skipping and locality the
+    arrival-order appends destroy. ``shingles`` is re-bucketed on ``id``
+    (the verify joins and the resume anti-join both probe by id).
+    ``num_files`` defaults to footer-estimated size / 128 MiB.
+
+    OFFLINE maintenance op: the delete-and-rename swap is not atomic
+    for concurrent readers — run it between batches, like any
+    compaction. Idempotent: a crash before the swap leaves the live
+    tables untouched (the temp dir is overwritten next run); a crash
+    between the two table swaps leaves one table compacted and one not,
+    both readable — re-run to finish. Returns per-table
+    {files_before, files_after, rows}.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    stats: dict[str, dict[str, int]] = {}
+    for table, keys in (("bands", ["band_hash"]), ("shingles", ["id"])):
+        live = f"{path}/{table}"
+        tmp = f"{path}/{table}__compacting"
+        fs = Path(live).getFileSystem(hconf)
+
+        df = spark.read.parquet(live)
+        n = num_files
+        if n is None:
+            n = max(1, -(-_plan_size_bytes(df) // _TARGET_FILE_BYTES))
+        sort_cols = ["band_id", "band_hash"] if table == "bands" else ["id"]
+        (
+            df.repartition(n, *keys)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+        def _parts(p: str) -> int:
+            return sum(
+                1
+                for st in fs.listStatus(Path(p))
+                if st.getPath().getName().endswith(".parquet")
+            )
+
+        before = _parts(live)
+        rows = spark.read.parquet(tmp).count()
+        fs.delete(Path(live), True)
+        if not fs.rename(Path(tmp), Path(live)):
+            raise IOError(f"compact_index: rename {tmp} -> {live} failed")
+        stats[table] = {
+            "files_before": before,
+            "files_after": _parts(live),
+            "rows": rows,
+        }
+    return stats

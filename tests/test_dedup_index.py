@@ -13,6 +13,7 @@ from bigdataproject_spark.operators.dedup import (
 )
 from bigdataproject_spark.operators.dedup_index import (
     accept_batch,
+    compact_index,
     incremental_minhash_pairs,
     write_minhash_index,
 )
@@ -159,6 +160,56 @@ def test_resumed_batch_is_idempotent(spark, tmp_path):
     ).collect()}
     assert again == set()  # nothing new to accept
     assert spark.read.parquet(f"{idx}/shingles").count() == n_store
+
+
+def test_compaction_preserves_pairs(spark, tmp_path):
+    """compact_index must be invisible to queries: identical pairs
+    before and after, strictly fewer files after many small appends."""
+    old = _docs(spark, OLD_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+    # simulate the small-file swamp: many tiny accepted batches
+    for i, text in enumerate(
+        [
+            "each appended batch writes its own part files into the store "
+            "and after enough days the footer count dominates the read",
+            "another distinct appended document about winter storage of "
+            "root vegetables in sand boxes below the frost line outside",
+            "a further unique text concerning the repair of wooden boats "
+            "with oakum tar and patience over several working seasons",
+        ]
+    ):
+        accept_batch(
+            spark,
+            _docs(spark, [(100 + i, text)]),
+            idx,
+            id_col="doc_id",
+            shingles_col="shingles",
+            threshold=THRESHOLD,
+        )
+    probe = _docs(spark, NEW_ROWS)
+
+    def _pairs():
+        return _pair_set(
+            incremental_minhash_pairs(
+                spark, probe, idx, id_col="doc_id",
+                shingles_col="shingles", threshold=THRESHOLD,
+            ).collect()
+        )
+
+    before = _pairs()
+    assert before, "probe must find pairs for the equality to mean anything"
+    n_ids = spark.read.parquet(f"{idx}/shingles").count()
+    stats = compact_index(spark, idx)
+    assert _pairs() == before
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_ids
+    for table in ("bands", "shingles"):
+        assert stats[table]["files_after"] < stats[table]["files_before"]
+        assert stats[table]["files_after"] >= 1
+    # compaction is re-runnable (idempotent on an already-compact store)
+    stats2 = compact_index(spark, idx)
+    assert _pairs() == before
+    assert stats2["bands"]["rows"] == stats["bands"]["rows"]
 
 
 def test_empty_batch(spark, tmp_path):
