@@ -898,7 +898,160 @@ ORDER BY asset_id
 """
 
 
+# --- round-4 promotions: library ops → hash-checked registry entries --------
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (boilerplate removal) made registry-
+    visible: the single-line testdata documents are deterministically
+    re-lined (3 tokens per line — small vocabulary, so boilerplate-like
+    repeats emerge across documents), then every line occurring ≥2
+    times corpus-wide is dropped (operators/linededup.py)."""
+    from bigdataproject_spark.operators.linededup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(3)), F.lit(1)
+    ).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda g: F.concat_ws(" ", F.slice(toks, g * 3 + 1, 3)),
+            ),
+        ).alias("text"),
+    )
+    out = dedup_lines(lined, id_col="doc_id", text_col="text")
+    return out.select("doc_id", F.col("text").alias("clean_text"))
+
+
+ORACLE_DEDUP_LINES = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+ln AS (SELECT doc_id, t,
+              greatest(CAST(ceil(len(t) / 3.0) AS BIGINT), 1) AS nl
+       FROM tk),
+lined AS (
+  SELECT doc_id, g,
+         array_to_string(list_slice(t, g * 3 + 1, g * 3 + 3), ' ') AS line
+  FROM (SELECT doc_id, t, unnest(generate_series(0, nl - 1)) AS g FROM ln)
+),
+k AS (SELECT doc_id, g AS pos, line,
+             CASE WHEN trim(line) != '' THEN lower(trim(line)) END AS key
+      FROM lined),
+hot AS (SELECT key FROM k WHERE key IS NOT NULL
+        GROUP BY key HAVING count(*) >= 2),
+kept AS (SELECT doc_id, pos, line FROM k
+         WHERE key IS NULL OR key NOT IN (SELECT key FROM hot))
+SELECT b.doc_id,
+       coalesce(string_agg(kept.line, chr(10) ORDER BY kept.pos), '')
+         AS clean_text
+FROM base b LEFT JOIN kept ON b.doc_id = kept.doc_id
+GROUP BY b.doc_id
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py): one
+    generate in the scan stage, zero shuffle — the pre-tokenization
+    step of a training pipeline, hash-checked against DuckDB span
+    math."""
+    from bigdataproject_spark.operators.chunking import chunk_documents
+
+    docs = _docs_tokens(spark, sf_dir)
+    return chunk_documents(docs, chunk_tokens=12, overlap=4)
+
+
+_CHUNK, _STRIDE = 12, 8
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         (1 + CAST(floor((greatest(len(toks) - {_CHUNK}, 0) + {_STRIDE - 1})
+                         / {_STRIDE}) AS INT)) AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id, n_chunks,
+       array_to_string(list_slice(toks, (i-1)*{_STRIDE} + 1,
+         (i-1)*{_STRIDE} + least(n - (i-1)*{_STRIDE}, {_CHUNK})), ' ')
+         AS chunk_text,
+       CAST(least(n - (i-1)*{_STRIDE}, {_CHUNK}) AS INT) AS n_tokens
+FROM (SELECT doc_id, toks, n, n_chunks,
+             unnest(generate_series(1, n_chunks)) AS i
+      FROM n)
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-kind counts (operators/redact.py): the clean
+    testdata corpus is salted with deterministic synthetic PII (an
+    email with the doc id, a dotted-quad host, a phone) so the chained
+    regexp_replace pass and the progressive counts are exercised on
+    every row — zero-shuffle codegen map pass, patterns in the Java ∩
+    RE2 subset so DuckDB runs the identical strings."""
+    from bigdataproject_spark.operators.redact import pii_counts, redact_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = docs.withColumn(
+        "_t",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from host 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 or call +1 555 010 4477"),
+        ),
+    )
+    counts = pii_counts("_t")
+    return salted.select(
+        "doc_id",
+        redact_expr("_t").alias("redacted"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+
+
+def _oracle_pii_redact() -> str:
+    from bigdataproject_spark.operators.redact import PII_PATTERNS
+
+    salt = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from host 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.7 or call +1 555 010 4477'"
+    )
+    sql = "WITH s AS (SELECT doc_id, " + salt + " AS t FROM documents)"
+    prev = "s"
+    for i, kind in enumerate(("url", "email", "ipv4", "phone"), start=1):
+        pat = PII_PATTERNS[kind]
+        carried = ", ".join(
+            f"n_{k}" for k in ("url", "email", "ipv4", "phone")[: i - 1]
+        )
+        carried = (carried + ", ") if carried else ""
+        sql += (
+            f", c{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}, "
+            f"regexp_replace(t, '{pat}', '<{kind}>', 'g') AS t "
+            f"FROM {prev})"
+        )
+        prev = f"c{i}"
+    return (
+        sql
+        + " SELECT doc_id, t AS redacted, n_url, n_email, n_ipv4, n_phone"
+        + f" FROM {prev}"
+    )
+
+
 PIPELINE_QUERIES = {
+    "dedup_lines_boilerplate": _q(q_dedup_lines, ORACLE_DEDUP_LINES),
+    "chunk_documents_windows": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
+    "pii_redact": _q(q_pii_redact, _oracle_pii_redact()),
     "dedup_exact": _q(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": _q(q_dedup_jaccard, ORACLE_DEDUP_JACCARD),
     "dedup_minhash_lsh": _q(q_dedup_minhash, ORACLE_DEDUP_MINHASH),

@@ -51,6 +51,11 @@ _MAX_SHUFFLES = {
     "token_count": 0,
     "doc_fingerprint": 0,
     "dedup_exact": 1,  # one hash-agg exchange on the digest
+    "pii_redact": 0,  # chained regexp_replace is one codegen map pass
+    "chunk_documents_windows": 0,  # one generate in the scan stage
+    # hot-line agg + hot-set join + per-doc rebuild + doc join; the
+    # hot-set join carries no pinned broadcast (AQE decides)
+    "dedup_lines_boilerplate": 4,
     # orderkey-shuffle (both fact sides) + final agg + presentation sort.
     # The fact-fact join is PINNED to shuffle (see q5's docstring): the
     # previous budget of 2 was only reachable by broadcasting the orders
