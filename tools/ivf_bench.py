@@ -1,0 +1,90 @@
+"""Steady-state IVF measurement: build the materialized cell-partitioned
+index ONCE, then run N query batches against it — the production shape
+(`ivf_write_index` / `ivf_topk_indexed`), as opposed to the registry's
+self-contained `ann_ivf_topk` which refits the quantizer per call.
+
+Usage: python tools/ivf_bench.py SF_DIR [N_BATCHES] [IDX_DIR]
+
+Prints one JSON line: {"build_sec": ..., "batches": [sec, ...],
+"batch_median_sec": ..., "corpus_n": ..., "queries_per_batch": ...}.
+Each batch is a disjoint deterministic slice of the embedding table
+(id % N_BATCHES == b), forced end-to-end with a noop sink.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import statistics
+import sys
+import time
+
+from sweeplib import force  # noqa: E402 (sys.path bootstrap)
+
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.operators.simsearch import (
+    ivf_topk_indexed,
+    ivf_write_index,
+)
+from bigdataproject_spark.session import get_spark
+from bigdataproject_spark.sources.readers import load_table
+
+N_CENTROIDS = 64
+N_PROBE = 8
+K = 10
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    idx = sys.argv[3] if len(sys.argv) > 3 else "/tmp/ivf_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    spark = get_spark("ivf-bench")
+    emb = load_table(spark, sf_dir, "embeddings")
+    idc = "emb_id" if "emb_id" in emb.columns else emb.columns[0]
+    vc = "embedding" if "embedding" in emb.columns else emb.columns[1]
+    corpus_n = emb.count()
+
+    t0 = time.perf_counter()
+    ivf_write_index(
+        emb, idx, id_col=idc, vec_col=vc, n_centroids=N_CENTROIDS
+    )
+    build_sec = time.perf_counter() - t0
+
+    batches = []
+    q_per_batch = None
+    for b in range(n_batches):
+        queries = emb.filter(F.pmod(F.col(idc), F.lit(n_batches)) == b)
+        if q_per_batch is None:
+            q_per_batch = queries.count()
+        t0 = time.perf_counter()
+        force(
+            ivf_topk_indexed(
+                spark, idx, queries, id_col=idc, vec_col=vc, k=K,
+                n_probe=N_PROBE,
+            )
+        )
+        sec = time.perf_counter() - t0
+        batches.append(round(sec, 2))
+        print(f"  batch {b}: {sec:.2f}s", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "corpus_n": corpus_n,
+                "n_centroids": N_CENTROIDS,
+                "n_probe": N_PROBE,
+                "k": K,
+                "build_sec": round(build_sec, 2),
+                "queries_per_batch": q_per_batch,
+                "batches": batches,
+                "batch_median_sec": round(statistics.median(batches), 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
