@@ -1,0 +1,125 @@
+"""Streaming near-dup dedup through the persisted minhash index
+(streaming/index_stream.py): a file stream drains micro-batch by
+micro-batch through accept_batch, the survivor output equals the
+sequential batch-mode result, and a replayed micro-batch (foreachBatch
+at-least-once) changes nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.operators.dedup import hashed_word_shingles
+from bigdataproject_spark.streaming.index_stream import (
+    make_index_batch_writer,
+    stream_dedup_to_index,
+)
+
+THRESHOLD = 0.8
+BASE = (
+    "the story begins when the old sailor and the young cook set out "
+    "to sea because the harbor is empty and the wind is fair for travel"
+)
+B1 = [
+    (1, BASE),
+    (2, "completely different content about spark query engines and "
+        "their adaptive execution of shuffles joins and aggregates at "
+        "scale with columnar storage and vectorized readers"),
+]
+B2 = [
+    (11, BASE + " tonight"),                     # near-dup of stored 1
+    (12, "fresh unique text on gardening tomatoes in clay soil with "
+         "compost mulch and careful watering through the hot months of "
+         "the growing season until harvest time arrives"),
+    (13, "fresh unique text on gardening tomatoes in clay soil with "
+         "compost mulch and careful watering through the hot months of "
+         "the growing season until harvest time ends"),  # dup of 12
+]
+
+
+def _docs(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tokens = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    return df.withColumn("shingles", hashed_word_shingles(tokens, 3))
+
+
+def _out_ids(spark, out):
+    return {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/batch=*").collect()
+    }
+
+
+def test_stream_drains_through_index(spark, tmp_path):
+    """Two files → two micro-batches (maxFilesPerTrigger=1) → survivors
+    on disk equal the sequential accept_batch semantics: 11 dropped
+    (near-dup of stored 1), 13 dropped (dup of smaller 12)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _docs(spark, B1).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    _docs(spark, B2).coalesce(1).write.parquet(str(src / "f2.parquet"))
+    # file streams read a flat dir of part files; re-lay the two writes
+    # as two single part files in one dir
+    import glob
+    import shutil
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    import os
+    import time
+
+    now = time.time()
+    for i, d in enumerate(["f1.parquet", "f2.parquet"]):
+        part = glob.glob(str(src / d / "part-*.parquet"))[0]
+        dst = stream_dir / f"{i:04d}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders micro-batches by modification time;
+        # pin strictly increasing mtimes so f1 is batch 0
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    schema = _docs(spark, B1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    idx, out, ckpt = (
+        str(tmp_path / "idx"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q = stream_dedup_to_index(
+        stream, index_path=idx, out_path=out, checkpoint=ckpt,
+        threshold=THRESHOLD,
+    )
+    q.awaitTermination(120)
+    assert _out_ids(spark, out) == {1, 2, 12}
+    stored = {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    }
+    assert stored == {1, 2, 12}
+    # the survivor output carries the original columns, not signatures
+    assert "shingles" not in spark.read.parquet(f"{out}/batch=*").columns
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: calling the batch writer twice
+    with the same (batch_df, batch_id) — a crash-replay — must leave
+    the index and the survivor output byte-identical in content."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    writer(_docs(spark, B1), 0)
+    writer(_docs(spark, B2), 1)
+    first_out = _out_ids(spark, out)
+    n_store = spark.read.parquet(f"{idx}/shingles").count()
+    n_bands = spark.read.parquet(f"{idx}/bands").count()
+
+    writer(_docs(spark, B2), 1)  # replay the last micro-batch
+    assert _out_ids(spark, out) == first_out == {1, 2, 12}
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_store
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+    # survivors of the replayed batch are still present (not lost to
+    # the empty accept_batch return on replay)
+    b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert b1 == {12}
