@@ -29,7 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (53 of 53 — FP-Growth via exact
+    """DuckDB-equivalent SQL per query (50 of 50 — FP-Growth via exact
     subset enumeration; minhash-LSH/simhash/winnowing/HLL via portable
     md5 hash families computed identically by both engines; the IVF
     coarse quantizer via a deterministic-sample snapshot; the adaptive

@@ -20,7 +20,7 @@ REG = registry()
 
 # queries whose plan is EXPECTED to cross into Python, and how
 _ALLOWED_PYTHON = {
-    "multimodal_features": "MapInPandas",
+    "multimodal_meta": "MapInPandas",  # absorbed multimodal_features (r4)
     "embedding_neardup": "FlatMapCoGroupsInPandas",
 }
 
@@ -47,8 +47,7 @@ def test_plan_hygiene(spark, sf_dir, name):
 # parallelism, i.e. never at scale), pinned separately below.
 _MAX_SHUFFLES = {
     "textstats_quality": 0,
-    "lang_id": 0,
-    "token_count": 0,
+    "lang_id": 0,  # absorbed token_count (r4) — still one map pass
     "doc_fingerprint": 0,
     "dedup_exact": 1,  # one hash-agg exchange on the digest
     "pii_redact": 0,  # chained regexp_replace is one codegen map pass
@@ -90,7 +89,7 @@ def test_shuffle_budget(spark, sf_dir, name):
     assert n <= _MAX_SHUFFLES[name], f"{name}: {n} shuffles in plan"
 
 
-_FAN_OUT_QUERIES = ["textstats_quality", "lang_id", "token_count", "doc_fingerprint"]
+_FAN_OUT_QUERIES = ["textstats_quality", "lang_id", "doc_fingerprint"]
 
 
 @pytest.mark.parametrize("name", _FAN_OUT_QUERIES)
