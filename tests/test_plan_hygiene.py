@@ -41,7 +41,7 @@ def test_plan_hygiene(spark, sf_dir, name):
 # Upper bounds on shuffle exchanges (hash/range partitioning — broadcast
 # exchanges excluded) for flagship plans; a regression that adds a
 # shuffle to a map-only corpus pass is exactly the 100 TB hazard this
-# repo engineers against. The four corpus map passes stay at ZERO
+# repo engineers against. The corpus map passes stay at ZERO
 # hash/range exchanges; the only exchange they may carry is the guarded
 # ROUND-ROBIN fan-out (readers.fan_out — fires only when input splits <
 # parallelism, i.e. never at scale), pinned separately below.

@@ -7,9 +7,13 @@ Usage: python tools/ivf_bench.py SF_DIR [N_BATCHES] [IDX_DIR]
 
 Prints one JSON line: {"build_sec": ..., "batches": [sec, ...],
 "batch_median_sec": ..., "corpus_n": ..., "queries_per_batch": ...}.
-Each batch is a disjoint deterministic slice of the embedding table
-(id % N_BATCHES == b), forced end-to-end with a noop sink.
-"""
+Each batch is a disjoint deterministic ~BATCH_TARGET-query slice of
+the embedding table (id % M == b with M sized from the corpus), forced
+end-to-end with a noop sink — the realistic steady-state shape: a
+search service answers bounded query batches against a big corpus,
+not corpus-sized self-joins (ivf_topk_indexed broadcasts the probe
+side, so the batch must stay inside the broadcast budget — see its
+docstring)."""
 from __future__ import annotations
 
 import json
@@ -32,6 +36,7 @@ from bigdataproject_spark.sources.readers import load_table
 N_CENTROIDS = 64
 N_PROBE = 8
 K = 10
+BATCH_TARGET = 2000  # queries per batch
 
 
 def main() -> None:
@@ -53,8 +58,9 @@ def main() -> None:
 
     batches = []
     q_per_batch = None
+    m = max(n_batches, corpus_n // BATCH_TARGET)
     for b in range(n_batches):
-        queries = emb.filter(F.pmod(F.col(idc), F.lit(n_batches)) == b)
+        queries = emb.filter(F.pmod(F.col(idc), F.lit(m)) == b)
         if q_per_batch is None:
             q_per_batch = queries.count()
         t0 = time.perf_counter()
