@@ -87,6 +87,30 @@ def test_chunking_zero_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_packing_single_exchange(spark, sf_dir):
+    """pack_sequences: ONE hash exchange (on the shard column). The
+    (shard, pack) position window must reuse the shard partitioning —
+    hashpartitioning(shard) satisfies ClusteredDistribution(shard,
+    pack), so a second exchange appearing means Catalyst stopped
+    recognizing that and the op silently doubled its shuffle cost."""
+    from bigdataproject_spark.operators.chunking import chunk_documents
+    from bigdataproject_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=8).withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    packed = pack_sequences(
+        chunks, shard_col="shard", order_cols=["doc_id", "chunk_id"],
+        target_tokens=512,
+    )
+    plan = _plan(packed)
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
 def test_training_shards_single_exchange(spark, sf_dir):
     """write_training_shards' plan: exactly one repartition exchange
     (the content-keyed shard assignment), nothing else."""
