@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from bigdataproject_spark.operators.chunking import chunk_documents
 from bigdataproject_spark.operators.corpus import clean_corpus
 from bigdataproject_spark.operators.linededup import dedup_lines
+from bigdataproject_spark.operators.packing import pack_sequences
 from bigdataproject_spark.operators.redact import redact_expr
 from bigdataproject_spark.session import get_spark
 from bigdataproject_spark.sources.readers import load_table
@@ -110,11 +111,24 @@ def main() -> None:
         )
         return spark.read.parquet(f"{work}/shards").count()
 
+    def s_pack() -> int:
+        shards = spark.read.parquet(f"{work}/shards")
+        packed = pack_sequences(
+            shards, shard_col="shard",
+            order_cols=["doc_id", "chunk_id"], target_tokens=2048,
+        )
+        packed.write.mode("overwrite").parquet(f"{work}/packed")
+        return (
+            spark.read.parquet(f"{work}/packed")
+            .select("shard", "pack_id").distinct().count()
+        )
+
     t0 = time.perf_counter()
     stage("redact", s_redact)
     stage("linededup_keepfirst", s_linededup)
     stage("funnel_clean", s_funnel)
     stage("chunk_and_shard", s_chunk_shards)
+    stage("pack_sequences", s_pack)
     print(
         json.dumps(
             {
