@@ -275,11 +275,12 @@ def compact_index(
 
     OFFLINE maintenance op: the delete-and-rename swap is not atomic
     for concurrent readers — run it between batches, like any
-    compaction. Idempotent: a crash before the swap leaves the live
-    tables untouched (the temp dir is overwritten next run); a crash
-    between the two table swaps leaves one table compacted and one not,
-    both readable — re-run to finish. Returns per-table
-    {files_before, files_after, rows}.
+    compaction. Crash-safe by re-run: before the swap the live tables
+    are untouched (the temp dir is overwritten next run), and the one
+    unrecoverable-looking window — a crash after the live delete but
+    before the rename — is healed on entry (a missing live dir with a
+    completed temp dir is renamed into place before anything else).
+    Returns per-table {files_before, files_after, rows}.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -290,6 +291,15 @@ def compact_index(
         live = f"{path}/{table}"
         tmp = f"{path}/{table}__compacting"
         fs = Path(live).getFileSystem(hconf)
+
+        # heal an interrupted previous run: live deleted, rename not
+        # reached — the temp dir (written with _SUCCESS before any
+        # delete happens) IS the compacted table.
+        if not fs.exists(Path(live)) and fs.exists(Path(f"{tmp}/_SUCCESS")):
+            if not fs.rename(Path(tmp), Path(live)):
+                raise IOError(
+                    f"compact_index: recovery rename {tmp} -> {live} failed"
+                )
 
         df = spark.read.parquet(live)
         n = num_files

@@ -212,6 +212,34 @@ def test_compaction_preserves_pairs(spark, tmp_path):
     assert stats2["bands"]["rows"] == stats["bands"]["rows"]
 
 
+def test_compaction_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window: live table deleted, rename not reached. A re-run
+    must heal from the completed temp dir before doing anything."""
+    import shutil
+
+    old = _docs(spark, OLD_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+    probe = _docs(spark, NEW_ROWS)
+
+    def _pairs():
+        return _pair_set(
+            incremental_minhash_pairs(
+                spark, probe, idx, id_col="doc_id",
+                shingles_col="shingles", threshold=THRESHOLD,
+            ).collect()
+        )
+
+    before = _pairs()
+    # simulate the crash: a finished compacted temp dir, live deleted
+    compact_index(spark, idx)  # leaves a compact live store
+    shutil.copytree(f"{idx}/bands", f"{idx}/bands__compacting")
+    shutil.rmtree(f"{idx}/bands")
+    stats = compact_index(spark, idx)
+    assert _pairs() == before
+    assert stats["bands"]["rows"] > 0
+
+
 def test_empty_batch(spark, tmp_path):
     old = _docs(spark, OLD_ROWS)
     idx = str(tmp_path / "idx")
