@@ -273,14 +273,16 @@ def compact_index(
     (the verify joins and the resume anti-join both probe by id).
     ``num_files`` defaults to footer-estimated size / 128 MiB.
 
-    OFFLINE maintenance op: the delete-and-rename swap is not atomic
-    for concurrent readers — run it between batches, like any
-    compaction. Crash-safe by re-run: before the swap the live tables
-    are untouched (the temp dir is overwritten next run), and the one
-    unrecoverable-looking window — a crash after the live delete but
-    before the rename — is healed on entry (a missing live dir with a
-    completed temp dir is renamed into place before anything else).
-    Returns per-table {files_before, files_after, rows}.
+    OFFLINE maintenance op: the rename-swap is not atomic for
+    concurrent readers — run it between batches, like any compaction.
+    Crash-safe by re-run, with NO window that can lose data: the live
+    table is never deleted, only atomically RENAMED aside to
+    ``{table}__old`` after the compacted temp dir is complete, then the
+    temp dir is renamed into place and the old copy dropped. On entry a
+    missing live dir (crash between the two renames) is healed from
+    the completed temp dir, else from the renamed-aside original; a
+    stale temp/old dir from any earlier crash is cleared before the
+    rewrite. Returns per-table {files_before, files_after, rows}.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -290,16 +292,29 @@ def compact_index(
     for table, keys in (("bands", ["band_hash"]), ("shingles", ["id"])):
         live = f"{path}/{table}"
         tmp = f"{path}/{table}__compacting"
+        old = f"{path}/{table}__old"
         fs = Path(live).getFileSystem(hconf)
 
-        # heal an interrupted previous run: live deleted, rename not
-        # reached — the temp dir (written with _SUCCESS before any
-        # delete happens) IS the compacted table.
-        if not fs.exists(Path(live)) and fs.exists(Path(f"{tmp}/_SUCCESS")):
-            if not fs.rename(Path(tmp), Path(live)):
+        # heal an interrupted previous run: live is missing only in the
+        # window between rename(live→old) and rename(tmp→live), where
+        # BOTH complete copies exist — prefer the compacted temp dir
+        # (marked complete by _SUCCESS), fall back to the original.
+        if not fs.exists(Path(live)):
+            if fs.exists(Path(f"{tmp}/_SUCCESS")):
+                src = tmp
+            elif fs.exists(Path(old)):
+                src = old
+            else:
                 raise IOError(
-                    f"compact_index: recovery rename {tmp} -> {live} failed"
+                    f"compact_index: {live} missing and no recovery copy"
                 )
+            if not fs.rename(Path(src), Path(live)):
+                raise IOError(
+                    f"compact_index: recovery rename {src} -> {live} failed"
+                )
+        # stale leftovers from a crash after recovery was possible
+        fs.delete(Path(tmp), True)
+        fs.delete(Path(old), True)
 
         df = spark.read.parquet(live)
         n = num_files
@@ -322,9 +337,13 @@ def compact_index(
 
         before = _parts(live)
         rows = spark.read.parquet(tmp).count()
-        fs.delete(Path(live), True)
+        if not fs.rename(Path(live), Path(old)):
+            raise IOError(f"compact_index: rename {live} -> {old} failed")
         if not fs.rename(Path(tmp), Path(live)):
+            # roll the original back so the index stays readable
+            fs.rename(Path(old), Path(live))
             raise IOError(f"compact_index: rename {tmp} -> {live} failed")
+        fs.delete(Path(old), True)
         stats[table] = {
             "files_before": before,
             "files_after": _parts(live),

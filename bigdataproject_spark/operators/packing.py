@@ -45,22 +45,33 @@ def pack_sequences(
     chunk inside its pack; ``pack_cum_tokens`` is the running token
     total through this chunk (the last row's value is the pack's
     size). Zero-token rows ride along in the current pack. The
-    assignment is deterministic: same rows + same shard/order columns
-    → same packs, on any cluster layout."""
+    assignment is deterministic — same rows + same shard/order columns
+    → same packs, on any cluster layout — PROVIDED ``order_cols``
+    uniquely orders rows within a shard (e.g. (doc_id, chunk_id));
+    with ties the packing is still valid (bounds hold) but the tie
+    order, and therefore pack membership among the tied rows, is
+    layout-dependent. The running sums use an explicit ROWS frame:
+    the default RANGE frame would lump tied order keys into one
+    cumulative value and break the next-fit arithmetic."""
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
-    w = Window.partitionBy(shard_col).orderBy(*order_cols)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum(tokens_col).over(w)
     pack = F.floor(
         F.greatest(cum - 1, F.lit(0)) / F.lit(target_tokens)
     ).cast("int")
     out = chunks.withColumn("pack_id", pack)
     wp = Window.partitionBy(shard_col, "pack_id").orderBy(*order_cols)
+    wp_rows = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         out.withColumn(
             "pack_pos", (F.row_number().over(wp) - 1).cast("int")
         )
-        .withColumn("pack_cum_tokens", F.sum(tokens_col).over(wp))
+        .withColumn("pack_cum_tokens", F.sum(tokens_col).over(wp_rows))
     )
 
 

@@ -38,9 +38,13 @@ PII_PATTERNS: dict[str, str] = {
     "url": r"https?://[^\s]+",
     # host is a named domain with an alphabetic TLD OR a dotted-quad IP
     # literal (user@192.168.1.1) — without the alternative the later
-    # ipv4 pass would redact only the host and leave 'user@' exposed
+    # ipv4 pass would redact only the host and leave 'user@' exposed.
+    # The IP alternative keeps the standalone pattern's trailing \b so
+    # an invalid quad (user@192.168.1.1234) is not partially redacted.
     "email": (
-        r"[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|" + _IPV4 + r")"
+        r"[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|"
+        + _IPV4
+        + r"\b)"
     ),
     "ipv4": r"\b" + _IPV4 + r"\b",
     # international-ish: optional +, 9-15 digits with optional

@@ -5,20 +5,27 @@ micro-batch at a time — the full lambda flow executed as ONE pipeline
 cross-document state lives in the parquet index, not in stream state).
 
 Effective exactly-once without stream state: foreachBatch is
-at-least-once, so every side effect here is idempotent —
+at-least-once, so the batch step is a two-phase idempotent commit —
 
-  * the index append: ``accept_batch`` drops ids already present in
-    the store before appending (its crash-resume contract, tested in
-    tests/test_dedup_index.py), so a replayed batch appends nothing;
-  * the survivor output: survivors are derived AFTER the append as
-    "batch docs whose ids are now in the store" (original run and
-    replay agree on that set — on a replay ``accept_batch`` returns
-    empty, but the store still names the batch's survivors) and are
-    written with per-batch-directory OVERWRITE, so a replay rewrites
-    the same files rather than duplicating them.
+  1. the batch's survivor set is decided against the CURRENT store
+     (LSH candidates + verify + already-stored anti-join) and written
+     to ``{out_path}/batch={batch_id}`` with overwrite. This ledger
+     write is the commit point: it happens BEFORE any index mutation,
+     and replaying it recomputes the identical set (the store hasn't
+     changed) or rewrites the same files.
+  2. the survivors' signatures are appended to the index, guarded by
+     an anti-join against the store's current ids — a replay (or a
+     crash between 1 and 2) appends exactly the missing rows and
+     nothing twice. Signature membership is defined by the shingles
+     table, which `write_minhash_index` writes AFTER the bands table,
+     so a crash mid-append can leave at most orphan band rows — which
+     only ever create candidate pairs that the verify join then drops
+     (no shingles row), and which are de-duplicated by the next
+     completed append check.
 
-A crash at ANY point between the append and the output write therefore
-replays to the identical end state.
+A batch containing a doc id accepted by an EARLIER batch treats it as
+already stored (dropped), so survivor outputs never duplicate a
+document across batch directories.
 """
 
 from __future__ import annotations
@@ -26,9 +33,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdataproject_spark.operators.dedup_index import accept_batch
+from bigdataproject_spark.operators.dedup_index import (
+    incremental_minhash_pairs,
+    write_minhash_index,
+)
 
 __all__ = ["ensure_index", "make_index_batch_writer", "stream_dedup_to_index"]
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
 
 
 def ensure_index(
@@ -44,16 +60,10 @@ def ensure_index(
 ) -> None:
     """Bootstrap an EMPTY index at ``path`` if none exists (zero-row
     band/shingle parquet with the correct schema, derived from
-    ``like``) — lets the first micro-batch run the same accept_batch
-    code path as every later one."""
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    p = Path(f"{path}/shingles")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p):
+    ``like``) — lets the first micro-batch run the same code path as
+    every later one."""
+    if _exists(spark, f"{path}/shingles"):
         return
-    from bigdataproject_spark.operators.dedup_index import write_minhash_index
-
     write_minhash_index(
         like.limit(0),
         path,
@@ -76,12 +86,10 @@ def make_index_batch_writer(
     bands: int = 8,
     hash_family: str = "murmur3",
 ):
-    """The foreachBatch function: check the micro-batch against the
-    index, append the accepted docs' signatures, and (re)write the
-    batch's survivors to ``{out_path}/batch={batch_id}``. Idempotent
-    under replay (see module docstring); exposed separately from
-    :func:`stream_dedup_to_index` so tests can drive the replay case
-    directly."""
+    """The foreachBatch function (see module docstring for the
+    two-phase idempotent commit). Exposed separately from
+    :func:`stream_dedup_to_index` so tests can drive replay and
+    crash-window cases directly."""
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -95,29 +103,64 @@ def make_index_batch_writer(
             bands=bands,
             hash_family=hash_family,
         )
-        accept_batch(
-            spark,
-            batch_df,
-            index_path,
-            id_col=id_col,
-            shingles_col=shingles_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            hash_family=hash_family,
-        )
-        # survivors = batch ∩ store, read AFTER the append: identical on
-        # the original run and on a crash-replay (where accept_batch
-        # itself returns empty). Per-batch-dir overwrite keeps the
-        # output exactly-once.
+        out_dir = f"{out_path}/batch={batch_id}"
         stored_ids = spark.read.parquet(f"{index_path}/shingles").select(
             F.col("id").alias(id_col)
         )
-        survivors = batch_df.join(stored_ids, id_col, "left_semi").drop(
-            shingles_col
+
+        # phase 1 — decide + persist the survivor set (skip if this
+        # batch's ledger already committed: a replay must not re-decide
+        # against the store its own append already changed)
+        if not _exists(spark, f"{out_dir}/_SUCCESS"):
+            pairs = incremental_minhash_pairs(
+                spark,
+                batch_df,
+                index_path,
+                id_col=id_col,
+                shingles_col=shingles_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                hash_family=hash_family,
+            )
+            already = batch_df.select(id_col).join(
+                stored_ids, id_col, "left_semi"
+            )
+            dropped = (
+                pairs.select(
+                    F.when(F.col("vs_index"), F.col("id_a"))
+                    .otherwise(F.col("id_b"))
+                    .alias(id_col)
+                )
+                .unionByName(already)
+                .distinct()
+            )
+            survivors = batch_df.join(dropped, id_col, "left_anti").drop(
+                shingles_col
+            )
+            survivors.write.mode("overwrite").parquet(out_dir)
+
+        # phase 2 — append exactly the ledger survivors the store does
+        # not know yet (replay-safe by construction). The id set is
+        # localCheckpoint'd so the append plan does NOT read the
+        # shingles dir it is appending to (same lineage-truncation move
+        # as accept_batch).
+        new_ids = (
+            spark.read.parquet(out_dir)
+            .select(id_col)
+            .join(stored_ids, id_col, "left_anti")
+            .localCheckpoint()
         )
-        survivors.write.mode("overwrite").parquet(
-            f"{out_path}/batch={batch_id}"
+        to_append = batch_df.join(new_ids, id_col, "left_semi")
+        write_minhash_index(
+            to_append,
+            index_path,
+            id_col=id_col,
+            shingles_col=shingles_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_family=hash_family,
+            append=True,
         )
 
     return _write_batch

@@ -108,7 +108,9 @@ def test_duckdb_window_parity(spark):
         WITH s AS (
           SELECT *, CAST(floor(greatest(
                    sum(n_tokens) OVER (PARTITION BY shard
-                       ORDER BY doc_id, chunk_id) - 1, 0) / 100) AS INT)
+                       ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1, 0) / 100) AS INT)
                  AS pack_id
           FROM c
         )
@@ -116,7 +118,9 @@ def test_duckdb_window_parity(spark):
                CAST(row_number() OVER (PARTITION BY shard, pack_id
                     ORDER BY doc_id, chunk_id) - 1 AS INT) AS pack_pos,
                sum(n_tokens) OVER (PARTITION BY shard, pack_id
-                   ORDER BY doc_id, chunk_id) AS pack_cum
+                   ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS pack_cum
         FROM s
     """).fetchall()
     want = {(r[0], r[1], r[2]): (r[3], r[4], r[5]) for r in oracle}

@@ -57,11 +57,19 @@ def test_linededup_plan_no_cartesian_no_python(spark, sf_dir):
         # the hot-set join must not pin a broadcast: with min_count=2 the
         # hot set can be billions of rows at web scale (hazard #1). AQE
         # may still CHOOSE broadcast at runtime from measured sizes, but
-        # the static plan must leave the choice open (no ResolvedHint →
-        # the pre-AQE physical plan keeps a sort-merge/shuffle join for
-        # the hot-set side rather than an unconditional BroadcastExchange
-        # feeding it).
-        assert plan.count("BroadcastExchange") == 0 or "AdaptiveSparkPlan" in plan
+        # the plan must leave the choice open — a pinned F.broadcast()
+        # survives into the optimized logical plan as a join-side
+        # broadcast hint, which is what we assert absent (the executed
+        # plan string is useless for this: with AQE on it always says
+        # AdaptiveSparkPlan, and whether a BroadcastExchange appears
+        # depends on runtime sizes, not on the code).
+        logical = (
+            dedup_lines(docs, keep_first=kf)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "strategy=broadcast" not in logical
 
 
 def test_hot_lines_count_is_combinable(spark, sf_dir):

@@ -27,6 +27,9 @@ CASES = [
     # IP-literal hosts redact as one email token — without the
     # dotted-quad alternative the ipv4 pass would leave 'user@' exposed
     ("mail user@192.168.1.1 ok", "mail <email> ok"),
+    # invalid quad host: not an email, not an ip — fully untouched
+    # (the IP alternative carries \b so no partial redaction)
+    ("mail user@192.168.1.1234 ok", "mail user@192.168.1.1234 ok"),
     ("no pii here", "no pii here"),
     ("", ""),
 ]

@@ -120,6 +120,63 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/shingles").count() == n_store
     assert spark.read.parquet(f"{idx}/bands").count() == n_bands
     # survivors of the replayed batch are still present (not lost to
-    # the empty accept_batch return on replay)
+    # the decide-phase being skipped on replay)
+    b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert b1 == {12}
+
+
+def test_cross_batch_duplicate_id_not_reemitted(spark, tmp_path):
+    """A later batch carrying a doc_id accepted by an EARLIER batch
+    must treat it as already stored: the survivor output of the later
+    batch must not duplicate the document."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    writer(_docs(spark, B1), 0)
+    # re-crawl: doc 1 appears again in a DIFFERENT batch, plus doc 99
+    recrawl = B1[:1] + [
+        (99, "an entirely new report on alpine weather systems and the "
+             "formation of lenticular clouds above high mountain ridges "
+             "during stable winter inversions across the plateau")
+    ]
+    writer(_docs(spark, recrawl), 1)
+    b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
+    assert b1 == {99}
+    assert _out_ids(spark, out) == {1, 2, 99}
+    stored = {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    }
+    assert stored == {1, 2, 99}
+
+
+def test_crash_between_ledger_and_append(spark, tmp_path):
+    """Crash window: the survivor ledger committed but the index append
+    never ran. The replay must complete the append from the ledger —
+    not re-decide survivors against a store its append changed."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    writer(_docs(spark, B1), 0)
+    # simulate the half-committed batch 1: run it fully, then roll the
+    # INDEX back to its pre-batch state, keeping the ledger
+    import shutil
+
+    shutil.copytree(idx, str(tmp_path / "idx_snapshot"))
+    writer(_docs(spark, B2), 1)
+    shutil.rmtree(idx)
+    shutil.copytree(str(tmp_path / "idx_snapshot"), idx)
+    assert {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    } == {1, 2}
+
+    writer(_docs(spark, B2), 1)  # replay heals the append
+    stored = {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    }
+    assert stored == {1, 2, 12}
     b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
     assert b1 == {12}
