@@ -40,8 +40,9 @@ def pack_sequences(
 ) -> DataFrame:
     """Add (pack_id, pack_pos, pack_cum_tokens) to ``chunks``.
 
-    ``pack_id`` is unique within a shard (global identity is
-    (shard_col, pack_id)); ``pack_pos`` is the 0-based position of the
+    ``pack_id`` is DENSE 0..n−1 within a shard (global identity is
+    (shard_col, pack_id); an oversized chunk crossing several
+    boundaries does not leave gaps); ``pack_pos`` is the 0-based position of the
     chunk inside its pack; ``pack_cum_tokens`` is the running token
     total through this chunk (the last row's value is the pack's
     size). Zero-token rows ride along in the current pack. The
@@ -61,10 +62,23 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(tokens_col).over(w)
-    pack = F.floor(
+    raw = F.floor(
         F.greatest(cum - 1, F.lit(0)) / F.lit(target_tokens)
     ).cast("int")
-    out = chunks.withColumn("pack_id", pack)
+    # dense-rank the raw boundary index so pack ids are DENSE 0..n−1
+    # per shard: a chunk larger than the target jumps the raw index by
+    # >1 (its span crosses several boundaries), which would otherwise
+    # leave empty pack ids for downstream consumers that iterate packs.
+    # Same shard partitioning → no additional exchange.
+    out = chunks.withColumn("_pack_raw", raw).withColumn(
+        "pack_id",
+        (
+            F.dense_rank().over(
+                Window.partitionBy(shard_col).orderBy("_pack_raw")
+            )
+            - 1
+        ).cast("int"),
+    ).drop("_pack_raw")
     wp = Window.partitionBy(shard_col, "pack_id").orderBy(*order_cols)
     wp_rows = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (

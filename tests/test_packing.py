@@ -105,14 +105,18 @@ def test_duckdb_window_parity(spark):
         + ") v(shard, doc_id, chunk_id, n_tokens)"
     )
     oracle = con.execute("""
-        WITH s AS (
+        WITH r AS (
           SELECT *, CAST(floor(greatest(
                    sum(n_tokens) OVER (PARTITION BY shard
                        ORDER BY doc_id, chunk_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - 1, 0) / 100) AS INT)
-                 AS pack_id
+                 AS pack_raw
           FROM c
+        ), s AS (
+          SELECT *, CAST(dense_rank() OVER (PARTITION BY shard
+                       ORDER BY pack_raw) - 1 AS INT) AS pack_id
+          FROM r
         )
         SELECT shard, doc_id, chunk_id, pack_id,
                CAST(row_number() OVER (PARTITION BY shard, pack_id

@@ -213,3 +213,95 @@ def test_chunking_coverage_property(spark, n, chunk, data):
         assert len(parts) == r["n_tokens"] <= chunk
         rebuilt.extend(parts if not rebuilt else parts[overlap:])
     assert rebuilt == toks
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["banner", "footer", "body one", "body two", "x", "  "]),
+            min_size=0, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    ),
+    keep_first=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_linededup_invariants(spark, docs, keep_first):
+    """Line dedup: kept lines are a subsequence of the input; lines
+    below min_count survive everywhere; blank lines always survive;
+    keep_first keeps exactly one occurrence of each hot line."""
+    from collections import Counter
+
+    from bigdataproject_spark.operators.linededup import dedup_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            keep_first=keep_first,
+        ).collect()
+    }
+    norm = lambda ln: ln.strip().lower()  # noqa: E731
+    counts = Counter(
+        norm(ln) for _, t in rows for ln in t.split("\n") if ln.strip()
+    )
+    kept_hot = Counter()
+    for i, t in rows:
+        if t == "":  # empty doc: rebuilt empty, no line accounting
+            assert out[i] == ""
+            continue
+        inp = t.split("\n")
+        got = out[i].split("\n") if out[i] else []
+        # subsequence of the input lines, original text preserved
+        it = iter(inp)
+        assert all(any(ln == cand for cand in it) for ln in got)
+        dropped = Counter(inp)
+        for ln in got:
+            dropped[ln] -= 1
+        for ln, n in dropped.items():
+            if n > 0:
+                # only hot (count >= 2), non-blank lines may be dropped
+                assert ln.strip() and counts[norm(ln)] >= 2
+        kept_hot.update(
+            norm(ln) for ln in got if ln.strip() and counts[norm(ln)] >= 2
+        )
+    if keep_first:
+        hot = {k for k, n in counts.items() if n >= 2}
+        assert all(kept_hot[k] == 1 for k in hot)
+    else:
+        assert not kept_hot
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    target=st.integers(min_value=5, max_value=60),
+)
+@settings(**_SETTINGS)
+def test_packing_invariants(spark, tokens, target):
+    """Packing: every chunk assigned exactly once; pack ids start at 0
+    and are nondecreasing along the order; every pack except the last
+    would overflow if it also took the next pack's first chunk."""
+    from bigdataproject_spark.operators.packing import pack_sequences
+
+    rows = [(0, i, n) for i, n in enumerate(tokens)]
+    out = sorted(
+        (
+            (r["chunk_id"], r["pack_id"], r["n_tokens"])
+            for r in pack_sequences(
+                spark.createDataFrame(rows, "shard int, chunk_id int, n_tokens int"),
+                shard_col="shard", order_cols=["chunk_id"],
+                target_tokens=target,
+            ).collect()
+        )
+    )
+    assert len(out) == len(tokens)
+    packs = [p for _, p, _ in out]
+    assert packs[0] == 0
+    # dense, nondecreasing ids: no gaps even when a chunk > target
+    assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
+    # next-fit bound: every pack's total stays under target + max chunk
+    totals: dict[int, int] = {}
+    for _, p, n in out:
+        totals[p] = totals.get(p, 0) + n
+    assert all(t < target + max(tokens) for t in totals.values())
