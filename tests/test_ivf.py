@@ -152,3 +152,39 @@ def test_ivf_write_index_empty_corpus_raises(spark, sf_dir, tmp_path):
         ivf_write_index(
             emb, str(tmp_path / "idx"), id_col="vec_id", vec_col="embedding"
         )
+
+
+def test_ivf_indexed_blas_equals_native(spark, sf_dir, tmp_path):
+    """impl='blas' (cogrouped matmul + per-cell partial top-k) must
+    return the same ranked neighbors as the native join path, at
+    partial AND full probe, with and without self-exclusion."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.simsearch import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 17 == 0)
+    idx = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, idx, id_col="vec_id", vec_col="embedding", n_centroids=8)
+
+    for n_probe in (2, 8):
+        for excl in (True, False):
+            kw = dict(
+                id_col="vec_id", vec_col="embedding", k=5,
+                n_probe=n_probe, exclude_self=excl,
+            )
+            a = [
+                (r.q_id, r.rank, r.neighbor_id, r.cosine)
+                for r in ivf_topk_indexed(spark, idx, queries, **kw).collect()
+            ]
+            b = [
+                (r.q_id, r.rank, r.neighbor_id, r.cosine)
+                for r in ivf_topk_indexed(
+                    spark, idx, queries, impl="blas", **kw
+                ).collect()
+            ]
+            assert a == b, (n_probe, excl)

@@ -57,22 +57,24 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
 
     batches = []
+    batches_blas = []
     q_per_batch = None
     m = max(n_batches, corpus_n // BATCH_TARGET)
     for b in range(n_batches):
         queries = emb.filter(F.pmod(F.col(idc), F.lit(m)) == b)
         if q_per_batch is None:
             q_per_batch = queries.count()
-        t0 = time.perf_counter()
-        force(
-            ivf_topk_indexed(
-                spark, idx, queries, id_col=idc, vec_col=vc, k=K,
-                n_probe=N_PROBE,
+        for impl, sink in (("native", batches), ("blas", batches_blas)):
+            t0 = time.perf_counter()
+            force(
+                ivf_topk_indexed(
+                    spark, idx, queries, id_col=idc, vec_col=vc, k=K,
+                    n_probe=N_PROBE, impl=impl,
+                )
             )
-        )
-        sec = time.perf_counter() - t0
-        batches.append(round(sec, 2))
-        print(f"  batch {b}: {sec:.2f}s", file=sys.stderr, flush=True)
+            sec = time.perf_counter() - t0
+            sink.append(round(sec, 2))
+            print(f"  batch {b} ({impl}): {sec:.2f}s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(
@@ -86,6 +88,10 @@ def main() -> None:
                 "queries_per_batch": q_per_batch,
                 "batches": batches,
                 "batch_median_sec": round(statistics.median(batches), 2),
+                "batches_blas": batches_blas,
+                "batch_median_sec_blas": round(
+                    statistics.median(batches_blas), 2
+                ),
             }
         )
     )
