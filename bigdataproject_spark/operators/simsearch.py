@@ -464,17 +464,18 @@ def ivf_topk_indexed(
 
     ``impl='blas'``: the per-pair interpreted cosine (a higher-order
     zip_with/aggregate — evaluated outside whole-stage codegen) is
-    replaced by a cogrouped Arrow/numpy matmul per probed cell with
-    per-cell partial top-k, so the final ranking window sees
-    ≤ (k + ties) × n_probe candidates per query instead of every
-    (query, cell-member) pair — the same JVM-exit move as
-    ``embedding_neardup_pairs(impl='blas')``, measured ~5× on sf10
-    batches. Corpus cells shuffle to the cogroup (vs the native
-    broadcast-join that leaves the corpus in place), and one cell must
-    fit an Arrow batch — size cells via n_centroids, the knob IVF
-    already has. Rank ties at the 6dp-rounded cosine boundary resolve
-    by the same (cosine desc, neighbor asc) window either way; raw
-    cosines can differ from the native fold in the last ulp (the
+    replaced by an Arrow/numpy matmul that keeps the corpus IN PLACE:
+    the probe assignment (already bounded by the batch budget above)
+    is collected and broadcast as per-cell numpy blocks, and a
+    mapInPandas pass over the partition-pruned corpus scan emits a
+    per-Arrow-batch partial top-k — so the corpus never shuffles and
+    the final ranking window sees a few (k + ties) candidates per
+    query per scanned batch instead of every (query, cell-member)
+    pair. The same JVM-exit move as
+    ``embedding_neardup_pairs(impl='blas')``; measured 14× on sf10
+    2000-query batches. Rank ties at the 6dp-rounded cosine boundary
+    resolve by the same (cosine desc, neighbor asc) window either way;
+    raw cosines can differ from the native fold in the last ulp (the
     embedding_neardup round-6 caveat), equality-tested at the default
     scale."""
     ctr_df = spark.read.parquet(f"{path}/centroids")
@@ -533,12 +534,19 @@ def _ivf_blas_topk(
     k: int,
     exclude_self: bool,
 ) -> DataFrame:
-    """Cogrouped numpy realization of the indexed IVF search (see
-    :func:`ivf_topk_indexed` ``impl='blas'``): one cogroup per probed
-    cell, a chunked query×cell matmul, and a per-cell partial top-k
-    with epsilon slack so every global top-k member (including rank
-    ties at the rounding boundary) survives into the exact Spark-side
-    window."""
+    """numpy realization of the indexed IVF search (see
+    :func:`ivf_topk_indexed` ``impl='blas'``) that keeps the corpus IN
+    PLACE: the probe assignment — already bounded by the documented
+    query-batch budget — is collected and broadcast as per-cell numpy
+    blocks, and a mapInPandas pass over the partition-pruned corpus
+    scan runs a chunk×cell-queries matmul per Arrow batch, emitting a
+    per-batch partial top-k with epsilon slack so every global top-k
+    member (including rank ties at the rounding boundary) survives
+    into the exact Spark-side window. The corpus never shuffles (the
+    cogroup alternative would move n_probe/n_centroids of the corpus
+    per batch — terabytes at 100 TB); the only exchange is the tiny
+    candidate ranking."""
+    import numpy as np
     import pandas as pd
 
     from bigdataproject_spark.operators.dedup import _BLAS_ID_PANDAS_DTYPES
@@ -554,61 +562,65 @@ def _ivf_blas_topk(
             )
     qd, nd = (_BLAS_ID_PANDAS_DTYPES[t] for t in (id_type, n_type))
 
-    def _cell_topk(q_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+    # bounded by the same budget as the native path's broadcast join:
+    # n_queries × n_probe rows incl. vectors
+    by_cell: dict[int, tuple] = {}
+    acc: dict[int, list] = {}
+    for r in probe_plan.collect():
+        acc.setdefault(r["cell"], []).append((r["q_id"], r["qv"], r["qn"]))
+    for cell, lst in acc.items():
+        by_cell[cell] = (
+            np.array([x[0] for x in lst]),
+            np.array([x[1] for x in lst], dtype=np.float64),
+            np.array([x[2] for x in lst], dtype=np.float64),
+        )
+    bc = corpus.sparkSession.sparkContext.broadcast(by_cell)
+
+    def _scan(batches):
         import numpy as np
 
-        empty = pd.DataFrame(
-            {"q_id": [], "neighbor_id": [], "cosine": []}
-        ).astype({"q_id": qd, "neighbor_id": nd, "cosine": "float64"})
-        if len(q_pdf) == 0 or len(c_pdf) == 0:
-            return empty
-        qids = q_pdf["q_id"].to_numpy()
-        nids = c_pdf["neighbor_id"].to_numpy()
-        qm = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
-        cm = np.stack(c_pdf["cv"].to_numpy()).astype(np.float64)
-        qn = q_pdf["qn"].to_numpy().astype(np.float64)
-        cn = c_pdf["cn"].to_numpy().astype(np.float64)
-        out_q, out_n, out_c = [], [], []
-        step = max(1, 10_000_000 // max(len(nids), 1))
-        for lo in range(0, len(qids), step):
-            hi = min(lo + step, len(qids))
-            denom = np.outer(qn[lo:hi], cn)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (qm[lo:hi] @ cm.T) / denom
-            cos = np.where((denom > 0) & np.isfinite(cos), cos, -np.inf)
-            if exclude_self:
-                cos = np.where(
-                    qids[lo:hi, None] == nids[None, :], -np.inf, cos
-                )
-            kk = min(k, cos.shape[1])
-            kth = np.partition(cos, cos.shape[1] - kk, axis=1)[
-                :, cos.shape[1] - kk
-            ]
-            # 1.1e-6 slack > the 5e-7 round-6 quantum: a candidate tied
-            # with the k-th at the rounded boundary is never dropped
-            # before the exact window ranks it.
-            mask = np.isfinite(cos) & (cos >= kth[:, None] - 1.1e-6)
-            ii, jj = np.nonzero(mask)
-            out_q.append(qids[lo + ii])
-            out_n.append(nids[jj])
-            out_c.append(cos[ii, jj])
-        if not out_q:
-            return empty
-        return pd.DataFrame(
-            {
-                "q_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "cosine": np.concatenate(out_c),
-            }
-        )
+        for pdf in batches:
+            outs = []
+            for cell, grp in pdf.groupby("cell"):
+                entry = bc.value.get(cell)
+                if entry is None or len(grp) == 0:
+                    continue
+                qids, qm, qn = entry
+                nids = grp["neighbor_id"].to_numpy()
+                cm = np.stack(grp["cv"].to_numpy()).astype(np.float64)
+                cn = grp["cn"].to_numpy().astype(np.float64)
+                denom = np.outer(qn, cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (qm @ cm.T) / denom
+                cos = np.where((denom > 0) & np.isfinite(cos), cos, -np.inf)
+                if exclude_self:
+                    cos = np.where(
+                        qids[:, None] == nids[None, :], -np.inf, cos
+                    )
+                kk = min(k, cos.shape[1])
+                kth = np.partition(cos, cos.shape[1] - kk, axis=1)[
+                    :, cos.shape[1] - kk
+                ]
+                # 1.1e-6 slack > the 5e-7 round-6 quantum: a candidate
+                # tied with the k-th at the rounded boundary is never
+                # dropped before the exact window ranks it.
+                mask = np.isfinite(cos) & (cos >= kth[:, None] - 1.1e-6)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": qids[ii],
+                                "neighbor_id": nids[jj],
+                                "cosine": cos[ii, jj],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
-    cand = (
-        probe_plan.groupBy("cell")
-        .cogroup(corpus.groupBy("cell"))
-        .applyInPandas(
-            _cell_topk,
-            schema=f"q_id {id_type}, neighbor_id {n_type}, cosine double",
-        )
+    cand = corpus.select("cell", "neighbor_id", "cv", "cn").mapInPandas(
+        _scan, schema=f"q_id {id_type}, neighbor_id {n_type}, cosine double"
     )
     sim = cand.select(
         "q_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
