@@ -119,6 +119,34 @@ def test_packing_single_exchange(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_ivf_blas_corpus_stays_in_place(spark, sf_dir, tmp_path):
+    """ivf_topk_indexed(impl='blas'): the corpus must NOT shuffle — the
+    matmul runs inside the scan stage (one MapInPandas directly over
+    the pruned corpus read) and the only hash exchange is the tiny
+    candidate-ranking window. A cogroup-shaped regression here moves
+    n_probe/n_centroids of the corpus per batch (terabytes at scale)."""
+    import re
+
+    from bigdataproject_spark.operators.simsearch import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_idx")
+    ivf_write_index(emb, idx, id_col="vec_id", vec_col="embedding", n_centroids=8)
+    plan = _plan(
+        ivf_topk_indexed(
+            spark, idx, emb.limit(50), id_col="vec_id", vec_col="embedding",
+            k=5, n_probe=2, impl="blas",
+        )
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_training_shards_single_exchange(spark, sf_dir):
     """write_training_shards' plan: exactly one repartition exchange
     (the content-keyed shard assignment), nothing else."""
