@@ -45,13 +45,21 @@ def brute_force_topk(
     vec_col: str,
     k: int = 10,
     exclude_self: bool = True,
+    impl: str = "native",
 ) -> DataFrame:
     """Exact top-k by cosine: (q_id, neighbor_id, cosine, rank).
 
     cosine rounded 6dp before ranking; (−cosine, neighbor_id) ordering makes
     ranks deterministic under ties. Norms are hoisted per-row (linear) out
     of the per-pair expression (quadratic, bit-identical — see
-    functions.vectors.cosine_from_norms)."""
+    functions.vectors.cosine_from_norms).
+
+    ``impl='blas'``: same exact result through the corpus-in-place
+    numpy matmul (query block collected + broadcast — bounded by the
+    same budget as the native path's broadcast join — and a
+    mapInPandas partial top-k over the corpus scan; see
+    :func:`ivf_topk_indexed`); the interpreted per-pair cosine is the
+    cost center once |queries| × |corpus| reaches millions of pairs."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -62,6 +70,15 @@ def brute_force_topk(
         F.col(vec_col).alias("qv"),
         l2_norm(vec_col).alias("qn"),
     )
+    if impl == "blas":
+        return _ivf_blas_topk(
+            c.withColumn("cell", F.lit(0)),
+            q.withColumn("cell", F.lit(0)),
+            k=k,
+            exclude_self=exclude_self,
+        )
+    if impl != "native":
+        raise ValueError(f"brute_force_topk: unknown impl {impl!r}")
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))

@@ -388,3 +388,31 @@ def test_embedding_blas_null_block_matches_native(spark):
         for r in embedding_neardup_pairs(df, **kw, impl="native").collect()
     )
     assert blas == native == [(1, 2)]  # null-block rows pair with nothing
+
+
+def test_brute_force_blas_equals_native(spark, sf_dir):
+    """brute_force_topk(impl='blas') is the same exact search through
+    the corpus-in-place matmul — identical ranked output."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.simsearch import brute_force_topk
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 23 == 0)
+    for excl in (True, False):
+        a = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in brute_force_topk(
+                emb, queries, id_col="vec_id", vec_col="embedding", k=7,
+                exclude_self=excl,
+            ).collect()
+        ]
+        b = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in brute_force_topk(
+                emb, queries, id_col="vec_id", vec_col="embedding", k=7,
+                exclude_self=excl, impl="blas",
+            ).collect()
+        ]
+        assert a == b, excl
