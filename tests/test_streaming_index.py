@@ -180,3 +180,64 @@ def test_crash_between_ledger_and_append(spark, tmp_path):
     assert stored == {1, 2, 12}
     b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
     assert b1 == {12}
+
+
+def test_full_lambda_flow_clean_then_index(spark, tmp_path):
+    """The complete streaming story in ONE flow: stateless cleaning
+    (lang/quality gates + redaction) composed in front of the stateful
+    index drain — a crawl stream lands, gets cleaned, is checked
+    against the historical corpus, and survivors extend the index."""
+    from bigdataproject_spark.streaming.corpus_stream import (
+        clean_document_stream,
+        read_document_stream,
+    )
+
+    body = (
+        "the story begins when the old sailor and the young cook set "
+        "out to sea because the harbor is empty and the wind is fair "
+        "for the long voyage and all the days of travel that follow"
+    )
+    rows = [
+        (1, body, "en", "web", 1),
+        (2, body + " tonight", "en", "web", 1),           # near-dup of 1
+        (3, "short", "en", "web", 1),                     # quality-dropped
+        (4, "contact sam@example.com for the market report that covers "
+            "grain prices and the autumn shipping schedules along the "
+            "river ports with notes on warehouse stocks and tariffs",
+         "en", "web", 1),
+        (5, body, "de", "web", 1),                        # language-dropped
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stream_dir = tmp_path / "crawl"
+    docs.coalesce(1).write.parquet(str(stream_dir))
+
+    stream = read_document_stream(spark, str(stream_dir))
+    tokens = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    cleaned = clean_document_stream(stream, tokens).withColumn(
+        "shingles", hashed_word_shingles(tokens, 3)
+    )
+    idx, out, ckpt = (
+        str(tmp_path / "idx"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q = stream_dedup_to_index(
+        cleaned, index_path=idx, out_path=out, checkpoint=ckpt,
+        threshold=THRESHOLD,
+    )
+    q.awaitTermination(120)
+    # 3 dropped by quality, 5 by language (before the index); 2 is a
+    # near-dup of 1 within the batch (min-id survives); 4 is distinct
+    # content and passes with its email redacted
+    surv = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/batch=*").collect()
+    }
+    assert set(surv) == {1, 4}
+    assert "<email>" in surv[4] and "sam@example.com" not in surv[4]
+    stored = {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    }
+    assert stored == {1, 4}
