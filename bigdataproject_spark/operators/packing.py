@@ -8,12 +8,15 @@ Distributed-deterministic NEXT-FIT packing: within each shard
 (``shard_col`` — use the content-keyed shard from
 ``sources.writers.training_shard_plan`` so assignment survives
 re-runs), rows are ordered by ``order_cols``, token counts are
-prefix-summed, and ``pack_id = floor((cumsum − 1) / target)``. A chunk
-whose span crosses a pack boundary lands in the later pack, so a
-pack's total lies in (target − max_chunk, target + max_chunk): the
-classic next-fit bound — waste and overflow are each bounded by ONE
-chunk, and the trainer's truncation/padding policy stays the caller's
-(exactly like tokenization everywhere else in this engine).
+prefix-summed, the raw boundary index ``floor((cumsum − 1) / target)``
+groups chunks into packs, and a dense rank over that index makes the
+final ``pack_id`` gap-free 0..n−1 per shard (an oversized chunk can
+jump several boundaries). A chunk whose span crosses a pack boundary
+lands in the later pack, so a pack's total lies in
+(target − max_chunk, target + max_chunk): the classic next-fit bound —
+waste and overflow are each bounded by ONE chunk, and the trainer's
+truncation/padding policy stays the caller's (exactly like
+tokenization everywhere else in this engine).
 
 Scale shape: ONE hash exchange on ``shard_col``. The per-shard prefix
 sum is a window over the shard partition — bounded by shard size, and

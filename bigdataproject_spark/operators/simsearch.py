@@ -60,6 +60,8 @@ def brute_force_topk(
     mapInPandas partial top-k over the corpus scan; see
     :func:`ivf_topk_indexed`); the interpreted per-pair cosine is the
     cost center once |queries| × |corpus| reaches millions of pairs."""
+    if impl not in ("native", "blas"):
+        raise ValueError(f"brute_force_topk: unknown impl {impl!r}")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -77,8 +79,6 @@ def brute_force_topk(
             k=k,
             exclude_self=exclude_self,
         )
-    if impl != "native":
-        raise ValueError(f"brute_force_topk: unknown impl {impl!r}")
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
@@ -495,6 +495,8 @@ def ivf_topk_indexed(
     raw cosines can differ from the native fold in the last ulp (the
     embedding_neardup round-6 caveat), equality-tested at the default
     scale."""
+    if impl not in ("native", "blas"):
+        raise ValueError(f"ivf_topk_indexed: unknown impl {impl!r}")
     ctr_df = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -526,8 +528,6 @@ def ivf_topk_indexed(
         return _ivf_blas_topk(
             corpus, probe_plan, k=k, exclude_self=exclude_self
         )
-    if impl != "native":
-        raise ValueError(f"ivf_topk_indexed: unknown impl {impl!r}")
     joined = corpus.join(F.broadcast(probe_plan), on="cell")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
@@ -580,21 +580,42 @@ def _ivf_blas_topk(
     qd, nd = (_BLAS_ID_PANDAS_DTYPES[t] for t in (id_type, n_type))
 
     # bounded by the same budget as the native path's broadcast join:
-    # n_queries × n_probe rows incl. vectors
+    # n_queries × n_probe rows incl. vectors. NULL or zero-norm query
+    # vectors cannot enter the matmul — they are carried separately so
+    # the null-cosine tail rows the native path emits for them are
+    # reproduced (ranked after every real cosine, neighbor-id asc).
     by_cell: dict[int, tuple] = {}
     acc: dict[int, list] = {}
     for r in probe_plan.collect():
         acc.setdefault(r["cell"], []).append((r["q_id"], r["qv"], r["qn"]))
     for cell, lst in acc.items():
+        good, bad_ids = [], []
+        for qid, qv, qn_ in lst:
+            if qv is not None and qn_ is not None and qn_ > 0:
+                good.append((qid, qv, qn_))
+            else:
+                bad_ids.append(qid)
+        bad_q = np.array(bad_ids)
         by_cell[cell] = (
-            np.array([x[0] for x in lst]),
-            np.array([x[1] for x in lst], dtype=np.float64),
-            np.array([x[2] for x in lst], dtype=np.float64),
+            np.array([x[0] for x in good]),
+            (
+                np.array([x[1] for x in good], dtype=np.float64)
+                if good
+                else np.zeros((0, 0))
+            ),
+            np.array([x[2] for x in good], dtype=np.float64),
+            bad_q,
         )
     bc = corpus.sparkSession.sparkContext.broadcast(by_cell)
+    _register_search_broadcast(corpus.sparkSession, bc)
 
     def _scan(batches):
         import numpy as np
+
+        def _emit(q_arr, n_arr, c_arr):
+            return pd.DataFrame(
+                {"q_id": q_arr, "neighbor_id": n_arr, "cosine": c_arr}
+            ).astype({"q_id": qd, "neighbor_id": nd, "cosine": "float64"})
 
         for pdf in batches:
             outs = []
@@ -602,14 +623,40 @@ def _ivf_blas_topk(
                 entry = bc.value.get(cell)
                 if entry is None or len(grp) == 0:
                     continue
-                qids, qm, qn = entry
+                qids, qm, qn, bad_qids = entry
+                all_qids = np.concatenate([qids, bad_qids]) if len(
+                    bad_qids
+                ) else qids
+                # corpus rows whose vector is NULL or zero-norm pair
+                # with every probing query as a null-cosine candidate
+                # (NaN here; converted to NULL Spark-side) — the native
+                # path's behavior.
+                cn_raw = grp["cn"].to_numpy()
+                bad_c = grp["cv"].isna().to_numpy() | ~(
+                    np.nan_to_num(cn_raw.astype(np.float64), nan=0.0) > 0
+                )
+                for bn in grp["neighbor_id"].to_numpy()[bad_c]:
+                    qs = all_qids[all_qids != bn] if exclude_self else all_qids
+                    if len(qs):
+                        outs.append(_emit(qs, np.full(len(qs), bn), np.nan))
+                grp = grp[~bad_c]
+                if len(grp) == 0:
+                    continue
                 nids = grp["neighbor_id"].to_numpy()
+                # a bad QUERY sees every good corpus row at null cosine;
+                # the global ranking is neighbor-id asc, so the k
+                # smallest ids of this batch are a superset of its
+                # contribution to the global top-k.
+                for bq in bad_qids:
+                    ns = np.sort(nids[nids != bq] if exclude_self else nids)[:k]
+                    if len(ns):
+                        outs.append(_emit(np.full(len(ns), bq), ns, np.nan))
+                if len(qids) == 0:
+                    continue
                 cm = np.stack(grp["cv"].to_numpy()).astype(np.float64)
                 cn = grp["cn"].to_numpy().astype(np.float64)
-                denom = np.outer(qn, cn)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = (qm @ cm.T) / denom
-                cos = np.where((denom > 0) & np.isfinite(cos), cos, -np.inf)
+                cos = (qm @ cm.T) / np.outer(qn, cn)
+                cos = np.where(np.isfinite(cos), cos, -np.inf)
                 if exclude_self:
                     cos = np.where(
                         qids[:, None] == nids[None, :], -np.inf, cos
@@ -624,23 +671,22 @@ def _ivf_blas_topk(
                 mask = np.isfinite(cos) & (cos >= kth[:, None] - 1.1e-6)
                 ii, jj = np.nonzero(mask)
                 if len(ii):
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "q_id": qids[ii],
-                                "neighbor_id": nids[jj],
-                                "cosine": cos[ii, jj],
-                            }
-                        )
-                    )
+                    outs.append(_emit(qids[ii], nids[jj], cos[ii, jj]))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
     cand = corpus.select("cell", "neighbor_id", "cv", "cn").mapInPandas(
         _scan, schema=f"q_id {id_type}, neighbor_id {n_type}, cosine double"
     )
+    # NaN is the in-band null marker (pandas float columns cannot carry
+    # NULL through Arrow); restore real NULLs so ordering matches the
+    # native path (desc ranks NULL last).
     sim = cand.select(
-        "q_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+        "q_id",
+        "neighbor_id",
+        F.when(F.isnan("cosine"), F.lit(None))
+        .otherwise(F.round("cosine", 6))
+        .alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -648,3 +694,28 @@ def _ivf_blas_topk(
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+# Broadcasts created by the blas search paths, per SparkContext id:
+# a long-lived search service calls release_search_broadcasts() between
+# batches so per-batch query blocks do not accumulate for the session
+# lifetime (they are otherwise only reclaimed when the result frames
+# are garbage-collected).
+_SEARCH_BCS: dict[int, list] = {}
+
+
+def _register_search_broadcast(spark, bc) -> None:
+    _SEARCH_BCS.setdefault(id(spark.sparkContext), []).append(bc)
+
+
+def release_search_broadcasts(spark) -> int:
+    """Unpersist every broadcast the blas search paths created on this
+    session's SparkContext; returns how many were released. Safe to
+    call only AFTER the result DataFrames have been fully consumed."""
+    bcs = _SEARCH_BCS.pop(id(spark.sparkContext), [])
+    for bc in bcs:
+        try:
+            bc.unpersist()
+        except Exception:
+            pass
+    return len(bcs)

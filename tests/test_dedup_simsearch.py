@@ -416,3 +416,70 @@ def test_brute_force_blas_equals_native(spark, sf_dir):
             ).collect()
         ]
         assert a == b, excl
+
+
+def test_brute_force_blas_null_and_zero_vectors(spark):
+    """Pathological embeddings — NULL vectors and zero-norm vectors —
+    must behave identically in both impls: the native path emits them
+    as null-cosine tail rows (desc ranks NULL last), and a NULL/zero
+    QUERY gets its neighbors ranked by id at null cosine."""
+    from bigdataproject_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),   # zero norm
+            (4, None),         # null vector
+            (5, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    for excl in (True, False):
+        a = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in brute_force_topk(
+                emb, emb, id_col="vec_id", vec_col="embedding", k=5,
+                exclude_self=excl,
+            ).collect()
+        ]
+        b = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in brute_force_topk(
+                emb, emb, id_col="vec_id", vec_col="embedding", k=5,
+                exclude_self=excl, impl="blas",
+            ).collect()
+        ]
+        assert a == b, excl
+
+
+def test_blas_unknown_impl_fails_fast(spark):
+    import pytest
+
+    from bigdataproject_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        brute_force_topk(
+            emb, emb, id_col="vec_id", vec_col="embedding", impl="BLAS"
+        )
+
+
+def test_release_search_broadcasts(spark):
+    from bigdataproject_spark.operators.simsearch import (
+        brute_force_topk,
+        release_search_broadcasts,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 20)],
+        "vec_id long, embedding array<float>",
+    )
+    brute_force_topk(
+        emb, emb.limit(3), id_col="vec_id", vec_col="embedding", k=3,
+        impl="blas",
+    ).collect()
+    assert release_search_broadcasts(spark) >= 1
+    assert release_search_broadcasts(spark) == 0

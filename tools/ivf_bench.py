@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from bigdataproject_spark.operators.simsearch import (
     ivf_topk_indexed,
     ivf_write_index,
+    release_search_broadcasts,
 )
 from bigdataproject_spark.session import get_spark
 from bigdataproject_spark.sources.readers import load_table
@@ -75,6 +76,9 @@ def main() -> None:
             sec = time.perf_counter() - t0
             sink.append(round(sec, 2))
             print(f"  batch {b} ({impl}): {sec:.2f}s", file=sys.stderr, flush=True)
+        # steady-state hygiene: per-batch query-block broadcasts are
+        # released once the batch's results are consumed
+        release_search_broadcasts(spark)
 
     print(
         json.dumps(
