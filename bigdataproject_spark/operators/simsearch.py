@@ -104,11 +104,19 @@ def lsh_bucket_topk(
     k: int = 10,
     n_bits: int = 8,
     exclude_self: bool = True,
+    impl: str = "native",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign bucket.
 
     Same output shape as :func:`brute_force_topk`; the bucket equi-join
-    replaces the cross join, cutting compared pairs by ~2^n_bits."""
+    replaces the cross join, cutting compared pairs by ~2^n_bits.
+    ``impl='blas'`` routes through the corpus-in-place matmul with the
+    sign bucket as the cell key (see :func:`ivf_topk_indexed`). NULL
+    vectors: the native path's bucket expression yields a NULL bucket,
+    which joins nothing — the blas path reproduces that by keying bad
+    rows under the unmatchable NULL bucket too."""
+    if impl not in ("native", "blas"):
+        raise ValueError(f"lsh_bucket_topk: unknown impl {impl!r}")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -121,6 +129,13 @@ def lsh_bucket_topk(
         l2_norm(vec_col).alias("qn"),
         sign_bucket(vec_col, n_bits).alias("bkt"),
     )
+    if impl == "blas":
+        return _ivf_blas_topk(
+            c.filter(F.col("bkt").isNotNull()).withColumnRenamed("bkt", "cell"),
+            q.filter(F.col("bkt").isNotNull()).withColumnRenamed("bkt", "cell"),
+            k=k,
+            exclude_self=exclude_self,
+        )
     joined = c.join(F.broadcast(q), on="bkt")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))

@@ -483,3 +483,25 @@ def test_release_search_broadcasts(spark):
     ).collect()
     assert release_search_broadcasts(spark) >= 1
     assert release_search_broadcasts(spark) == 0
+
+
+def test_lsh_bucket_blas_equals_native(spark, sf_dir):
+    from bigdataproject_spark.operators.simsearch import lsh_bucket_topk
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 19 == 0)
+    a = [
+        (r.q_id, r.rank, r.neighbor_id, r.cosine)
+        for r in lsh_bucket_topk(
+            emb, queries, id_col="vec_id", vec_col="embedding", k=5, n_bits=4
+        ).collect()
+    ]
+    b = [
+        (r.q_id, r.rank, r.neighbor_id, r.cosine)
+        for r in lsh_bucket_topk(
+            emb, queries, id_col="vec_id", vec_col="embedding", k=5, n_bits=4,
+            impl="blas",
+        ).collect()
+    ]
+    assert a == b
