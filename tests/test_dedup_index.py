@@ -240,6 +240,38 @@ def test_compaction_recovers_interrupted_swap(spark, tmp_path):
     assert stats["bands"]["rows"] > 0
 
 
+def test_compaction_recovers_from_old_copy(spark, tmp_path):
+    """Crash window variant: live renamed aside, temp dir lost or
+    incomplete (no _SUCCESS). Recovery must restore the set-aside
+    original instead of failing."""
+    import shutil
+
+    old = _docs(spark, OLD_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+    probe = _docs(spark, NEW_ROWS)
+
+    def _pairs():
+        return _pair_set(
+            incremental_minhash_pairs(
+                spark, probe, idx, id_col="doc_id",
+                shingles_col="shingles", threshold=THRESHOLD,
+            ).collect()
+        )
+
+    before = _pairs()
+    # simulate: live renamed aside, temp incomplete (_SUCCESS missing)
+    shutil.move(f"{idx}/bands", f"{idx}/bands__old")
+    (tmp_path / "idx" / "bands__compacting").mkdir()
+    stats = compact_index(spark, idx)
+    assert _pairs() == before
+    assert stats["bands"]["rows"] > 0
+    import os
+
+    assert not os.path.exists(f"{idx}/bands__old")
+    assert not os.path.exists(f"{idx}/bands__compacting")
+
+
 def test_empty_batch(spark, tmp_path):
     old = _docs(spark, OLD_ROWS)
     idx = str(tmp_path / "idx")
