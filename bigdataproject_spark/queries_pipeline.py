@@ -950,9 +950,15 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHUNK, _STRIDE = 12, 8
+# text coalesced to '': a NULL-text doc must yield its one empty chunk
+# (as the Spark side does) — un-coalesced, generate_series(1, NULL)
+# would silently drop the doc from the oracle.
 ORACLE_CHUNK_DOCUMENTS = f"""
 WITH t AS (
-  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> x != '') AS toks
+  FROM documents
 ),
 n AS (
   SELECT doc_id, toks, len(toks) AS n,
@@ -961,8 +967,8 @@ n AS (
   FROM t
 )
 SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id, n_chunks,
-       array_to_string(list_slice(toks, (i-1)*{_STRIDE} + 1,
-         (i-1)*{_STRIDE} + least(n - (i-1)*{_STRIDE}, {_CHUNK})), ' ')
+       coalesce(array_to_string(list_slice(toks, (i-1)*{_STRIDE} + 1,
+         (i-1)*{_STRIDE} + least(n - (i-1)*{_STRIDE}, {_CHUNK})), ' '), '')
          AS chunk_text,
        CAST(least(n - (i-1)*{_STRIDE}, {_CHUNK}) AS INT) AS n_tokens
 FROM (SELECT doc_id, toks, n, n_chunks,
