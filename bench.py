@@ -99,6 +99,14 @@ def main() -> None:
     ctl_med, ctl_passes = _timed(lambda: _control(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
+    # control-normalized ratios: query_median / control_median. The
+    # control is byte-frozen, so its drift measures the BOX; dividing
+    # by it makes cross-round comparisons mechanical — compare
+    # normalized[q] across rounds directly, no manual contention
+    # arithmetic (rule in SCALING.md §bench-deltas).
+    normalized = {
+        name: round(t / ctl_med, 2) for name, t in timings.items()
+    }
     print(
         json.dumps(
             {
@@ -107,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "normalized": normalized,
                 "passes": PASSES,
                 "control": {
                     "name": "frozen_lineitem_agg",

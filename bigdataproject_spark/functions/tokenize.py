@@ -108,6 +108,66 @@ def cjk_bigram_tokens(
     return F.coalesce(toks, F.array())
 
 
+def get_tokenizer(
+    backend="regex",
+    *,
+    stopwords: Sequence[str] = (),
+    min_len: int = 1,
+    drop_numeric: bool = False,
+    lowercase: bool = True,
+):
+    """Injectable tokenizer seam: returns ``Column|str -> Column``
+    (array<string> tokens) so every token-consuming stage — chunking,
+    packing budgets, token counts — is tokenizer-agnostic (the chunk/
+    pack math consumes token ARRAYS and never re-tokenizes; proven in
+    tests/test_tokenizer_seam.py).
+
+    ``backend`` is one of:
+      * ``"regex"`` — native split (:func:`tokenize_expr`); the codegen
+        scale path and the deterministic default, unchanged;
+      * ``"cjk-bigram"`` — dictionary-free CJK fallback
+        (:func:`cjk_bigram_tokens`);
+      * ``"jieba"`` — import-gated Arrow pandas_udf
+        (:func:`jieba_tokenize_udf`; raises ImportError without the
+        library — same gate pattern);
+      * any CALLABLE ``Column -> Column`` — bring-your-own tokenizer:
+        e.g. an Arrow pandas_udf wrapping a real BPE vocabulary, so
+        pack budgets measure true context-window fill instead of regex
+        tokens. Passed through verbatim (never a row-at-a-time UDF by
+        construction of the seam's contract — document yours).
+    """
+    if callable(backend):
+        return lambda c: backend(F.col(c) if isinstance(c, str) else c)
+    if backend == "regex":
+        return lambda c: tokenize_expr(
+            c,
+            stopwords=stopwords,
+            min_len=min_len,
+            drop_numeric=drop_numeric,
+            lowercase=lowercase,
+        )
+    if backend == "cjk-bigram":
+        return lambda c: cjk_bigram_tokens(c, stopwords=stopwords)
+    if backend == "jieba":
+        udf = jieba_tokenize_udf(
+            stopwords=stopwords, min_len=min_len, drop_numeric=drop_numeric
+        )
+        return lambda c: udf(F.col(c) if isinstance(c, str) else c)
+    raise ValueError(
+        f"get_tokenizer: unknown backend {backend!r} "
+        "(expected 'regex', 'cjk-bigram', 'jieba', or a callable)"
+    )
+
+
+def token_count_expr(text: Column | str, *, tokenizer=None) -> Column:
+    """int token count of ``text`` under any seam tokenizer (default:
+    the raw regex backend). ``F.size`` of the token array — whatever
+    produced the array, the count math is the same; this is the column
+    pack budgets and quality stats should share."""
+    tok = tokenizer or get_tokenizer("regex")
+    return F.size(tok(text))
+
+
 def jieba_tokenize_udf(
     *,
     stopwords: Sequence[str] = (),

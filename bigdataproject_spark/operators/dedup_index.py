@@ -317,6 +317,14 @@ def compact_index(
         fs.delete(Path(old), True)
 
         df = spark.read.parquet(live)
+        if table == "bands":
+            # a crash between a replayed append's bands write and its
+            # shingles write leaves duplicate band rows (idempotence is
+            # exact at shingle granularity only — see
+            # streaming/index_stream.py). Harmless for candidate
+            # generation (pairs are grouped), but growth is unbounded
+            # under repeated crashes; compaction is where they die.
+            df = df.dropDuplicates(["id", "band_id", "band_hash"])
         n = num_files
         if n is None:
             n = max(1, -(-_plan_size_bytes(df) // _TARGET_FILE_BYTES))
@@ -340,9 +348,16 @@ def compact_index(
         if not fs.rename(Path(live), Path(old)):
             raise IOError(f"compact_index: rename {live} -> {old} failed")
         if not fs.rename(Path(tmp), Path(live)):
-            # roll the original back so the index stays readable
-            fs.rename(Path(old), Path(live))
-            raise IOError(f"compact_index: rename {tmp} -> {live} failed")
+            # roll the original back so the index stays readable; if the
+            # rollback ALSO fails the live dir is missing (still healable
+            # on re-run from __old/__compacting) — say so instead of
+            # reporting only the first failure.
+            restored = fs.rename(Path(old), Path(live))
+            raise IOError(
+                f"compact_index: rename {tmp} -> {live} failed "
+                f"(live restored from {old}: {'yes' if restored else 'NO'}"
+                f"{'' if restored else ' — re-run compact_index to heal'})"
+            )
         fs.delete(Path(old), True)
         stats[table] = {
             "files_before": before,

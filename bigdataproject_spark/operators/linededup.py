@@ -22,10 +22,11 @@ bounded by document size (same bound as the document itself), unlike
 the unbounded timeline case.
 
 Semantics:
-  * lines are split on ``\\r?\\n`` and rejoined with ``\\n`` — CRLF
-    corpora come back LF-normalized (the alternative, preserving a
-    trailing ``\\r`` on every kept line, poisons downstream exact-hash
-    dedup);
+  * lines are split on ``\\r\\n?|\\n`` and rejoined with ``\\n`` — CRLF,
+    LF, AND lone-CR (classic-Mac) corpora all come back LF-normalized,
+    and a CR-delimited variant of a line pools with its LF twin in
+    counting (the alternative, preserving a stray ``\\r``, poisons
+    downstream exact-hash dedup);
   * counting normalizes (trim + casefold) so formatting variants of
     one boilerplate line pool together, but the ORIGINAL line text is
     what survives into the rebuilt document;
@@ -50,7 +51,7 @@ from pyspark.sql import functions as F
 def _lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
+        F.posexplode(F.split(F.col(text_col), r"\r\n?|\n")).alias(
             "_pos", "_line"
         ),
     ).withColumn(

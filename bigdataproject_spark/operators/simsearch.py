@@ -22,6 +22,69 @@ from pyspark.sql import functions as F
 
 from bigdataproject_spark.functions.vectors import cosine_from_norms, l2_norm
 
+# Budget for the query-side probe plan that every search path
+# materializes driver-side (the native paths broadcast it; the blas
+# paths collect it into per-cell numpy blocks). Same role as
+# ``broadcast_max_bytes`` in embedding_neardup_pairs; sized to the
+# uncompressed-rows scale a local driver comfortably holds.
+_SEARCH_BROADCAST_MAX_BYTES = 256 << 20
+
+
+# Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue by
+# default) for leaves it cannot size — LogicalRDD / createDataFrame
+# frames, not file scans. Anything at or past this threshold is the
+# SENTINEL, not a measurement (a real 100 TB scan is ~1e14, four
+# orders of magnitude under it).
+_UNKNOWN_STATS_BYTES = 1 << 62
+
+
+def _query_batch_splits(
+    q: DataFrame, *, n_probe: int, broadcast_max_bytes: int
+) -> int:
+    """How many q_id-hash batches a query table must be split into so
+    each batch's probe assignment fits the driver-side budget.
+
+    Estimate = Catalyst footer-stats size of the query projection × 4
+    (footer bytes are compressed, broadcast rows are not — the same
+    factor the embedding_neardup guard uses, dedup.py _plan_size_bytes)
+    × n_probe (the probe plan repeats each query row, vector included,
+    once per probed cell). A metadata lookup only for file-backed
+    queries — no job. A NON-file query frame (createDataFrame /
+    LogicalRDD) has no Catalyst size: the sentinel is detected and the
+    estimate falls back to count() × max sampled-row bytes — two tiny
+    jobs over the (small-by-contract) query side, never the corpus."""
+    from bigdataproject_spark.operators.dedup import _plan_size_bytes
+
+    if broadcast_max_bytes <= 0:
+        raise ValueError("broadcast_max_bytes must be positive")
+    size = _plan_size_bytes(q)
+    if size < _UNKNOWN_STATS_BYTES:
+        est = size * 4 * max(n_probe, 1)
+    else:
+        sample = q.limit(16).collect()
+        if not sample:
+            return 1
+        row_bytes = 0
+        for row in sample:
+            b = 32
+            for v in row:
+                if isinstance(v, (list, tuple)):
+                    b += 8 * len(v) + 16
+                elif isinstance(v, str):
+                    b += 2 * len(v) + 16
+                else:
+                    b += 8
+            row_bytes = max(row_bytes, b)
+        est = q.count() * row_bytes * max(n_probe, 1)
+    return max(1, -(-est // broadcast_max_bytes))
+
+
+def _union_query_batches(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("q_id", "rank")
+
 
 def sign_bucket(vec: Column | str, n_bits: int = 8) -> Column:
     """LSH bucket id from the sign pattern of the first n_bits dims:
@@ -46,6 +109,7 @@ def brute_force_topk(
     k: int = 10,
     exclude_self: bool = True,
     impl: str = "native",
+    broadcast_max_bytes: int = _SEARCH_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Exact top-k by cosine: (q_id, neighbor_id, cosine, rank).
 
@@ -73,11 +137,12 @@ def brute_force_topk(
         l2_norm(vec_col).alias("qn"),
     )
     if impl == "blas":
-        return _ivf_blas_topk(
+        return _blas_query_batched(
             c.withColumn("cell", F.lit(0)),
             q.withColumn("cell", F.lit(0)),
             k=k,
             exclude_self=exclude_self,
+            broadcast_max_bytes=broadcast_max_bytes,
         )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -105,6 +170,7 @@ def lsh_bucket_topk(
     n_bits: int = 8,
     exclude_self: bool = True,
     impl: str = "native",
+    broadcast_max_bytes: int = _SEARCH_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign bucket.
 
@@ -130,11 +196,12 @@ def lsh_bucket_topk(
         sign_bucket(vec_col, n_bits).alias("bkt"),
     )
     if impl == "blas":
-        return _ivf_blas_topk(
+        return _blas_query_batched(
             c.filter(F.col("bkt").isNotNull()).withColumnRenamed("bkt", "cell"),
             q.filter(F.col("bkt").isNotNull()).withColumnRenamed("bkt", "cell"),
             k=k,
             exclude_self=exclude_self,
+            broadcast_max_bytes=broadcast_max_bytes,
         )
     joined = c.join(F.broadcast(q), on="bkt")
     if exclude_self:
@@ -474,6 +541,7 @@ def ivf_topk_indexed(
     n_probe: int = 4,
     exclude_self: bool = True,
     impl: str = "native",
+    broadcast_max_bytes: int = _SEARCH_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """IVF search against a :func:`ivf_write_index` layout with PARTITION
     pruning: only the DISTINCT probed cell ids (≤ n_centroids values — a
@@ -484,10 +552,16 @@ def ivf_topk_indexed(
     distributed plan and reaches the corpus join as a broadcast — so
     the QUERY BATCH must fit the broadcast budget (n_queries × n_probe
     rows incl. vectors; building the broadcast relation materializes it
-    driver-side like any broadcast join). That bounds a batch at
-    roughly the autoBroadcastJoinThreshold scale, not "arbitrary":
-    split a huge query table into batches, or swap the broadcast for a
-    shuffle equi-join on cell when queries outweigh the probed cells. The probe plan is evaluated
+    driver-side like any broadcast join). That budget is ENFORCED, not
+    just documented: the query plan's footer-stats estimate
+    (× 4 compressed→uncompressed × n_probe — same arithmetic as the
+    embedding_neardup guard) is checked against ``broadcast_max_bytes``
+    and an oversized query table is automatically split into q_id-hash
+    batches, each searched independently and unioned — exact, because
+    per-query results never depend on other queries. Each batch re-runs
+    the probe-cell collect and corpus scan; that linear re-scan cost is
+    the price of never materializing an over-budget driver block. The
+    probe plan is evaluated
     twice (once reduced to distinct cells, once in the join); it is a
     scan + broadcast-centroid cross-join + tiny window, so recompute is
     cheaper than a session-lifetime persist leak. Semantics identical to
@@ -518,6 +592,44 @@ def ivf_topk_indexed(
         F.col(vec_col).alias("qv"),
         l2_norm(vec_col).alias("qn"),
     )
+    n_splits = _query_batch_splits(
+        q, n_probe=n_probe, broadcast_max_bytes=broadcast_max_bytes
+    )
+    if n_splits == 1:
+        return _ivf_indexed_search(
+            spark, path, ctr_df, q,
+            k=k, n_probe=n_probe, exclude_self=exclude_self, impl=impl,
+        )
+    parts = [
+        _ivf_indexed_search(
+            spark,
+            path,
+            ctr_df,
+            q.filter(F.pmod(F.xxhash64("q_id"), F.lit(n_splits)) == i),
+            k=k,
+            n_probe=n_probe,
+            exclude_self=exclude_self,
+            impl=impl,
+        )
+        for i in range(n_splits)
+    ]
+    return _union_query_batches(parts)
+
+
+def _ivf_indexed_search(
+    spark,
+    path: str,
+    ctr_df: DataFrame,
+    q: DataFrame,
+    *,
+    k: int,
+    n_probe: int,
+    exclude_self: bool,
+    impl: str,
+) -> DataFrame:
+    """One budget-sized batch of :func:`ivf_topk_indexed` (q already
+    projected to (q_id, qv, qn) and guaranteed within the broadcast
+    budget by the caller's :func:`_query_batch_splits` split)."""
     sq_dist = F.aggregate(
         F.zip_with(
             F.col("qv").cast("array<double>"), "ctr", lambda a, b: (a - b) * (a - b)
@@ -557,6 +669,59 @@ def ivf_topk_indexed(
         .filter(F.col("rank") <= k)
         .orderBy("q_id", "rank")
     )
+
+
+def _blas_query_batched(
+    c: DataFrame,
+    q: DataFrame,
+    *,
+    k: int,
+    exclude_self: bool,
+    broadcast_max_bytes: int,
+) -> DataFrame:
+    """Byte-guarded front door for the non-indexed blas paths
+    (brute-force / sign-bucket): `_ivf_blas_topk` collects the query
+    plan driver-side, so an over-budget query table is split into
+    q_id-hash batches first — each batch re-scans the corpus (linear,
+    map-only), the per-query results are independent, and the union is
+    exact."""
+    n_splits = _query_batch_splits(
+        q, n_probe=1, broadcast_max_bytes=broadcast_max_bytes
+    )
+    if n_splits == 1:
+        return _ivf_blas_topk(c, q, k=k, exclude_self=exclude_self)
+    parts = [
+        _ivf_blas_topk(
+            c,
+            q.filter(F.pmod(F.xxhash64("q_id"), F.lit(n_splits)) == i),
+            k=k,
+            exclude_self=exclude_self,
+        )
+        for i in range(n_splits)
+    ]
+    return _union_query_batches(parts)
+
+
+def _bad_corpus_candidates(all_qids, bad_nids, *, k: int, exclude_self: bool):
+    """Vectorized (query, bad-corpus-row) candidate pairs for one Arrow
+    batch. Bad (NULL / zero-norm vector) corpus rows carry NULL cosine,
+    which the global window ranks LAST, neighbor_id asc — so only the
+    k+1 smallest bad neighbor ids in this batch can ever reach a
+    query's global top-k (k+1, not k: self-exclusion can remove one).
+    One repeat/tile cross product, no per-row Python loop; the emission
+    is bounded at (k+1)·|queries| rows instead of
+    |bad rows|·|queries|. Returns (q_arr, n_arr) or None."""
+    import numpy as np
+
+    bad = np.sort(bad_nids)[: k + 1]
+    if len(bad) == 0 or len(all_qids) == 0:
+        return None
+    q_rep = np.repeat(all_qids, len(bad))
+    n_til = np.tile(bad, len(all_qids))
+    if exclude_self:
+        keep = q_rep != n_til
+        q_rep, n_til = q_rep[keep], n_til[keep]
+    return (q_rep, n_til) if len(q_rep) else None
 
 
 def _ivf_blas_topk(
@@ -643,17 +808,25 @@ def _ivf_blas_topk(
                     bad_qids
                 ) else qids
                 # corpus rows whose vector is NULL or zero-norm pair
-                # with every probing query as a null-cosine candidate
-                # (NaN here; converted to NULL Spark-side) — the native
-                # path's behavior.
+                # with probing queries as null-cosine candidates (NaN
+                # here; converted to NULL Spark-side) — the native
+                # path's behavior, capped at the k+1 smallest bad ids
+                # per batch (a superset of any query's global NULL-tail
+                # top-k — see _bad_corpus_candidates) and emitted as
+                # ONE vectorized cross product so a NULL-heavy corpus
+                # cannot degrade the scan to per-row Python.
                 cn_raw = grp["cn"].to_numpy()
                 bad_c = grp["cv"].isna().to_numpy() | ~(
                     np.nan_to_num(cn_raw.astype(np.float64), nan=0.0) > 0
                 )
-                for bn in grp["neighbor_id"].to_numpy()[bad_c]:
-                    qs = all_qids[all_qids != bn] if exclude_self else all_qids
-                    if len(qs):
-                        outs.append(_emit(qs, np.full(len(qs), bn), np.nan))
+                pair = _bad_corpus_candidates(
+                    all_qids,
+                    grp["neighbor_id"].to_numpy()[bad_c],
+                    k=k,
+                    exclude_self=exclude_self,
+                )
+                if pair is not None:
+                    outs.append(_emit(pair[0], pair[1], np.nan))
                 grp = grp[~bad_c]
                 if len(grp) == 0:
                     continue

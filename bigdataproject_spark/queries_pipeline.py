@@ -949,6 +949,43 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=12, overlap=4)
 
 
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-then-pack — the two adjacent training-pipeline stages as
+    ONE registry entry (same-family merge, r4 convention): overlapping
+    token-window chunking (operators/chunking.py — one generate, zero
+    shuffle) feeds distributed next-fit sequence packing
+    (operators/packing.py — ONE hash exchange on the shard key; the
+    pack-position window reuses the shard clustering). The shard key is
+    ``doc_id % 8`` here so the oracle is pure SQL; production uses the
+    content-keyed shard from sources.writers.training_shard_plan."""
+    from bigdataproject_spark.operators.chunking import chunk_documents
+    from bigdataproject_spark.operators.packing import pack_sequences
+
+    docs = _docs_tokens(spark, sf_dir)
+    chunks = chunk_documents(docs, chunk_tokens=12, overlap=4)
+    sharded = chunks.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    packed = pack_sequences(
+        sharded,
+        shard_col="shard",
+        order_cols=["doc_id", "chunk_id"],
+        tokens_col="n_tokens",
+        target_tokens=48,
+    )
+    return packed.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunks",
+        "chunk_text",
+        "n_tokens",
+        "shard",
+        "pack_id",
+        "pack_pos",
+        F.col("pack_cum_tokens").cast("bigint").alias("pack_cum_tokens"),
+    )
+
+
 _CHUNK, _STRIDE = 12, 8
 # text coalesced to '': a NULL-text doc must yield its one empty chunk
 # (as the Spark side does) — un-coalesced, generate_series(1, NULL)
@@ -974,6 +1011,58 @@ SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id, n_chunks,
 FROM (SELECT doc_id, toks, n, n_chunks,
              unnest(generate_series(1, n_chunks)) AS i
       FROM n)
+"""
+
+# chunk-then-pack: the chunk CTE above extended with the next-fit pack
+# windows (operators/packing.py semantics verbatim: per-shard prefix
+# sum with an explicit ROWS frame, raw boundary floor((cum-1)/target),
+# dense_rank → gap-free pack ids, position + running total per pack).
+_PACK_TARGET = 48
+ORACLE_CHUNK_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> x != '') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         (1 + CAST(floor((greatest(len(toks) - {_CHUNK}, 0) + {_STRIDE - 1})
+                         / {_STRIDE}) AS INT)) AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id, n_chunks,
+         coalesce(array_to_string(list_slice(toks, (i-1)*{_STRIDE} + 1,
+           (i-1)*{_STRIDE} + least(n - (i-1)*{_STRIDE}, {_CHUNK})), ' '), '')
+           AS chunk_text,
+         CAST(least(n - (i-1)*{_STRIDE}, {_CHUNK}) AS INT) AS n_tokens,
+         CAST(doc_id % 8 AS INT) AS shard
+  FROM (SELECT doc_id, toks, n, n_chunks,
+               unnest(generate_series(1, n_chunks)) AS i
+        FROM n)
+),
+p AS (
+  SELECT *,
+         CAST(floor(greatest(sum(n_tokens) OVER w - 1, 0)
+                    / {_PACK_TARGET}) AS INT) AS _raw
+  FROM c
+  WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pp AS (
+  SELECT *, CAST(dense_rank() OVER (PARTITION BY shard ORDER BY _raw) - 1
+                 AS INT) AS pack_id
+  FROM p
+)
+SELECT doc_id, chunk_id, n_chunks, chunk_text, n_tokens, shard, pack_id,
+       CAST(row_number() OVER wp - 1 AS INT) AS pack_pos,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard, pack_id
+              ORDER BY doc_id, chunk_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS pack_cum_tokens
+FROM pp
+WINDOW wp AS (PARTITION BY shard, pack_id ORDER BY doc_id, chunk_id)
 """
 
 
@@ -1038,7 +1127,10 @@ def _oracle_pii_redact() -> str:
 
 PIPELINE_QUERIES = {
     "dedup_lines_boilerplate": _q(q_dedup_lines, ORACLE_DEDUP_LINES),
-    "chunk_documents_windows": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
+    # r5: chunk_documents_windows absorbed into the chunk-then-pack
+    # merge (same family — driver's 50-entry cap); the standalone chunk
+    # query + oracle remain above for tests/test_oracle_parity.py.
+    "chunk_pack_sequences": _q(q_chunk_pack, ORACLE_CHUNK_PACK),
     "pii_redact": _q(q_pii_redact, _oracle_pii_redact()),
     "dedup_exact": _q(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": _q(q_dedup_jaccard, ORACLE_DEDUP_JACCARD),

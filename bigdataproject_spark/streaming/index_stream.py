@@ -14,14 +14,17 @@ at-least-once, so the batch step is a two-phase idempotent commit —
      and replaying it recomputes the identical set (the store hasn't
      changed) or rewrites the same files.
   2. the survivors' signatures are appended to the index, guarded by
-     an anti-join against the store's current ids — a replay (or a
-     crash between 1 and 2) appends exactly the missing rows and
-     nothing twice. Signature membership is defined by the shingles
-     table, which `write_minhash_index` writes AFTER the bands table,
-     so a crash mid-append can leave at most orphan band rows — which
-     only ever create candidate pairs that the verify join then drops
-     (no shingles row), and which are de-duplicated by the next
-     completed append check.
+     an anti-join against the store's current ids — idempotent at
+     SHINGLE granularity: a replay (or a crash between 1 and 2)
+     appends exactly the missing shingle rows and nothing twice.
+     Signature membership is defined by the shingles table, which
+     `write_minhash_index` writes AFTER the bands table, so a crash
+     mid-append can leave orphan or duplicate band rows — harmless
+     for correctness (orphans only create candidate pairs the verify
+     join then drops; duplicates are collapsed by the candidate
+     groupBy) but unbounded in bytes under repeated crashes, so
+     `compact_index` drops duplicate (id, band_id, band_hash) rows on
+     every compaction (tested in tests/test_streaming_index.py).
 
 A batch containing a doc id accepted by an EARLIER batch treats it as
 already stored (dropped), so survivor outputs never duplicate a

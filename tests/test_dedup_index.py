@@ -290,3 +290,53 @@ def test_empty_batch(spark, tmp_path):
     )
     assert kept.count() == 0
     assert spark.read.parquet(f"{idx}/shingles").count() == 4
+
+
+def test_hot_band_batch_join_no_key_hotspot(spark, tmp_path):
+    """Skew stress (boilerplate-heavy corpus): every document — stored
+    and batch — shares a large common shingle core, so minhash band
+    hashes collide corpus-wide and the candidate join key is ONE hot
+    bucket per band. The design claim (dedup_index.py module docstring)
+    is that the batch side broadcasts, so the hot key never serializes
+    into a single shuffle task — the stored side stays map-side and
+    candidate rows distribute with the stored partitions. Asserted on
+    the executed adaptive plan: the new-vs-stored bands join is a
+    BroadcastHashJoin (no hash-partition exchange on band_hash), and
+    the pathological batch completes with the correct (empty) verified
+    pair set — the common core keeps Jaccard below threshold."""
+    common = " ".join(f"boiler{j}" for j in range(120))
+    idx = str(tmp_path / "idx")
+
+    def mk(i):
+        unique = " ".join(f"tok{i}x{j}" for j in range(60))
+        return (i, common + " " + unique)
+
+    stored = _docs(spark, [mk(i) for i in range(2000)]).repartition(8)
+    write_minhash_index(
+        stored, idx, id_col="doc_id", shingles_col="shingles"
+    )
+    # file-backed batch, as in production (a file-stream micro-batch):
+    # the planner KNOWS the batch is small, so both candidate joins get
+    # a static broadcast — a createDataFrame batch would carry the
+    # unknown-size sentinel and force shuffle planning the real
+    # pipeline never sees.
+    batch_path = str(tmp_path / "batch")
+    _docs(spark, [mk(i) for i in range(10_000, 10_100)]).write.parquet(
+        batch_path
+    )
+    batch = spark.read.parquet(batch_path)
+    pairs = incremental_minhash_pairs(
+        spark, batch, idx,
+        id_col="doc_id", shingles_col="shingles", threshold=THRESHOLD,
+    )
+    got = pairs.collect()
+    # the shared core floods the candidate buckets, but J ≈ 120/300 per
+    # pair — the verify stage must reject everything
+    assert got == []
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no shuffle keyed on the hot band columns anywhere in the plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(band_id", plan)
+    assert not re.search(r"Exchange hashpartitioning\(band_hash", plan)

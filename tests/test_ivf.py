@@ -188,3 +188,147 @@ def test_ivf_indexed_blas_equals_native(spark, sf_dir, tmp_path):
                 ).collect()
             ]
             assert a == b, (n_probe, excl)
+
+
+def test_query_batch_splits_guard(spark, sf_dir):
+    """The probe-plan byte guard: big budget → one batch; tiny budget →
+    proportional split count; non-positive budget → explicit error."""
+    import pytest
+
+    from bigdataproject_spark.operators.simsearch import _query_batch_splits
+    from bigdataproject_spark.sources.readers import load_table
+
+    q = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = q.selectExpr("vec_id as q_id", "embedding as qv")
+    assert _query_batch_splits(q, n_probe=4, broadcast_max_bytes=1 << 40) == 1
+    small = _query_batch_splits(q, n_probe=1, broadcast_max_bytes=1 << 12)
+    assert small > 1
+    # n_probe scales the estimate linearly: more probes → at least as
+    # many batches for the same budget
+    assert (
+        _query_batch_splits(q, n_probe=8, broadcast_max_bytes=1 << 12) >= small
+    )
+    with pytest.raises(ValueError, match="broadcast_max_bytes"):
+        _query_batch_splits(q, n_probe=1, broadcast_max_bytes=0)
+
+    # NON-file frames (createDataFrame → LogicalRDD) have no Catalyst
+    # size — the sentinel must trigger the count×row-bytes fallback,
+    # never a astronomically-split batch loop (the hang this guards)
+    local = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0] if i % 3 else None) for i in range(30)],
+        "q_id bigint, qv array<double>",
+    )
+    n = _query_batch_splits(local, n_probe=4, broadcast_max_bytes=256 << 20)
+    assert n == 1
+    # tiny budget: splits proportional to the sampled estimate, small
+    n_small = _query_batch_splits(local, n_probe=4, broadcast_max_bytes=512)
+    assert 1 < n_small < 100
+    # empty non-file frame → single (empty) batch
+    assert (
+        _query_batch_splits(
+            local.limit(0), n_probe=4, broadcast_max_bytes=512
+        )
+        == 1
+    )
+
+
+def test_ivf_indexed_batched_equals_unbatched(spark, sf_dir, tmp_path):
+    """Forcing the auto-batch path (tiny broadcast budget → many q_id
+    hash batches) must return exactly the single-batch result, both
+    impls — per-query results are independent, so the union is exact."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.simsearch import (
+        _query_batch_splits,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 11 == 0)
+    idx = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, idx, id_col="vec_id", vec_col="embedding", n_centroids=8)
+
+    # budget sized to force a HANDFUL of batches (≈4), not thousands —
+    # derived from the same estimate the guard uses
+    from bigdataproject_spark.operators.dedup import _plan_size_bytes
+
+    qproj = queries.selectExpr("vec_id as q_id", "embedding as qv")
+    budget = max(1, _plan_size_bytes(qproj) * 4 * 3 // 4)
+    n_splits = _query_batch_splits(qproj, n_probe=3, broadcast_max_bytes=budget)
+    assert 1 < n_splits <= 8  # the splitter actually engages, boundedly
+
+    for impl in ("native", "blas"):
+        kw = dict(id_col="vec_id", vec_col="embedding", k=5, n_probe=3, impl=impl)
+        ref = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_topk_indexed(spark, idx, queries, **kw).collect()
+        ]
+        batched = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_topk_indexed(
+                spark, idx, queries, broadcast_max_bytes=budget, **kw
+            ).collect()
+        ]
+        assert batched == ref, impl
+
+
+def test_blas_null_heavy_corpus_equals_native(spark):
+    """A corpus where most vectors are NULL or zero-norm must return the
+    native path's exact result through the blas scan — and do it via the
+    capped vectorized emission, not a per-bad-row Python loop."""
+    from bigdataproject_spark.operators.simsearch import brute_force_topk
+
+    rows = []
+    for i in range(120):
+        if i % 3 == 1:
+            vec = None  # NULL vector
+        elif i % 3 == 2:
+            vec = [0.0, 0.0, 0.0, 0.0]  # zero norm
+        else:
+            vec = [float(i % 7 + 1), float(i % 5), float(i % 3), 1.0]
+        rows.append((i, vec))
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # queries include good AND bad vectors (bad query → NULL-cosine tail)
+    queries = corpus.filter(F.col("vec_id") < 9)
+    for excl in (True, False):
+        kw = dict(id_col="vec_id", vec_col="embedding", k=4, exclude_self=excl)
+        a = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in brute_force_topk(corpus, queries, **kw).collect()
+        ]
+        b = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in brute_force_topk(corpus, queries, impl="blas", **kw).collect()
+        ]
+        assert a == b, excl
+
+
+def test_bad_corpus_candidates_capped_and_complete():
+    """Unit bounds for the vectorized bad-row emission: at most
+    (k+1)·|queries| pairs, every query sees the k smallest bad ids it
+    could rank (self-exclusion honored), no Python-level row loop
+    required for correctness."""
+    import numpy as np
+
+    from bigdataproject_spark.operators.simsearch import _bad_corpus_candidates
+
+    qids = np.array([3, 50, 1000])
+    bad = np.array([7, 3, 99, 2, 41, 8, 5, 6])  # includes a self (3)
+    k = 3
+    out = _bad_corpus_candidates(qids, bad, k=k, exclude_self=True)
+    assert out is not None
+    q_arr, n_arr = out
+    assert len(q_arr) <= (k + 1) * len(qids)
+    for q in qids:
+        mine = sorted(n_arr[q_arr == q])
+        expect = sorted(x for x in bad if x != q)[:k]
+        # the k smallest bad ids this query could rank are all present
+        assert mine[:k] == expect
+        assert q not in mine
+    # empty inputs → None
+    assert _bad_corpus_candidates(qids, np.array([]), k=k, exclude_self=True) is None
+    assert (
+        _bad_corpus_candidates(np.array([]), bad, k=k, exclude_self=False) is None
+    )

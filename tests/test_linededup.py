@@ -82,6 +82,26 @@ def test_crlf_normalized(spark):
     assert "\r" not in out[1]
 
 
+def test_lone_cr_normalized(spark):
+    """Classic-Mac (lone \\r) and trailing-CR-without-LF variants pool
+    with their LF twins in counting, and no bare '\\r' survives into
+    rebuilt text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "banner\rkeep one\rtail"),        # lone-CR line endings
+            (2, "banner\nkeep two\ntail\r"),      # trailing CR, no LF
+            (3, "banner\r\nkeep three"),          # CRLF control
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(docs).collect()}
+    # 'banner' ×3 and 'tail' ×2 pool across \r / \n / \r\n variants
+    assert out[1] == "keep one"
+    assert out[2] == "keep two\n"  # trailing CR became an empty last line
+    assert out[3] == "keep three"
+    assert all("\r" not in t for t in out.values())
+
+
 def test_zipf_hot_line_stress(spark):
     """Skew-shape stress: one boilerplate line in EVERY document (the
     cookie-banner case). keep_first must survive without a per-key

@@ -51,7 +51,10 @@ _MAX_SHUFFLES = {
     "doc_fingerprint": 0,
     "dedup_exact": 1,  # one hash-agg exchange on the digest
     "pii_redact": 0,  # chained regexp_replace is one codegen map pass
-    "chunk_documents_windows": 0,  # one generate in the scan stage
+    # chunking stays a zero-shuffle generate; the packing tail adds
+    # exactly ONE hash exchange on the shard key (both windows reuse
+    # that clustering — pinned in test_plan_hygiene_ops.py too)
+    "chunk_pack_sequences": 1,
     # hot-line agg + hot-set join + per-doc rebuild + doc join; the
     # hot-set join carries no pinned broadcast (AQE decides)
     "dedup_lines_boilerplate": 4,

@@ -241,3 +241,128 @@ def test_full_lambda_flow_clean_then_index(spark, tmp_path):
         r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
     }
     assert stored == {1, 4}
+
+
+def test_compaction_between_stream_batches(spark, tmp_path):
+    """Production interleaving: compact_index runs BETWEEN micro-batches
+    of a live stream. Survivor set, stored set, AND the pair set a
+    probe batch sees must be identical to the no-compaction run."""
+    from bigdataproject_spark.operators.dedup_index import (
+        compact_index,
+        incremental_minhash_pairs,
+    )
+
+    PROBE = [
+        (21, BASE + " tomorrow"),  # near-dup of stored 1
+        (22, "totally novel musings on cartography and the projection "
+             "of coastlines onto flat maps with careful attention to "
+             "distortion near the poles and the equator alike"),
+    ]
+
+    results = {}
+    for mode in ("plain", "compacted"):
+        idx = str(tmp_path / f"idx_{mode}")
+        out = str(tmp_path / f"out_{mode}")
+        writer = make_index_batch_writer(
+            idx, out, id_col="doc_id", shingles_col="shingles",
+            threshold=THRESHOLD,
+        )
+        writer(_docs(spark, B1), 0)
+        if mode == "compacted":
+            stats = compact_index(spark, idx)
+            assert stats["bands"]["files_after"] >= 1
+        writer(_docs(spark, B2), 1)
+        if mode == "compacted":
+            compact_index(spark, idx)
+        pairs = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"], r["vs_index"])
+            for r in incremental_minhash_pairs(
+                spark, _docs(spark, PROBE), idx,
+                id_col="doc_id", shingles_col="shingles",
+                threshold=THRESHOLD,
+            ).collect()
+        )
+        results[mode] = (
+            _out_ids(spark, out),
+            {r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()},
+            pairs,
+        )
+    assert results["plain"] == results["compacted"]
+    assert results["plain"][0] == {1, 2, 12}
+    assert results["plain"][2]  # the probe really found near-dups
+
+
+def test_crash_mid_compaction_heals_then_stream_replays(spark, tmp_path):
+    """Crash in compaction's rename window (live renamed aside, the
+    completed compacted dir not yet renamed in) followed by a stream
+    replay: re-running compact_index must heal, and the replayed
+    micro-batch must leave index and output unchanged."""
+    import shutil
+
+    from bigdataproject_spark.operators.dedup_index import compact_index
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    writer(_docs(spark, B1), 0)
+    writer(_docs(spark, B2), 1)
+    stored_before = {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    }
+    n_bands = spark.read.parquet(f"{idx}/bands").count()
+
+    # simulate the mid-swap crash exactly as compact_index sequences it:
+    # a COMPLETED compacted temp dir exists (Spark write → _SUCCESS),
+    # live has been renamed aside, tmp→live never ran.
+    live, tmp_d, old = (
+        f"{idx}/bands", f"{idx}/bands__compacting", f"{idx}/bands__old"
+    )
+    (
+        spark.read.parquet(live)
+        .repartition(1, "band_hash")
+        .sortWithinPartitions("band_id", "band_hash")
+        .write.parquet(tmp_d)
+    )
+    shutil.move(live, old)
+
+    stats = compact_index(spark, idx)  # heals from the completed tmp
+    assert stats["bands"]["rows"] == n_bands
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+
+    writer(_docs(spark, B2), 1)  # stream replay after the healed swap
+    assert _out_ids(spark, out) == {1, 2, 12}
+    assert {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    } == stored_before
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+
+
+def test_compaction_drops_crash_duplicate_band_rows(spark, tmp_path):
+    """The bands-committed/shingles-crashed replay window leaves
+    duplicate band rows (idempotence is exact at shingle granularity —
+    module docstring). compact_index must shed them, and the next
+    micro-batch must decide identically afterwards."""
+    from bigdataproject_spark.operators.dedup_index import compact_index
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    writer(_docs(spark, B1), 0)
+    bands = spark.read.parquet(f"{idx}/bands")
+    n_unique = bands.count()
+    # replayed append whose shingles write never committed: the same
+    # band rows land a second time
+    bands.filter(F.col("id") == 1).write.mode("append").parquet(f"{idx}/bands")
+    assert spark.read.parquet(f"{idx}/bands").count() > n_unique
+
+    compact_index(spark, idx)
+    after = spark.read.parquet(f"{idx}/bands")
+    assert after.count() == n_unique
+    assert after.dropDuplicates(["id", "band_id", "band_hash"]).count() == n_unique
+
+    writer(_docs(spark, B2), 1)
+    assert _out_ids(spark, out) == {1, 2, 12}

@@ -1,0 +1,141 @@
+"""Pluggable tokenizer seam (functions/tokenize.py get_tokenizer):
+chunk/pack math must be tokenizer-agnostic — it consumes token ARRAYS
+and never re-tokenizes — so swapping the regex backend for an injected
+Arrow pandas_udf (a stand-in for a real BPE tokenizer) changes token
+content only, never the packing arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.functions.tokenize import (
+    get_tokenizer,
+    token_count_expr,
+    tokenize_expr,
+)
+from bigdataproject_spark.operators.chunking import chunk_documents
+from bigdataproject_spark.operators.packing import pack_sequences
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "a much longer document " + "with many repeated tokens " * 20),
+    (3, ""),
+    (4, None),
+    (5, "short"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def _fake_bpe_udf():
+    """Deterministic stand-in for a real BPE tokenizer: an Arrow
+    pandas_udf splitting into 3-char pieces — token counts differ from
+    the regex backend by construction, which is exactly what the seam
+    must absorb."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies local type hints, which pyspark cannot resolve here
+    @pandas_udf("array<string>", PandasUDFType.SCALAR)
+    def _bpe(s):
+        def one(t):
+            if not t:
+                return []
+            t = t.replace(" ", "_")
+            return [t[i : i + 3] for i in range(0, len(t), 3)]
+
+        return s.map(one)
+
+    return _bpe
+
+
+def test_regex_backend_is_tokenize_expr(spark):
+    df = _docs(spark).select(
+        get_tokenizer("regex")("text").alias("a"),
+        tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False).alias("b"),
+    )
+    assert df.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_unknown_backend_raises():
+    with pytest.raises(ValueError, match="unknown backend"):
+        get_tokenizer("bpe-magic")
+
+
+def test_jieba_backend_is_import_gated():
+    with pytest.raises(ImportError):
+        get_tokenizer("jieba")
+
+
+def test_token_count_follows_injected_tokenizer(spark):
+    tok = get_tokenizer(_fake_bpe_udf())
+    got = (
+        _docs(spark)
+        .select("doc_id", token_count_expr("text", tokenizer=tok).alias("n"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["n"] for r in got}
+    # 3-char pieces of the underscored text, computed independently
+    for doc_id, text in ROWS:
+        expect = -(-len((text or "").replace(" ", "_")) // 3) if text else 0
+        assert by_id[doc_id] == expect, doc_id
+
+
+@pytest.mark.parametrize("backend", ["regex", "fake-bpe"])
+def test_chunk_pack_math_is_tokenizer_agnostic(spark, backend):
+    """Identical pipeline code over two different tokenizers: every
+    chunk/pack invariant holds for both — n_tokens is the span length,
+    pack ids are dense, positions sequential, and every pack total obeys
+    the next-fit bound (target − max_chunk, target + max_chunk) with
+    only the LAST pack per shard allowed to undershoot."""
+    tok = (
+        get_tokenizer("regex")
+        if backend == "regex"
+        else get_tokenizer(_fake_bpe_udf())
+    )
+    TARGET, CHUNK = 10, 4
+    docs = _docs(spark).withColumn("tokens", tok("text"))
+    chunks = chunk_documents(docs, chunk_tokens=CHUNK, overlap=1)
+    packed = pack_sequences(
+        chunks.withColumn("shard", F.pmod("doc_id", F.lit(2)).cast("int")),
+        shard_col="shard",
+        order_cols=["doc_id", "chunk_id"],
+        target_tokens=TARGET,
+    ).collect()
+    assert packed  # every input doc yields at least one chunk row
+
+    by_pack: dict[tuple, list] = {}
+    for r in packed:
+        assert 0 <= r["n_tokens"] <= CHUNK
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for (shard, _), rows in by_pack.items():
+        rows.sort(key=lambda r: r["pack_pos"])
+        assert [r["pack_pos"] for r in rows] == list(range(len(rows)))
+        total = sum(r["n_tokens"] for r in rows)
+        assert rows[-1]["pack_cum_tokens"] == total
+        assert total < TARGET + CHUNK  # overflow bound: one chunk max
+    for shard in {s for s, _ in by_pack}:
+        ids = sorted(p for s, p in by_pack if s == shard)
+        assert ids == list(range(len(ids)))  # dense, gap-free
+        for p in ids[:-1]:  # all but the last pack are ≥ target − chunk
+            total = sum(r["n_tokens"] for r in by_pack[(shard, p)])
+            assert total > TARGET - CHUNK
+
+
+def test_injected_udf_is_arrow_not_row_at_a_time(spark):
+    """The seam's Python boundary must be the Arrow batch node
+    (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    tok = get_tokenizer(_fake_bpe_udf())
+    plan = (
+        _docs(spark)
+        .withColumn("tokens", tok("text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
