@@ -38,44 +38,61 @@ _SEARCH_BROADCAST_MAX_BYTES = 256 << 20
 _UNKNOWN_STATS_BYTES = 1 << 62
 
 
+def _measured_query_bytes(q: DataFrame, *, n_probe: int) -> int:
+    """count() × max-sampled-row-bytes × n_probe — the MEASURED probe
+    budget estimate. Two jobs over the query side only (a limit-16
+    sample and a count), never the corpus; used when metadata alone
+    cannot size the query batch (see :func:`_query_batch_splits`)."""
+    sample = q.limit(16).collect()
+    if not sample:
+        return 0
+    row_bytes = 0
+    for row in sample:
+        b = 32
+        for v in row:
+            if isinstance(v, (list, tuple)):
+                b += 8 * len(v) + 16
+            elif isinstance(v, str):
+                b += 2 * len(v) + 16
+            else:
+                b += 8
+        row_bytes = max(row_bytes, b)
+    return q.count() * row_bytes * max(n_probe, 1)
+
+
 def _query_batch_splits(
     q: DataFrame, *, n_probe: int, broadcast_max_bytes: int
 ) -> int:
     """How many q_id-hash batches a query table must be split into so
     each batch's probe assignment fits the driver-side budget.
 
-    Estimate = Catalyst footer-stats size of the query projection × 4
-    (footer bytes are compressed, broadcast rows are not — the same
-    factor the embedding_neardup guard uses, dedup.py _plan_size_bytes)
-    × n_probe (the probe plan repeats each query row, vector included,
-    once per probed cell). A metadata lookup only for file-backed
-    queries — no job. A NON-file query frame (createDataFrame /
-    LogicalRDD) has no Catalyst size: the sentinel is detected and the
-    estimate falls back to count() × max sampled-row bytes — two tiny
-    jobs over the (small-by-contract) query side, never the corpus."""
+    Two-tier estimate. Tier 1 (metadata only, no job): Catalyst
+    footer-stats size of the query projection × 4 (footer bytes are
+    compressed, broadcast rows are not — the same factor the
+    embedding_neardup guard uses, dedup.py _plan_size_bytes) × n_probe
+    (the probe plan repeats each query row, vector included, once per
+    probed cell). If THAT clears the budget, done — the common case
+    pays zero jobs. Tier 2: when metadata says over-budget OR reports
+    the unknown-size sentinel (createDataFrame/LogicalRDD frames have
+    no Catalyst size), the estimate is MEASURED via
+    :func:`_measured_query_bytes` — two tiny jobs over the query side.
+    Tier 2 matters for selective filters over big tables: Catalyst's
+    Filter keeps its child's sizeInBytes, so a 1% query slice of a
+    large embedding table metadata-reads as the whole file and a
+    metadata-only guard would split a comfortably-in-budget batch into
+    pointless corpus re-scans (measured 3× on the sf10 steady-state
+    blas path before this tier existed)."""
     from bigdataproject_spark.operators.dedup import _plan_size_bytes
 
     if broadcast_max_bytes <= 0:
         raise ValueError("broadcast_max_bytes must be positive")
     size = _plan_size_bytes(q)
-    if size < _UNKNOWN_STATS_BYTES:
-        est = size * 4 * max(n_probe, 1)
-    else:
-        sample = q.limit(16).collect()
-        if not sample:
-            return 1
-        row_bytes = 0
-        for row in sample:
-            b = 32
-            for v in row:
-                if isinstance(v, (list, tuple)):
-                    b += 8 * len(v) + 16
-                elif isinstance(v, str):
-                    b += 2 * len(v) + 16
-                else:
-                    b += 8
-            row_bytes = max(row_bytes, b)
-        est = q.count() * row_bytes * max(n_probe, 1)
+    if (
+        size < _UNKNOWN_STATS_BYTES
+        and size * 4 * max(n_probe, 1) <= broadcast_max_bytes
+    ):
+        return 1
+    est = _measured_query_bytes(q, n_probe=n_probe)
     return max(1, -(-est // broadcast_max_bytes))
 
 

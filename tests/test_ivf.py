@@ -251,11 +251,11 @@ def test_ivf_indexed_batched_equals_unbatched(spark, sf_dir, tmp_path):
     ivf_write_index(emb, idx, id_col="vec_id", vec_col="embedding", n_centroids=8)
 
     # budget sized to force a HANDFUL of batches (≈4), not thousands —
-    # derived from the same estimate the guard uses
-    from bigdataproject_spark.operators.dedup import _plan_size_bytes
+    # derived from the same MEASURED estimate the guard's tier-2 uses
+    from bigdataproject_spark.operators.simsearch import _measured_query_bytes
 
     qproj = queries.selectExpr("vec_id as q_id", "embedding as qv")
-    budget = max(1, _plan_size_bytes(qproj) * 4 * 3 // 4)
+    budget = max(1, _measured_query_bytes(qproj, n_probe=3) // 3)
     n_splits = _query_batch_splits(qproj, n_probe=3, broadcast_max_bytes=budget)
     assert 1 < n_splits <= 8  # the splitter actually engages, boundedly
 
