@@ -147,10 +147,28 @@ def get_tokenizer(
             lowercase=lowercase,
         )
     if backend == "cjk-bigram":
-        return lambda c: cjk_bigram_tokens(c, stopwords=stopwords)
+        # The SAME native post-filter as the regex backend, so the
+        # min_len/drop_numeric/stopword policy holds across backends
+        # (Han bigrams are caseless; the latin half is lowercased inside
+        # cjk_bigram_tokens, matching lowercase=True — an explicit
+        # lowercase=False is the one knob this backend cannot honor).
+        if not lowercase:
+            raise ValueError(
+                "get_tokenizer: the 'cjk-bigram' backend always lowercases "
+                "its latin tokens; lowercase=False is not supported"
+            )
+        return lambda c: F.coalesce(
+            _post_filter(
+                cjk_bigram_tokens(c), stopwords, min_len, drop_numeric
+            ),
+            F.array(),
+        )
     if backend == "jieba":
         udf = jieba_tokenize_udf(
-            stopwords=stopwords, min_len=min_len, drop_numeric=drop_numeric
+            stopwords=stopwords,
+            min_len=min_len,
+            drop_numeric=drop_numeric,
+            lowercase=lowercase,
         )
         return lambda c: udf(F.col(c) if isinstance(c, str) else c)
     raise ValueError(
@@ -173,11 +191,15 @@ def jieba_tokenize_udf(
     stopwords: Sequence[str] = (),
     min_len: int = 2,
     drop_numeric: bool = True,
+    lowercase: bool = False,
 ):
     """Arrow-batched pandas_udf CJK tokenizer; raises ImportError without jieba.
 
     Kept out of the default path: jieba output varies by version/dict
     (SURVEY §7.4.1), so golden tests must be tokenizer-tagged.
+    ``lowercase`` defaults OFF here (reference parity — seg_text never
+    case-folds); :func:`get_tokenizer` passes its own flag through so
+    the seam's policy is honored.
     """
     import jieba  # noqa: F401  (gated import; not in this container)
     import pandas as pd
@@ -193,6 +215,8 @@ def jieba_tokenize_udf(
             out = []
             for tok in jieba.lcut(t):
                 tok = tok.strip()
+                if lowercase:
+                    tok = tok.lower()
                 if len(tok) < min_len or tok in sw:
                     continue
                 if drop_numeric and tok.isdigit():

@@ -39,25 +39,32 @@ _UNKNOWN_STATS_BYTES = 1 << 62
 
 
 def _measured_query_bytes(q: DataFrame, *, n_probe: int) -> int:
-    """count() × max-sampled-row-bytes × n_probe — the MEASURED probe
-    budget estimate. Two jobs over the query side only (a limit-16
-    sample and a count), never the corpus; used when metadata alone
-    cannot size the query batch (see :func:`_query_batch_splits`)."""
-    sample = q.limit(16).collect()
-    if not sample:
+    """count() × max-row-bytes × n_probe — the MEASURED probe budget
+    estimate. ONE aggregate job over the query side only (never the
+    corpus), with the per-row byte estimate computed as a native
+    expression over EVERY row — a head sample would under-estimate a
+    table whose leading partition holds short/NULL-vector rows while
+    later partitions hold full-width ones, and the guard would still
+    admit an over-budget driver block. Used when metadata alone cannot
+    size the query batch (see :func:`_query_batch_splits`)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    b = F.lit(32).cast("long")
+    for f in q.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, ArrayType):
+            term = F.greatest(F.coalesce(F.size(c), F.lit(0)), F.lit(0)) * 8 + 16
+        elif isinstance(f.dataType, StringType):
+            term = F.coalesce(F.length(c), F.lit(0)) * 2 + 16
+        else:
+            term = F.lit(8)
+        b = b + term.cast("long")
+    row = q.agg(
+        F.count(F.lit(1)).alias("n"), F.max(b).alias("row_bytes")
+    ).collect()[0]
+    if not row["n"]:
         return 0
-    row_bytes = 0
-    for row in sample:
-        b = 32
-        for v in row:
-            if isinstance(v, (list, tuple)):
-                b += 8 * len(v) + 16
-            elif isinstance(v, str):
-                b += 2 * len(v) + 16
-            else:
-                b += 8
-        row_bytes = max(row_bytes, b)
-    return q.count() * row_bytes * max(n_probe, 1)
+    return row["n"] * row["row_bytes"] * max(n_probe, 1)
 
 
 def _query_batch_splits(
@@ -101,6 +108,51 @@ def _union_query_batches(parts: list[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("q_id", "rank")
+
+
+def _batched_over_queries(
+    search_one,
+    q: DataFrame,
+    *,
+    n_probe: int,
+    broadcast_max_bytes: int,
+) -> DataFrame:
+    """The ONE batching orchestration every search entry point shares
+    (native broadcast joins and blas collects alike — both materialize
+    the query side driver-side): size the query table via
+    :func:`_query_batch_splits`, and when over budget, split it into
+    q_id-hash batches, run ``search_one`` on each, and union. Exact,
+    because per-query results never depend on other queries; each
+    batch's cost is a linear re-scan of the corpus — the price of never
+    materializing an over-budget driver block."""
+    n_splits = _query_batch_splits(
+        q, n_probe=n_probe, broadcast_max_bytes=broadcast_max_bytes
+    )
+    if n_splits == 1:
+        return search_one(q)
+    parts = [
+        search_one(
+            q.filter(F.pmod(F.xxhash64("q_id"), F.lit(n_splits)) == i)
+        )
+        for i in range(n_splits)
+    ]
+    return _union_query_batches(parts)
+
+
+def _rank_topk(joined: DataFrame, k: int) -> DataFrame:
+    """Shared native ranking tail: 6dp-rounded cosine, deterministic
+    (cosine desc, neighbor_id asc) window, top-k per query."""
+    sim = joined.select(
+        "q_id",
+        "neighbor_id",
+        F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
 
 
 def sign_bucket(vec: Column | str, n_bits: int = 8) -> Column:
@@ -161,19 +213,17 @@ def brute_force_topk(
             exclude_self=exclude_self,
             broadcast_max_bytes=broadcast_max_bytes,
         )
-    joined = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
-    sim = joined.select(
-        "q_id",
-        "neighbor_id",
-        F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
+
+    # The pinned F.broadcast(q) materializes the query table driver-side
+    # exactly like the blas collect does — same budget, same batching.
+    def _one(qb: DataFrame) -> DataFrame:
+        joined = c.crossJoin(F.broadcast(qb))
+        if exclude_self:
+            joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
+        return _rank_topk(joined, k)
+
+    return _batched_over_queries(
+        _one, q, n_probe=1, broadcast_max_bytes=broadcast_max_bytes
     )
 
 
@@ -220,19 +270,15 @@ def lsh_bucket_topk(
             exclude_self=exclude_self,
             broadcast_max_bytes=broadcast_max_bytes,
         )
-    joined = c.join(F.broadcast(q), on="bkt")
-    if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
-    sim = joined.select(
-        "q_id",
-        "neighbor_id",
-        F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
+
+    def _one(qb: DataFrame) -> DataFrame:
+        joined = c.join(F.broadcast(qb), on="bkt")
+        if exclude_self:
+            joined = joined.filter(F.col("neighbor_id") != F.col("q_id"))
+        return _rank_topk(joined, k)
+
+    return _batched_over_queries(
+        _one, q, n_probe=1, broadcast_max_bytes=broadcast_max_bytes
     )
 
 
@@ -609,28 +655,22 @@ def ivf_topk_indexed(
         F.col(vec_col).alias("qv"),
         l2_norm(vec_col).alias("qn"),
     )
-    n_splits = _query_batch_splits(
-        q, n_probe=n_probe, broadcast_max_bytes=broadcast_max_bytes
-    )
-    if n_splits == 1:
-        return _ivf_indexed_search(
-            spark, path, ctr_df, q,
+    # The probe plan replicates each query row at most once per EXISTING
+    # centroid — sizing the budget by raw n_probe against a smaller index
+    # (e.g. the documented n_probe >= n_centroids brute-force setting)
+    # would over-split by n_probe/n_centroids and multiply redundant
+    # corpus re-scans. The centroid table is <= n_centroids rows; its
+    # count is a trivial job next to a search.
+    est_probe = min(max(n_probe, 1), max(ctr_df.count(), 1))
+    return _batched_over_queries(
+        lambda qb: _ivf_indexed_search(
+            spark, path, ctr_df, qb,
             k=k, n_probe=n_probe, exclude_self=exclude_self, impl=impl,
-        )
-    parts = [
-        _ivf_indexed_search(
-            spark,
-            path,
-            ctr_df,
-            q.filter(F.pmod(F.xxhash64("q_id"), F.lit(n_splits)) == i),
-            k=k,
-            n_probe=n_probe,
-            exclude_self=exclude_self,
-            impl=impl,
-        )
-        for i in range(n_splits)
-    ]
-    return _union_query_batches(parts)
+        ),
+        q,
+        n_probe=est_probe,
+        broadcast_max_bytes=broadcast_max_bytes,
+    )
 
 
 def _ivf_indexed_search(
@@ -702,35 +742,36 @@ def _blas_query_batched(
     q_id-hash batches first — each batch re-scans the corpus (linear,
     map-only), the per-query results are independent, and the union is
     exact."""
-    n_splits = _query_batch_splits(
-        q, n_probe=1, broadcast_max_bytes=broadcast_max_bytes
+    return _batched_over_queries(
+        lambda qb: _ivf_blas_topk(c, qb, k=k, exclude_self=exclude_self),
+        q,
+        n_probe=1,
+        broadcast_max_bytes=broadcast_max_bytes,
     )
-    if n_splits == 1:
-        return _ivf_blas_topk(c, q, k=k, exclude_self=exclude_self)
-    parts = [
-        _ivf_blas_topk(
-            c,
-            q.filter(F.pmod(F.xxhash64("q_id"), F.lit(n_splits)) == i),
-            k=k,
-            exclude_self=exclude_self,
-        )
-        for i in range(n_splits)
-    ]
-    return _union_query_batches(parts)
 
 
 def _bad_corpus_candidates(all_qids, bad_nids, *, k: int, exclude_self: bool):
     """Vectorized (query, bad-corpus-row) candidate pairs for one Arrow
     batch. Bad (NULL / zero-norm vector) corpus rows carry NULL cosine,
     which the global window ranks LAST, neighbor_id asc — so only the
-    k+1 smallest bad neighbor ids in this batch can ever reach a
-    query's global top-k (k+1, not k: self-exclusion can remove one).
-    One repeat/tile cross product, no per-row Python loop; the emission
-    is bounded at (k+1)·|queries| rows instead of
+    smallest bad neighbor ids in this batch can ever reach a query's
+    global top-k. Cap: k when self matches are kept; with
+    ``exclude_self`` the only entries ever removed for a query q are the
+    copies of q itself — at most the batch's max per-id multiplicity —
+    so k + max_multiplicity smallest ids are a provable superset for
+    every query (a duplicate-ridden corpus cannot evict a ranked id, the
+    k+1 constant could). One repeat/tile cross product, no per-row
+    Python loop; the emission stays O(k·|queries|) per batch instead of
     |bad rows|·|queries|. Returns (q_arr, n_arr) or None."""
     import numpy as np
 
-    bad = np.sort(bad_nids)[: k + 1]
+    if len(bad_nids) == 0 or len(all_qids) == 0:
+        return None
+    cap = k
+    if exclude_self:
+        _, counts = np.unique(bad_nids, return_counts=True)
+        cap = k + int(counts.max())
+    bad = np.sort(bad_nids)[:cap]
     if len(bad) == 0 or len(all_qids) == 0:
         return None
     q_rep = np.repeat(all_qids, len(bad))
@@ -827,11 +868,12 @@ def _ivf_blas_topk(
                 # corpus rows whose vector is NULL or zero-norm pair
                 # with probing queries as null-cosine candidates (NaN
                 # here; converted to NULL Spark-side) — the native
-                # path's behavior, capped at the k+1 smallest bad ids
-                # per batch (a superset of any query's global NULL-tail
-                # top-k — see _bad_corpus_candidates) and emitted as
-                # ONE vectorized cross product so a NULL-heavy corpus
-                # cannot degrade the scan to per-row Python.
+                # path's behavior, capped at the smallest bad ids per
+                # batch (a duplicate-safe superset of any query's
+                # global NULL-tail top-k — see _bad_corpus_candidates)
+                # and emitted as ONE vectorized cross product so a
+                # NULL-heavy corpus cannot degrade the scan to
+                # per-row Python.
                 cn_raw = grp["cn"].to_numpy()
                 bad_c = grp["cv"].isna().to_numpy() | ~(
                     np.nan_to_num(cn_raw.astype(np.float64), nan=0.0) > 0

@@ -1129,7 +1129,8 @@ PIPELINE_QUERIES = {
     "dedup_lines_boilerplate": _q(q_dedup_lines, ORACLE_DEDUP_LINES),
     # r5: chunk_documents_windows absorbed into the chunk-then-pack
     # merge (same family — driver's 50-entry cap); the standalone chunk
-    # query + oracle remain above for tests/test_oracle_parity.py.
+    # query + oracle stay alive in EXTRA_PARITY below, which
+    # tests/test_oracle_parity.py exercises alongside the registry.
     "chunk_pack_sequences": _q(q_chunk_pack, ORACLE_CHUNK_PACK),
     "pii_redact": _q(q_pii_redact, _oracle_pii_redact()),
     "dedup_exact": _q(q_dedup_exact, ORACLE_DEDUP_EXACT),
@@ -1146,4 +1147,11 @@ PIPELINE_QUERIES = {
     "doc_fingerprint": _q(q_fingerprint, ORACLE_FINGERPRINT),
     "contamination_check": _q(q_contamination, ORACLE_CONTAMINATION),
     "multimodal_meta": _q(q_multimodal_meta, ORACLE_MULTIMODAL_META),
+}
+
+# Oracled queries that are NOT registry entries (the driver caps the
+# registry at 50): exercised by tests/test_oracle_parity.py with the
+# same compare as the registry, so their oracles cannot silently rot.
+EXTRA_PARITY = {
+    "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
 }

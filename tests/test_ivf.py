@@ -332,3 +332,87 @@ def test_bad_corpus_candidates_capped_and_complete():
     assert (
         _bad_corpus_candidates(np.array([]), bad, k=k, exclude_self=False) is None
     )
+
+
+def test_bad_corpus_duplicate_self_ids_not_evicted():
+    """r5 review fix: duplicate copies of a query's own id in the bad
+    set must not consume cap slots — the cap is k + max multiplicity,
+    so the k-th smallest non-self bad id always survives (the old fixed
+    k+1 cap dropped it when the self id appeared twice)."""
+    import numpy as np
+
+    from bigdataproject_spark.operators.simsearch import _bad_corpus_candidates
+
+    qids = np.array([3])
+    bad = np.array([3, 3, 4, 5, 6, 7])  # self id twice, then k larger ids
+    k = 3
+    q_arr, n_arr = _bad_corpus_candidates(qids, bad, k=k, exclude_self=True)
+    assert sorted(n_arr[q_arr == 3])[:k] == [4, 5, 6]
+    # exclude_self=False needs no slack: exactly the k smallest ids
+    q_arr, n_arr = _bad_corpus_candidates(qids, bad, k=k, exclude_self=False)
+    assert sorted(n_arr[q_arr == 3]) == [3, 3, 4]
+
+
+def test_blas_duplicate_null_self_rows_equal_native(spark):
+    """End-to-end shape of the same review finding: a corpus holding a
+    query's own id more than once among its NULL-vector rows — the blas
+    scan must still return the native path's exact NULL tail."""
+    from bigdataproject_spark.operators.simsearch import brute_force_topk
+
+    corpus_rows = (
+        [(5, None), (5, None), (6, None), (7, None), (8, None), (9, None)]
+        + [(i, [float(i % 7 + 1), float(i % 5), 1.0]) for i in range(20, 26)]
+    )
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id bigint, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(5, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    kw = dict(id_col="vec_id", vec_col="embedding", k=8, exclude_self=True)
+    a = [
+        (r.q_id, r.rank, r.neighbor_id, r.cosine)
+        for r in brute_force_topk(corpus, queries, **kw).collect()
+    ]
+    b = [
+        (r.q_id, r.rank, r.neighbor_id, r.cosine)
+        for r in brute_force_topk(corpus, queries, impl="blas", **kw).collect()
+    ]
+    assert a == b
+    assert 5 not in [n for (_, _, n, _) in a]  # both self copies excluded
+    # k=8 over 6 good rows + the NULL tail: the two smallest non-self
+    # bad ids fill ranks 7-8 (the old k+1 cap would have lost id 7)
+    assert {6, 7} <= {n for (_, _, n, _) in a}
+
+
+def test_native_search_batched_equals_unbatched(spark, sf_dir):
+    """r5 review fix: the NATIVE brute/lsh paths pin F.broadcast(q) —
+    the same driver-side materialization as the blas collect — so they
+    now run through the same byte guard. A budget that forces several
+    q_id-hash batches must return exactly the single-batch result."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.simsearch import (
+        _measured_query_bytes,
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 11 == 0)
+    qproj = queries.selectExpr("vec_id as q_id", "embedding as qv")
+    budget = max(1, _measured_query_bytes(qproj, n_probe=1) // 3)
+    for fn, extra in ((brute_force_topk, {}), (lsh_bucket_topk, {"n_bits": 4})):
+        kw = dict(id_col="vec_id", vec_col="embedding", k=5, **extra)
+        ref = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in fn(emb, queries, **kw).collect()
+        ]
+        batched = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in fn(
+                emb, queries, broadcast_max_bytes=budget, **kw
+            ).collect()
+        ]
+        assert batched == ref, fn.__name__

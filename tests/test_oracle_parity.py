@@ -27,3 +27,22 @@ def test_oracle_parity(spark, sf_dir, name):
     cols, rows = run_oracle(q.oracle, sf_dir)
     problems = compare(df, cols, rows)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def _extra_parity():
+    from bigdataproject_spark.queries_pipeline import EXTRA_PARITY
+
+    return EXTRA_PARITY
+
+
+@pytest.mark.parametrize("name", sorted(_extra_parity()))
+def test_extra_oracle_parity(spark, sf_dir, name):
+    """Oracled queries kept OUTSIDE the 50-entry registry (e.g. the
+    standalone chunk query whose registry slot merged into
+    chunk_pack_sequences) get the same compare, so their oracles stay
+    exercised instead of rotting as dead code."""
+    q = _extra_parity()[name]
+    df = q.fn(spark, sf_dir)
+    cols, rows = run_oracle(q.oracle, sf_dir)
+    problems = compare(df, cols, rows)
+    assert not problems, f"{name}: " + "; ".join(problems)

@@ -139,3 +139,26 @@ def test_injected_udf_is_arrow_not_row_at_a_time(spark):
     )
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cjk_bigram_backend_honors_policy(spark):
+    """r5 review fix: min_len / drop_numeric / stopwords apply to the
+    cjk-bigram backend through the same native post-filter as the regex
+    backend — the seam's policy cannot silently diverge per backend —
+    and the one knob the backend cannot honor (lowercase=False) raises
+    instead of being ignored."""
+    import pytest
+
+    tok = get_tokenizer(
+        "cjk-bigram", stopwords=("the",), min_len=2, drop_numeric=True
+    )
+    df = spark.createDataFrame(
+        [("the cat 42 x 漢字",)], "text string"
+    ).select(tok("text").alias("toks"))
+    toks = set(df.collect()[0]["toks"])
+    assert "the" not in toks  # stopword applied
+    assert "42" not in toks  # drop_numeric applied
+    assert "x" not in toks  # min_len applied
+    assert "cat" in toks and "漢字" in toks
+    with pytest.raises(ValueError, match="lowercase"):
+        get_tokenizer("cjk-bigram", lowercase=False)
