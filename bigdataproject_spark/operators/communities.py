@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdataproject_spark.session import release_local_checkpoint
+
 
 def label_propagation(
     edges: DataFrame,
@@ -61,5 +63,5 @@ def label_propagation(
         )
         old = labels
         labels = new_labels.localCheckpoint()
-        old.unpersist()
+        release_local_checkpoint(old)
     return labels.withColumnRenamed("label", "community")

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigdataproject_spark.session import release_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -113,7 +115,9 @@ def connected_components(
         old = e
         e = new_e
         new_sig = _signature(e)
-        old.unpersist()
+        # old is a localCheckpoint'd frame: Dataset.unpersist would be a
+        # no-op on its checkpoint blocks (see session.release_local_checkpoint)
+        release_local_checkpoint(old)
         if new_sig == sig:
             break
         sig = new_sig

@@ -29,6 +29,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Frames the batch dedup operators persist (shingle projections, band
+# rows, collapse keys), per SparkContext id. A driver that runs several
+# dedup calls in one long-lived session calls release_dedup_caches()
+# between corpora — CacheManager otherwise holds every persisted frame
+# for the session lifetime (same pattern as
+# simsearch.release_search_broadcasts).
+_DEDUP_CACHES: dict[int, list] = {}
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _DEDUP_CACHES.setdefault(id(out.sparkSession.sparkContext), []).append(out)
+    return out
+
+
+def release_dedup_caches(spark) -> int:
+    """Unpersist every frame the dedup operators cached on this
+    SparkContext; returns how many were released. Safe to call while
+    result frames are still live — Spark recomputes evicted plans."""
+    released = 0
+    for frame in _DEDUP_CACHES.pop(id(spark.sparkContext), []):
+        try:
+            frame.unpersist(False)
+            released += 1
+        except Exception:
+            pass  # a stopped context has nothing left to release
+    return released
+
+
 # --- shingling ----------------------------------------------------------------
 
 
@@ -86,7 +117,13 @@ def exact_dedup_groups(
     """Group identical texts by md5 digest: (digest, canonical_id, n_dups).
 
     ``canonical_id`` = min id of the group (the keeper); rows with
-    n_dups > 1 are exact duplicates. Shuffles once on the digest."""
+    n_dups > 1 are exact duplicates. Shuffles once on the digest.
+
+    NULL text hashes to a NULL digest, so all null-text rows pool into
+    ONE group here (SQL GROUP BY semantics — the DuckDB oracle pools
+    identically, which is why the registry query keeps this shape).
+    They share no content, so :func:`drop_exact_duplicates` treats the
+    NULL group as non-duplicates and keeps every member."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     key = F.md5(norm if normalize else F.col(text_col))
     return (
@@ -99,10 +136,19 @@ def exact_dedup_groups(
 def drop_exact_duplicates(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     """Keep one row per distinct text (the min-id row) — the in-engine
     version of the reference crawler's resumable dmid dedup (S12,
-    crawler/spider_worker.py:73-77), generalized to content identity."""
+    crawler/spider_worker.py:73-77), generalized to content identity.
+
+    NULL-text rows are all kept: they pool into one NULL-digest group in
+    :func:`exact_dedup_groups`, but they share no content — silently
+    deleting all but one of a corpus' failed-fetch/schema-gap rows as
+    "exact duplicates" would be data loss, not dedup."""
     groups = exact_dedup_groups(df, id_col=id_col, text_col=text_col)
-    keep = groups.select(F.col("canonical_id").alias(id_col))
-    return df.join(keep, on=id_col, how="left_semi")
+    keep = groups.filter(F.col("digest").isNotNull()).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.filter(F.col(text_col).isNull()).unionByName(
+        df.join(keep, on=id_col, how="left_semi")
+    )
 
 
 # --- n-gram Jaccard (exact, inverted-index candidates) ------------------------
@@ -150,7 +196,7 @@ def _pairwise_jaccard(
         "sh",
         sz.alias("sz"),
         F.slice(ordered, 1, F.greatest(prefix_len, F.lit(0))).alias("prefix"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist_tracked)
 
     posting = base.select("id", "sz", F.explode("prefix").alias("p"))
     if max_shingle_df is not None:
@@ -231,7 +277,7 @@ def jaccard_pairs(
 
     base_sh = df.select(
         F.col(id_col).alias("id"), F.col(shingles_col).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist_tracked)
     return collapse_identical_pairs(
         base_sh.filter(F.size("sh") > 0).withColumnRenamed("sh", "obj"),
         pair_fn=lambda rep: _pairwise_jaccard(
@@ -240,6 +286,11 @@ def jaccard_pairs(
             max_shingle_df=max_shingle_df,
         ),
         self_vals={"jaccard": F.lit(1.0)},
+        # the df cap counts per ROW: on the direct path an exact-dup
+        # cluster larger than the cap would push all its shingles past
+        # it and silently lose every one of its pairs — collapse first
+        # so df is counted over distinct sets (see collapse docstring).
+        force_collapse=max_shingle_df is not None,
     )
 
 
@@ -254,6 +305,7 @@ def collapse_identical_pairs(
     *,
     pair_fn,
     self_vals: Mapping[str, Column],
+    force_collapse: bool = False,
 ) -> DataFrame:
     """Exact-collapse-before-near-dup: run a pair operator on one
     representative per group of identical objects, then expand.
@@ -284,6 +336,14 @@ def collapse_identical_pairs(
     cache decides at build time (AQE-style runtime stats, one bounded
     driver action, never a hot-path collect): >95% distinct sets → run
     ``pair_fn`` on all rows directly (same output by construction).
+
+    ``force_collapse`` disables the direct-path gate. Callers whose
+    ``pair_fn`` is NOT invariant to duplicate rows must set it: a df-cap
+    pair_fn (``max_shingle_df``) counts document frequency per ROW, so
+    on the direct path an exact-duplicate cluster larger than the cap
+    inflates every one of its shingles past the cap and silently loses
+    ALL of the cluster's pairs — while the collapsed path counts df per
+    distinct set and emits the intra-cluster pairs from ``self_vals``.
     """
     from pyspark import StorageLevel
 
@@ -295,12 +355,13 @@ def collapse_identical_pairs(
         F.coalesce(F.md5(F.to_json(F.array_sort(F.col("obj")))), F.lit("null")).alias(
             "k"
         ),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    stats = keyed.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("d")
-    ).first()
-    if stats["d"] >= COLLAPSE_DISTINCT_RATIO * stats["n"]:
-        return pair_fn(keyed.select("id", "obj"))
+    ).transform(_persist_tracked)
+    if not force_collapse:
+        stats = keyed.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("d")
+        ).first()
+        if stats["d"] >= COLLAPSE_DISTINCT_RATIO * stats["n"]:
+            return pair_fn(keyed.select("id", "obj"))
     members = keyed.select("id", "k")
     reps = members.groupBy("k").agg(F.min("id").alias("id"))
     rep_obj = keyed.join(reps.select("id"), "id", "left_semi").select("id", "obj")
@@ -379,22 +440,6 @@ def portable_hashed_shingles(tokens: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(word_shingles(tokens, n), portable_hash48)
     )
-
-
-def minhash_signature(shingles: Column | str, num_hashes: int) -> Column:
-    """array<int> of k minhash values: min over shingles of murmur3(sh, seed_i).
-
-    array_min(transform(...)) — no explode, no shuffle; empty shingle sets
-    get null signatures (callers filter). Fine for one-shot signatures; the
-    LSH path below uses the aggregate formulation instead (see
-    ``lsh_candidate_pairs``), which codegens better and whose exchange is
-    reused across the self-join."""
-    sh = F.col(shingles) if isinstance(shingles, str) else shingles
-    mins = [
-        F.array_min(F.transform(sh, lambda x: F.hash(x, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
 
 
 def lsh_band_rows(
@@ -506,7 +551,7 @@ def lsh_candidate_pairs(
         num_hashes=num_hashes,
         bands=bands,
         hash_family=hash_family,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist_tracked)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
@@ -547,10 +592,10 @@ def minhash_lsh_dedup_pairs(
 
     sh_df = df.select(
         F.col(id_col).alias("id"), F.col(shingles_col).alias("obj")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist_tracked)
 
     def _verify_pairs(rep: DataFrame) -> DataFrame:
-        sh = rep.withColumnRenamed("obj", "sh").persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist_tracked(rep.withColumnRenamed("obj", "sh"))
         cands = lsh_candidate_pairs(
             sh,
             id_col="id",
@@ -581,6 +626,26 @@ def minhash_lsh_dedup_pairs(
 # --- SimHash ------------------------------------------------------------------
 
 
+def _assemble_fp(n_bits: int, vote) -> Column:
+    """bitwiseOR-fold per-bit sign votes into ONE bigint fingerprint.
+    ``vote(b)`` returns the (int) vote column for bit b. The subtle
+    1 << 63 two's-complement wrap (bit 63 must land in the long's sign
+    bit) lives here and only here — simhash64 and simhash_table must
+    produce identical fingerprints by construction, not by keeping two
+    copies of this loop in sync."""
+    fp = F.lit(0).cast("bigint")
+    for b in range(n_bits):
+        bit_val = 1 << b
+        if bit_val >= 1 << 63:
+            bit_val -= 1 << 64
+        fp = fp.bitwiseOR(
+            F.when(vote(b) > 0, F.lit(bit_val).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return fp
+
+
 def simhash64(tokens: Column | str) -> Column:
     """64-bit SimHash of a token array, fully in array expressions.
 
@@ -606,19 +671,7 @@ def simhash64(tokens: Column | str) -> Column:
             lambda x, y: x + y,
         ),
     )
-    fp = F.lit(0).cast("bigint")
-    for b in range(64):
-        # 1 << 63 wraps to long min value — construct via numpy-free int
-        # arithmetic on the Python side (two's complement literal).
-        bit_val = 1 << b
-        if bit_val >= 1 << 63:
-            bit_val -= 1 << 64
-        fp = fp.bitwiseOR(
-            F.when(F.element_at(votes, b + 1) > 0, F.lit(bit_val).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    return fp
+    return _assemble_fp(64, lambda b: F.element_at(votes, b + 1))
 
 
 def simhash_table(
@@ -691,17 +744,9 @@ def simhash_table(
             for b in range(n_bits)
         ]
     )
-    fp = F.lit(0).cast("bigint")
-    for b in range(n_bits):
-        bit_val = 1 << b
-        if bit_val >= 1 << 63:
-            bit_val -= 1 << 64
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    return votes.select("id", fp.alias("fp"))
+    return votes.select(
+        "id", _assemble_fp(n_bits, lambda b: F.col(f"v{b}")).alias("fp")
+    )
 
 
 def simhash_dedup_groups(df: DataFrame, *, id_col: str, tokens: Column | str) -> DataFrame:
@@ -743,7 +788,7 @@ def simhash_neardup_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         (F.col(tokens) if isinstance(tokens, str) else tokens).alias("obj"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist_tracked)
     return collapse_identical_pairs(
         base,
         pair_fn=lambda rep: _simhash_band_pairs(
@@ -870,6 +915,21 @@ def embedding_neardup_pairs(
     """
     from bigdataproject_spark.functions.vectors import cosine_from_norms, l2_norm
 
+    if impl == "blas":
+        # no nrm column: the worker recomputes norms vectorized from the
+        # stacked vectors (np.linalg.norm) — carrying the interpreted
+        # l2_norm aggregate through the cogroup shuffle (replicated
+        # num_subblocks× on the build side) would be pure dead weight.
+        return _blas_block_pairs(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                *([F.col(block_col).alias("blk")] if block_col else []),
+            ),
+            has_block=block_col is not None,
+            threshold=threshold,
+            num_subblocks=num_subblocks,
+        )
     # The ‖·‖₂ is hoisted to the per-ROW projection (linear) so the
     # per-PAIR expression (quadratic) is just the dot (5.4x at sf1; see
     # functions.vectors.cosine_from_norms for the measurements).
@@ -879,13 +939,6 @@ def embedding_neardup_pairs(
         l2_norm(vec_col).alias("nrm"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    if impl == "blas":
-        return _blas_block_pairs(
-            base,
-            has_block=block_col is not None,
-            threshold=threshold,
-            num_subblocks=num_subblocks,
-        )
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     sim = F.round(
         cosine_from_norms(

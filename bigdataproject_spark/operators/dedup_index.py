@@ -31,8 +31,18 @@ from bigdataproject_spark.operators.dedup import _plan_size_bytes, lsh_band_rows
 def _prepared(
     docs: DataFrame, *, id_col: str, shingles_col: str
 ) -> DataFrame:
-    return docs.filter(F.size(shingles_col) > 0).select(
-        F.col(id_col).alias("id"), F.col(shingles_col).alias("sh")
+    """(id, sh) for the shingles store — EVERY doc, including empty/NULL
+    shingle sets (normalized to []). The shingles table doubles as the
+    index's id-membership set: filtering out short docs here would let
+    the same id be accepted again by a later batch (the already-stored
+    guard in accept_batch / index_stream reads this table). Empty rows
+    are inert everywhere else — they have no band rows, so they never
+    appear in candidates, and the verify joins only probe candidate
+    ids."""
+    sh = F.col(shingles_col)
+    empty = F.array().cast(docs.schema[shingles_col].dataType.simpleString())
+    return docs.select(
+        F.col(id_col).alias("id"), F.coalesce(sh, empty).alias("sh")
     )
 
 
@@ -178,6 +188,28 @@ def incremental_minhash_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def dropped_ids(
+    pairs: DataFrame, already_stored: DataFrame, *, id_col: str
+) -> DataFrame:
+    """The ONE keep-policy both the batch (:func:`accept_batch`) and the
+    streaming (streaming/index_stream.py) flows share: from the verified
+    pair set, drop the batch doc (id_a) when the partner is stored, else
+    the larger batch id (min-id survivor — consistent with the
+    connected-components min-label policy); union the already-stored ids
+    so a resumed batch stays idempotent. One pass over the candidate
+    pipeline — two .filter() branches would evaluate the whole
+    LSH+verify plan twice."""
+    return (
+        pairs.select(
+            F.when(F.col("vs_index"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        )
+        .unionByName(already_stored)
+        .distinct()
+    )
+
+
 def accept_batch(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -222,23 +254,12 @@ def accept_batch(
         id_col,
         "left_semi",
     )
-    # one pass over the candidate pipeline: drop the batch doc (id_a)
-    # when the partner is stored, else the larger batch id (id_b) —
-    # two .filter() branches would evaluate the whole LSH+verify plan
-    # twice.
-    dropped = (
-        pairs.select(
-            F.when(F.col("vs_index"), F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias(id_col)
-        )
-        # idempotent resume: a batch id already present in the store
-        # (a crash after a partial append, a re-run) must not append a
-        # second copy of its signatures.
-        .unionByName(already_stored)
-        .distinct()
-        .localCheckpoint()
-    )
+    # idempotent resume rides inside dropped_ids: a batch id already
+    # present in the store (a crash after a partial append, a re-run)
+    # must not append a second copy of its signatures.
+    dropped = dropped_ids(
+        pairs, already_stored, id_col=id_col
+    ).localCheckpoint()
     survivors = new_docs.join(dropped, id_col, "left_anti")
     write_minhash_index(
         survivors,

@@ -64,3 +64,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")  # ref: tag/main.py:34
     return spark
+
+
+def release_local_checkpoint(df) -> bool:
+    """Deterministically free a ``localCheckpoint()``-ed frame's RDD
+    blocks. ``Dataset.unpersist`` only evicts CacheManager entries and
+    checkpoint RDDs are not in it — without this, a superseded
+    iteration snapshot (connected components, label propagation) is
+    only reclaimed when the JVM-side RDD object is eventually
+    garbage-collected, so up to ``max_iter`` copies of the edge set can
+    pile up in the block manager. The checkpointed RDD is the
+    ``LogicalRDD`` leaf of the frame's analyzed plan; anything else
+    (not actually a checkpointed frame, a stopped context) returns
+    False and frees nothing."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False

@@ -28,7 +28,9 @@ at-least-once, so the batch step is a two-phase idempotent commit —
 
 A batch containing a doc id accepted by an EARLIER batch treats it as
 already stored (dropped), so survivor outputs never duplicate a
-document across batch directories.
+document across batch directories — including docs with EMPTY shingle
+sets (too short to shingle): the shingles table records every accepted
+id, so membership is complete even for docs that can never pair.
 """
 
 from __future__ import annotations
@@ -37,17 +39,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.operators.dedup_index import (
+    dropped_ids,
     incremental_minhash_pairs,
     write_minhash_index,
 )
 
 __all__ = ["ensure_index", "make_index_batch_writer", "stream_dedup_to_index"]
 
+# Phase-1 commit marker, written BY US after the ledger write returns.
+# Hadoop's _SUCCESS is not the commit point on purpose: object-store
+# committers routinely run with marksuccessfuljobs=false, and a guard
+# that silently never fires would re-decide a replayed batch against a
+# store phase 2 already mutated — overwriting a correct ledger with an
+# empty survivor set.
+_LEDGER_MARKER = "_LEDGER_COMMITTED"
+
 
 def _exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _touch(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
 
 
 def ensure_index(
@@ -113,8 +131,12 @@ def make_index_batch_writer(
 
         # phase 1 — decide + persist the survivor set (skip if this
         # batch's ledger already committed: a replay must not re-decide
-        # against the store its own append already changed)
-        if not _exists(spark, f"{out_dir}/_SUCCESS"):
+        # against the store its own append already changed). The commit
+        # point is OUR marker, created after the ledger write returns —
+        # a crash between write and marker replays phase 1 against a
+        # still-unchanged store (phase 2 has not run), reproducing the
+        # identical set.
+        if not _exists(spark, f"{out_dir}/{_LEDGER_MARKER}"):
             pairs = incremental_minhash_pairs(
                 spark,
                 batch_df,
@@ -129,19 +151,13 @@ def make_index_batch_writer(
             already = batch_df.select(id_col).join(
                 stored_ids, id_col, "left_semi"
             )
-            dropped = (
-                pairs.select(
-                    F.when(F.col("vs_index"), F.col("id_a"))
-                    .otherwise(F.col("id_b"))
-                    .alias(id_col)
-                )
-                .unionByName(already)
-                .distinct()
-            )
+            # the same keep-policy as accept_batch, by construction
+            dropped = dropped_ids(pairs, already, id_col=id_col)
             survivors = batch_df.join(dropped, id_col, "left_anti").drop(
                 shingles_col
             )
             survivors.write.mode("overwrite").parquet(out_dir)
+            _touch(spark, f"{out_dir}/{_LEDGER_MARKER}")
 
         # phase 2 — append exactly the ledger survivors the store does
         # not know yet (replay-safe by construction). The id set is

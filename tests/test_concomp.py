@@ -173,3 +173,42 @@ def test_minhash_pairs_end_to_end(spark, sf_dir):
     # survivor count: corpus minus non-min members of each cluster
     n_dropped = sum(1 for n, c in expected.items() if n != c)
     assert assign.where("is_survivor").count() == n_docs - n_dropped
+
+
+def test_local_checkpoint_blocks_released(spark):
+    """r5 review fix: Dataset.unpersist is a no-op for localCheckpoint
+    blocks (they are not CacheManager entries) — the iterative ops use
+    session.release_local_checkpoint, which frees the LogicalRDD's
+    blocks deterministically instead of waiting on JVM GC."""
+    from bigdataproject_spark.session import release_local_checkpoint
+
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_persisted()
+    df = spark.range(50000).localCheckpoint()
+    df.count()
+    assert n_persisted() == base + 1
+    assert release_local_checkpoint(df) is True
+    assert n_persisted() == base
+    # non-checkpointed frame: nothing to free, reports False, no crash
+    assert release_local_checkpoint(spark.range(5)) is False
+
+
+def test_connected_components_frees_iteration_snapshots(spark):
+    """After convergence only the final edge set (plus the node list)
+    may remain persisted — superseded per-iteration snapshots must not
+    pile up in the block manager."""
+    from bigdataproject_spark.operators.concomp import connected_components
+
+    sc = spark.sparkContext
+    base = len(sc._jsc.sc().getRDDStorageInfo())
+    # a path graph needs several star rounds — multiple snapshots
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    connected_components(pairs, src="id_a", dst="id_b").count()
+    # final edge set + all_nodes may stay; earlier rounds must be gone
+    assert len(sc._jsc.sc().getRDDStorageInfo()) - base <= 2

@@ -340,3 +340,48 @@ def test_hot_band_batch_join_no_key_hotspot(spark, tmp_path):
 
     assert not re.search(r"Exchange hashpartitioning\(band_id", plan)
     assert not re.search(r"Exchange hashpartitioning\(band_hash", plan)
+
+
+def test_short_doc_membership_survives_batches(spark, tmp_path):
+    """r5 review fix: a doc too short to shingle (empty shingle set) is
+    accepted but must still be RECORDED — the shingles table is the
+    index's id-membership set, and a later batch carrying the same id
+    must treat it as already stored instead of accepting it twice."""
+    path = str(tmp_path / "idx_short")
+    write_minhash_index(
+        _docs(spark, OLD_ROWS),
+        path,
+        id_col="doc_id",
+        shingles_col="shingles",
+    )
+    short = [
+        (21, "too short"),
+        (22, "entirely new prose about mountain weather patterns and the "
+             "slow drift of glaciers carving valleys over thousands of "
+             "years while rivers braid across the outwash plain below"),
+    ]
+    s1 = accept_batch(
+        spark,
+        _docs(spark, short),
+        path,
+        id_col="doc_id",
+        shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    assert sorted(r.doc_id for r in s1.collect()) == [21, 22]
+    # the short doc's id is now in the store's membership set
+    stored = {
+        r.id for r in spark.read.parquet(f"{path}/shingles").collect()
+    }
+    assert 21 in stored
+    # same id re-arrives (duplicate delivery / overlapping crawl): the
+    # already-stored guard must drop it, not accept a second copy
+    s2 = accept_batch(
+        spark,
+        _docs(spark, [(21, "too short")]),
+        path,
+        id_col="doc_id",
+        shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    assert s2.count() == 0

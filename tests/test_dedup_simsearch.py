@@ -505,3 +505,82 @@ def test_lsh_bucket_blas_equals_native(spark, sf_dir):
         ).collect()
     ]
     assert a == b
+
+
+def test_df_cap_survives_direct_gate_duplicate_cluster(spark):
+    """r5 review fix: with max_shingle_df set, jaccard_pairs must
+    force-collapse — on the direct path a mostly-distinct corpus whose
+    one exact-duplicate cluster exceeds the cap would push every cluster
+    shingle past the df cap and silently lose ALL of the cluster's
+    J=1.0 pairs."""
+    from bigdataproject_spark.operators.dedup import jaccard_pairs
+
+    # 60 distinct docs (>95% distinct overall counts the copies too, so
+    # craft: 200 distinct + 6 copies of one doc → 97% distinct → the
+    # adaptive gate would pick the direct path)
+    rows = [(i, f"unique text number {i} with filler words") for i in range(200)]
+    rows += [(1000 + j, "the repeated boilerplate text body") for j in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from bigdataproject_spark.operators.dedup import hashed_word_shingles
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower("text"), r"\s+")
+    keyed = docs.select("doc_id", hashed_word_shingles(toks, 3).alias("sh"))
+    pairs = jaccard_pairs(
+        keyed,
+        id_col="doc_id",
+        shingles_col="sh",
+        threshold=0.5,
+        max_shingle_df=4,  # smaller than the 6-copy cluster
+    ).collect()
+    cluster = {
+        (r.id_a, r.id_b) for r in pairs if r.id_a >= 1000 and r.id_b >= 1000
+    }
+    assert len(cluster) == 15  # C(6,2) intra-cluster pairs, all J=1.0
+    assert all(
+        abs(r.jaccard - 1.0) < 1e-9 for r in pairs
+        if (r.id_a, r.id_b) in cluster
+    )
+
+
+def test_drop_exact_duplicates_keeps_all_null_texts(spark):
+    """r5 review fix: NULL texts pool into one NULL-digest group, but
+    they share no content — every NULL-text row must survive."""
+    from bigdataproject_spark.operators.dedup import drop_exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None), (6, "x")],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in drop_exact_duplicates(
+            docs, id_col="doc_id", text_col="text"
+        ).collect()
+    )
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_release_dedup_caches(spark):
+    """Tracked persists are released on demand so a long-lived session
+    running many dedup calls does not pin caches forever."""
+    from bigdataproject_spark.operators.dedup import (
+        jaccard_pairs,
+        release_dedup_caches,
+    )
+    from pyspark.sql import functions as F
+    from bigdataproject_spark.operators.dedup import hashed_word_shingles
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words and more words {i % 3}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    keyed = docs.select(
+        "doc_id",
+        hashed_word_shingles(F.split(F.lower("text"), r"\s+"), 2).alias("sh"),
+    )
+    jaccard_pairs(
+        keyed, id_col="doc_id", shingles_col="sh", threshold=0.9
+    ).count()
+    assert release_dedup_caches(spark) > 0
+    assert release_dedup_caches(spark) == 0  # idempotent drain

@@ -366,3 +366,47 @@ def test_compaction_drops_crash_duplicate_band_rows(spark, tmp_path):
 
     writer(_docs(spark, B2), 1)
     assert _out_ids(spark, out) == {1, 2, 12}
+
+
+def test_replay_safe_without_success_markers(spark, tmp_path):
+    """r5 review fix: the phase-1 commit point is OUR explicit ledger
+    marker, not Hadoop's _SUCCESS — committers configured with
+    marksuccessfuljobs=false write no _SUCCESS, and a guard keyed on it
+    would re-decide a replayed batch against the store its own phase-2
+    append already mutated, overwriting a correct ledger with an empty
+    survivor set."""
+    import os
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    writer(_docs(spark, B1), 0)
+    # simulate a no-_SUCCESS committer: remove the marker Hadoop wrote
+    succ = os.path.join(out, "batch=0", "_SUCCESS")
+    if os.path.exists(succ):
+        os.remove(succ)
+    # replay AFTER phase 2 appended this batch's signatures: the ledger
+    # marker must keep phase 1 from re-deciding (which would drop every
+    # doc as already-stored and empty the batch directory)
+    writer(_docs(spark, B1), 0)
+    b0 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    assert b0 == {1, 2}
+
+
+def test_short_doc_not_duplicated_across_stream_batches(spark, tmp_path):
+    """r5 review fix: an accepted doc with an EMPTY shingle set must be
+    recorded in the index's membership set — the same id arriving in a
+    later micro-batch is dropped, not emitted into a second batch dir."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    writer(_docs(spark, [(7, "too short")] + B1), 0)
+    writer(_docs(spark, [(7, "too short")]), 1)
+    b0 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=0").collect()}
+    b1rows = spark.read.parquet(f"{out}/batch=1").count()
+    assert 7 in b0
+    assert b1rows == 0
