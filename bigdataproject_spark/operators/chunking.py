@@ -79,10 +79,19 @@ def chunk_documents(
         F.col(tokens_col), F.array().cast("array<string>")
     )
     spans = chunk_spans(t, chunk_tokens=chunk_tokens, overlap=overlap)
+    # n_chunks arithmetically (the same formula chunk_spans sizes its
+    # array with) rather than F.size(spans): size would evaluate the
+    # whole span-transform expression a second time per document on a
+    # hot path whose cost is supposed to be one pass.
+    stride = chunk_tokens - overlap
+    extra = F.greatest(F.size(t) - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+    ).cast("int")
     exploded = docs.select(
         F.col(id_col),
         t.alias("_t"),
-        F.size(spans).alias("n_chunks"),
+        n_chunks.alias("n_chunks"),
         F.explode(spans).alias("_sp"),
     )
     return exploded.select(

@@ -4,11 +4,15 @@ implies but Spark lacks as built-ins: as-of join and bounded range join.
 Both are implemented as compositions of existing DataFrame ops (SURVEY
 custom-operator rule (a)) with scale-first physical shapes:
 
-  * as-of join: union + running ``last(..., ignorenulls)`` window — ONE
-    shuffle on the key, no per-row range probe, no skew-prone theta join.
-    This is the standard log-merge formulation: right rows sort before
-    left rows at equal (key, ts), so "at or before" ties resolve to the
-    right row, and the window carries the latest right payload forward.
+  * as-of join: union + running ``max(struct(ts, payload…))`` window —
+    ONE shuffle on the key, no per-row range probe, no skew-prone theta
+    join. This is the standard log-merge formulation: right rows sort
+    before left rows at equal (key, ts), so "at or before" ties resolve
+    to the right row. The match is ONE atomic struct (never per-column
+    ``last(ignorenulls)``, which would stitch values from different
+    right rows whenever the latest row carries a NULL payload column),
+    and struct comparison past the leading ts field gives a
+    deterministic winner among right rows tied on (key, ts).
   * range join: time-band bucketing — each left row probes only its own
     and the preceding bucket (band width = range width), turning the
     theta join into an equi-join on (key, bucket) + residual filter.
@@ -36,8 +40,17 @@ def asof_join(
     the same ``key`` and right.ts <= left.ts.
 
     Returns all left columns plus ``right_payload`` columns (null when no
-    prior right row exists; ``how='inner'`` drops those rows).
+    prior right row exists; ``how='inner'`` drops those rows — dropped by
+    whether a right ROW matched, so a matched row whose payload values
+    are all NULL is kept). The payload is attached as one atomic struct:
+    all returned columns come from the SAME right row (the DuckDB
+    ``ASOF JOIN`` contract), and right rows tied on (key, ts) resolve
+    deterministically by lexicographic payload comparison.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(
+            f"asof_join: unknown how {how!r} (expected 'left' or 'inner')"
+        )
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
     for c in right_payload:
@@ -60,23 +73,28 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = unioned.select(
-        *lcols,
-        "_side",
-        *[
-            F.last(f"_rp_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_payload
-        ],
-    ).filter(F.col("_side") == 1)
-    for c in right_payload:
-        out = out.withColumn(c if c not in lcols else f"right_{c}", F.col(f"_m_{c}"))
-    out = out.drop("_side", *[f"_m_{c}" for c in right_payload])
-    if how == "inner":
-        first = right_payload[0]
-        out = out.filter(
-            F.col(first if first not in lcols else f"right_{first}").isNotNull()
+    # ONE running max over a struct led by ts: the whole matched right
+    # row travels together (max is order-insensitive, so the result is
+    # deterministic even among frame rows tied on the window ordering).
+    matched = F.max(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(
+                F.col(ts).alias("_ts"),
+                *[F.col(f"_rp_{c}").alias(f"_rp_{c}") for c in right_payload],
+            ),
         )
-    return out
+    ).over(w)
+    out = unioned.select(*lcols, "_side", matched.alias("_m")).filter(
+        F.col("_side") == 1
+    )
+    if how == "inner":
+        out = out.filter(F.col("_m").isNotNull())
+    for c in right_payload:
+        out = out.withColumn(
+            c if c not in lcols else f"right_{c}", F.col(f"_m._rp_{c}")
+        )
+    return out.drop("_side", "_m")
 
 
 def range_join_count(
@@ -97,10 +115,23 @@ def range_join_count(
     only joins buckets {b, b-1}, which is exhaustive because the window is
     exactly one bucket wide. Returns left rows (all columns) + ``n_in_range``
     (only rows with ≥1 match; outer-count variants compose with a left join).
+
+    Output cardinality is per left ROW, not per distinct left row: two
+    identical left rows each get their own count (grouping rides a
+    per-row id, never the value columns alone).
     """
+    if lookback_s <= 0:
+        raise ValueError(
+            f"range_join_count: lookback_s must be positive, got {lookback_s}"
+        )
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / lookback_s)
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / lookback_s)
-    probes = left.withColumn(
+    # per-row identity BEFORE the bucket explode (both probes of one row
+    # share it): grouping by the left value columns alone would collapse
+    # duplicate left rows and sum their counts. The id never reaches the
+    # output, so monotonically_increasing_id's instability under stage
+    # retry cannot leak into result values.
+    probes = left.withColumn("_lid", F.monotonically_increasing_id()).withColumn(
         "_bucket", F.explode(F.array(lb.cast("long"), (lb - 1).cast("long")))
     )
     build = right.select(
@@ -119,6 +150,7 @@ def range_join_count(
         ),
     )
     return (
-        joined.groupBy(*[F.col(c) for c in left.columns])
+        joined.groupBy("_lid", *[F.col(c) for c in left.columns])
         .agg(F.count(F.lit(1)).alias("n_in_range"))
+        .drop("_lid")
     )

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 def _prep(df: DataFrame, single_file: bool, partition_by: list[str] | None) -> DataFrame:
     if single_file and partition_by:
         raise ValueError("single_file and partition_by are mutually exclusive")
-    return df.coalesce(1) if single_file else df
+    # repartition(1), not coalesce(1): coalesce propagates up through
+    # every narrow transformation to the previous shuffle boundary, so
+    # the whole upstream computation would run on ONE core — the
+    # reference's exact mistake. One extra shuffle confines the
+    # single-task section to the write itself.
+    return df.repartition(1) if single_file else df
 
 
 def write_parquet(
@@ -72,6 +77,14 @@ def training_shard_plan(
     repartition on shard)."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    if "shard" in df.columns:
+        # withColumn would silently overwrite it — e.g. re-sharding a
+        # corpus read back from a previous write_training_shards, whose
+        # partition column materializes as 'shard' on read.
+        raise ValueError(
+            "training_shard_plan: input already has a 'shard' column "
+            "(reserved for the shard assignment); drop or rename it first"
+        )
     return df.withColumn(
         "shard", F.pmod(F.xxhash64(key_col), F.lit(n_shards)).cast("int")
     ).repartition("shard")

@@ -79,3 +79,78 @@ def test_range_join_no_duplicate_from_band_probe(spark):
         left, right, key="user_id", left_ts="ts", right_ts="ts", lookback_s=10
     ).collect()
     assert out[0].n_in_range == 1
+
+
+def test_asof_payload_is_one_row_not_stitched(spark):
+    """r5 review fix: the matched payload must come from ONE right row.
+    Per-column last(ignorenulls) stitched values across rows whenever
+    the latest right row carried a NULL payload column."""
+    from bigdataproject_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, 5, 6), ("k", 2, 7, None)],
+        "key string, ts int, a int, b int",
+    )
+    left = spark.createDataFrame([("k", 3)], "key string, ts int")
+    row = asof_join(
+        left, right, key="key", ts="ts", right_payload=["a", "b"]
+    ).collect()[0]
+    assert (row.a, row.b) == (7, None)  # the latest ROW, NULL included
+    # inner keeps the row: a right row DID match, even with NULL fields
+    rows = asof_join(
+        left, right, key="key", ts="ts", right_payload=["b"], how="inner"
+    ).collect()
+    assert len(rows) == 1 and rows[0].b is None
+
+
+def test_asof_equal_ts_ties_deterministic(spark):
+    """Right rows tied on (key, ts) resolve by lexicographic payload
+    comparison — repartitioned input gives the same answer."""
+    from bigdataproject_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 5, 1), ("k", 5, 2)], "key string, ts int, v int"
+    )
+    left = spark.createDataFrame([("k", 6)], "key string, ts int")
+    a = asof_join(
+        left, right, key="key", ts="ts", right_payload=["v"]
+    ).collect()[0].v
+    b = asof_join(
+        left, right.repartition(7), key="key", ts="ts", right_payload=["v"]
+    ).collect()[0].v
+    assert a == b == 2  # max payload wins, layout-independent
+
+
+def test_asof_validates_how(spark):
+    import pytest
+
+    from bigdataproject_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame([("k", 1)], "key string, ts int")
+    with pytest.raises(ValueError, match="how"):
+        asof_join(l, l, key="key", ts="ts", right_payload=[], how="Inner")
+
+
+def test_range_join_count_duplicate_left_rows(spark):
+    """r5 review fix: two identical left rows each get their OWN count
+    instead of collapsing into one row with the counts summed."""
+    import pytest
+
+    from bigdataproject_spark.operators.temporal import range_join_count
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00")] * 2, "key string, ts string"
+    ).selectExpr("key", "cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:09:00"), ("k", "2024-01-01 00:08:00"),
+         ("k", "2024-01-01 00:07:00")],
+        "key string, rts string",
+    ).selectExpr("key", "cast(rts as timestamp) as rts")
+    rows = range_join_count(
+        left, right, key="key", left_ts="ts", right_ts="rts", lookback_s=600
+    ).collect()
+    assert sorted(r.n_in_range for r in rows) == [3, 3]
+    with pytest.raises(ValueError, match="lookback_s"):
+        range_join_count(
+            left, right, key="key", left_ts="ts", right_ts="rts", lookback_s=0
+        )
