@@ -38,15 +38,28 @@ _SEARCH_BROADCAST_MAX_BYTES = 256 << 20
 _UNKNOWN_STATS_BYTES = 1 << 62
 
 
-def _measured_query_bytes(q: DataFrame, *, n_probe: int) -> int:
-    """count() × max-row-bytes × n_probe — the MEASURED probe budget
-    estimate. ONE aggregate job over the query side only (never the
-    corpus), with the per-row byte estimate computed as a native
-    expression over EVERY row — a head sample would under-estimate a
-    table whose leading partition holds short/NULL-vector rows while
-    later partitions hold full-width ones, and the guard would still
-    admit an over-budget driver block. Used when metadata alone cannot
-    size the query batch (see :func:`_query_batch_splits`)."""
+# (count, max-row-bytes) per analyzed query plan, keyed by
+# (SparkContext id, plan semanticHash): a long-lived search service
+# re-issues the SAME query frame per search call, and without the cache
+# every call whose plan Catalyst cannot size re-pays the two tier-2
+# measurement jobs. semanticHash is over the ANALYZED plan, so two
+# syntactically different but semantically equal frames share an entry,
+# and any real plan change (new filter, different source) misses. The
+# cache assumes a plan's underlying data is immutable within the
+# session — re-reading a parquet path after appending files produces a
+# new file-index in the analyzed plan (a new hash), but callers that
+# mutate data under an UNCHANGED plan object should call
+# :func:`clear_measured_query_cache` first.
+_QUERY_STATS_CACHE: dict[tuple[int, int], tuple[int, int]] = {}
+
+
+def _query_row_stats_uncached(q: DataFrame) -> tuple[int, int]:
+    """(row count, max per-row byte estimate) — ONE aggregate job over
+    the query side only (never the corpus), with the per-row byte
+    estimate computed as a native expression over EVERY row — a head
+    sample would under-estimate a table whose leading partition holds
+    short/NULL-vector rows while later partitions hold full-width ones,
+    and the guard would still admit an over-budget driver block."""
     from pyspark.sql.types import ArrayType, StringType
 
     b = F.lit(32).cast("long")
@@ -63,8 +76,49 @@ def _measured_query_bytes(q: DataFrame, *, n_probe: int) -> int:
         F.count(F.lit(1)).alias("n"), F.max(b).alias("row_bytes")
     ).collect()[0]
     if not row["n"]:
+        return (0, 0)
+    return (row["n"], row["row_bytes"])
+
+
+def _query_row_stats(q: DataFrame) -> tuple[int, int]:
+    """Memoized :func:`_query_row_stats_uncached` (see
+    ``_QUERY_STATS_CACHE``). A hash failure (exotic plan, JVM hiccup)
+    degrades to uncached measurement, never to a wrong estimate."""
+    try:
+        key = (
+            id(q.sparkSession.sparkContext),
+            int(q._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _QUERY_STATS_CACHE:
+        return _QUERY_STATS_CACHE[key]
+    stats = _query_row_stats_uncached(q)
+    if key is not None:
+        _QUERY_STATS_CACHE[key] = stats
+    return stats
+
+
+def clear_measured_query_cache(spark) -> int:
+    """Drop this session's memoized tier-2 measurements (returns how
+    many entries were dropped). Call after mutating data underneath a
+    query frame you intend to re-search with the same plan object."""
+    sc_id = id(spark.sparkContext)
+    keys = [k for k in _QUERY_STATS_CACHE if k[0] == sc_id]
+    for k in keys:
+        _QUERY_STATS_CACHE.pop(k, None)
+    return len(keys)
+
+
+def _measured_query_bytes(q: DataFrame, *, n_probe: int) -> int:
+    """count() × max-row-bytes × n_probe — the MEASURED probe budget
+    estimate, memoized per analyzed plan (:func:`_query_row_stats`).
+    Used when metadata alone cannot size the query batch (see
+    :func:`_query_batch_splits`)."""
+    n, row_bytes = _query_row_stats(q)
+    if not n:
         return 0
-    return row["n"] * row["row_bytes"] * max(n_probe, 1)
+    return n * row_bytes * max(n_probe, 1)
 
 
 def _query_batch_splits(
@@ -293,7 +347,10 @@ def _fit_quantizer(
 ):
     """Shared IVF quantizer fit (ivf_topk and ivf_write_index must stay
     in lockstep — same featurization, clamping, and seeding). Returns
-    (assigned, ctr_df, k_eff) or None for an empty corpus."""
+    (assigned, ctr_df, k_eff, n_rows, sum_d2) or None for an empty
+    corpus; ``sum_d2`` is the KMeans training cost (Σ squared L2 to the
+    assigned centroid) — the build-time quantization quality the drift
+    metric of :func:`ivf_append_index` is measured against."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -319,7 +376,7 @@ def _fit_quantizer(
     ctr_df = corpus.sparkSession.createDataFrame(
         centroids, "cell int, ctr array<double>"
     )
-    return assigned, ctr_df, k_eff
+    return assigned, ctr_df, k_eff, n_rows, float(model.summary.trainingCost)
 
 
 def ivf_topk(
@@ -370,7 +427,7 @@ def ivf_topk(
             F.lit(None).cast("double").alias("cosine"),
             F.lit(None).cast("int").alias("rank"),
         )
-    assigned, ctr_df, n_centroids = fitted
+    assigned, ctr_df, n_centroids, _, _ = fitted
     return _ivf_search(
         assigned,
         ctr_df,
@@ -456,14 +513,20 @@ def sample_centroids(
     return [(cell, list(r["v"])) for cell, r in enumerate(rows)]
 
 
-def assign_cell_expr(
+def assign_cell_struct_expr(
     vec: Column | str, centroids: list[tuple[int, list[float]]]
 ) -> Column:
-    """Nearest-centroid cell id as ONE map-side expression over a literal
-    centroid array — the 100 TB shape for quantizer assignment: a pure
-    projection inside the scan stage, no join, no shuffle (mirrors what
+    """Nearest-centroid assignment as ONE map-side expression over a
+    literal centroid array, returning ``struct<d2 double, cell int>`` —
+    the squared-L2 to the chosen centroid rides along so appends can
+    track quantizer drift (:func:`ivf_append_index`) without a second
+    pass. The 100 TB shape for quantizer assignment: a pure projection
+    inside the scan stage, no join, no shuffle (mirrors what
     ``KMeansModel.transform`` does JVM-side). Ties on squared-L2 break
     to the smallest cell (strict ``<`` keeps the earliest in the fold).
+    A NULL vector yields cell = the first centroid in array order with
+    NULL d2 (the fold's NULL-comparison fixpoint): it lands in a real
+    partition and behaves as a null-cosine row in every search path.
 
     Pass a NAMED ``array<double>`` column: the vector is referenced once
     per centroid inside the fold, and a named column is a cheap
@@ -500,7 +563,15 @@ def assign_cell_expr(
     init = F.struct(
         F.lit(None).cast("double").alias("d2"), F.lit(-1).alias("cell")
     )
-    return F.aggregate(ctrs, init, _step, lambda acc: acc["cell"])
+    return F.aggregate(ctrs, init, _step)
+
+
+def assign_cell_expr(
+    vec: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid cell id only — :func:`assign_cell_struct_expr`
+    with the drift distance dropped (Catalyst prunes the dead field)."""
+    return assign_cell_struct_expr(vec, centroids)["cell"]
 
 
 def ivf_topk_sampleq(
@@ -574,10 +645,12 @@ def ivf_write_index(
     At 100 TB this is the shape that matters: a probe then prunes file
     I/O (``PartitionFilters`` on ``cell=``), not just the join, so a
     query reads n_probe/n_centroids of the corpus bytes. Writes
-    ``{path}/cells`` (neighbor_id, cv, cn, cell) and
-    ``{path}/centroids`` (cell, ctr). Raises on an empty corpus — an
-    index of nothing is unreadable parquet, so fail loudly at build
-    time instead of at first search."""
+    ``{path}/cells`` (neighbor_id, cv, cn, cell), ``{path}/centroids``
+    (cell, ctr), and ``{path}/stats`` (kind, n_rows, sum_d2 — the
+    build-time quantization cost :func:`ivf_append_index` measures its
+    drift against). Raises on an empty corpus — an index of nothing is
+    unreadable parquet, so fail loudly at build time instead of at
+    first search."""
     fitted = _fit_quantizer(
         corpus,
         id_col=id_col,
@@ -588,9 +661,228 @@ def ivf_write_index(
     )
     if fitted is None:
         raise ValueError("ivf_write_index: corpus is empty; nothing to index")
-    assigned, ctr_df, _ = fitted
+    assigned, ctr_df, _, n_rows, sum_d2 = fitted
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     ctr_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_index_stats(
+        corpus.sparkSession, path, kind="build", n_rows=n_rows, sum_d2=sum_d2
+    )
+
+
+_INDEX_STATS_SCHEMA = "kind string, n_rows long, sum_d2 double"
+
+
+def _write_index_stats(
+    spark, path: str, *, kind: str, n_rows: int, sum_d2: float, append: bool = False
+) -> None:
+    spark.createDataFrame(
+        [(kind, int(n_rows), float(sum_d2))], _INDEX_STATS_SCHEMA
+    ).coalesce(1).write.mode("append" if append else "overwrite").parquet(
+        f"{path}/stats"
+    )
+
+
+def _collect_index_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """The index's centroid table as the literal list
+    :func:`assign_cell_struct_expr` consumes — a bounded collect
+    (≤ n_centroids rows), sorted by cell so the fold's tie-break is
+    deterministic across calls."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [(int(r["cell"]), [float(x) for x in r["ctr"]]) for r in rows]
+
+
+def ivf_write_index_from_centroids(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Build the :func:`ivf_write_index` layout from PRE-FIT centroids —
+    the 100 TB build shape: fit the coarse quantizer on a driver-sized
+    SAMPLE (KMeans over the full corpus shuffles everything per Lloyd
+    iteration; a 0.1% sample fixes the same cell boundaries), then
+    assign the full corpus with the map-side literal-centroid argmin
+    (:func:`assign_cell_struct_expr`) — one scan, zero shuffles before
+    the partitioned write. Also the build path whose assignment is
+    bit-identical to :func:`ivf_append_index`, so append-vs-rebuild
+    equality is exact by construction. Writes the same
+    cells/centroids/stats layout (stats sum_d2 measured by the same
+    ``observe`` piggyback the append uses)."""
+    if not centroids:
+        raise ValueError("ivf_write_index_from_centroids: empty centroid list")
+    spark = corpus.sparkSession
+    from pyspark.sql import Observation
+
+    obs = Observation("ivf_build_stats")
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            l2_norm(vec_col).alias("cn"),
+            F.col(vec_col).cast("array<double>").alias("_vd"),
+        )
+        .select(
+            "neighbor_id",
+            "cv",
+            "cn",
+            assign_cell_struct_expr("_vd", centroids).alias("_a"),
+        )
+        .select("neighbor_id", "cv", "cn", F.col("_a.cell").alias("cell"),
+                F.col("_a.d2").alias("_d2"))
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
+    )
+    assigned.drop("_d2").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    spark.createDataFrame(
+        centroids, "cell int, ctr array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    got = obs.get
+    _write_index_stats(
+        spark, path, kind="build", n_rows=got["n"], sum_d2=got["sum_d2"] or 0.0
+    )
+
+
+def ivf_append_index(
+    new_vecs: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    rebuild_threshold: float = 2.0,
+) -> dict:
+    """Incremental IVF maintenance: assign a batch of NEW vectors to the
+    index's EXISTING centroids and append them into the ``cell=``
+    partitions — no KMeans refit, no rewrite of existing files. The
+    assignment is the map-side literal-centroid argmin
+    (:func:`assign_cell_struct_expr`), so the batch costs one scan of
+    the batch plus the partitioned append; the corpus already in the
+    index is never read or moved. This is the steady-state story the
+    dedup index already has (operators/dedup_index.py): at 100 TB a
+    daily corpus delta must not force a full quantizer refit + full
+    index rewrite.
+
+    Drift: appended vectors are quantized against centroids fit on OLD
+    data, so their mean squared distance to their cell centroid
+    (collected for free via ``observe`` on the append write — zero
+    extra pass) degrades as the data distribution moves. A cumulative
+    ``append`` stats row is recorded per batch and
+    :func:`ivf_index_drift` compares the appended mean-d2 against the
+    build-time mean: past ``rebuild_threshold`` the returned report
+    recommends a rebuild (:func:`ivf_write_index` /
+    :func:`ivf_write_index_from_centroids` — search stays correct
+    meanwhile, only cell balance/recall decays). An index written
+    before stats existed gets its build row reconstructed from the
+    current cells table (one explicit scan, once).
+
+    Replay caution: the append itself has no id-membership guard (the
+    index is a search layout, not a dedup ledger) — re-running the same
+    batch appends duplicate rows, which search then returns once per
+    copy. Callers needing exactly-once feed the append from an
+    idempotent upstream (e.g. the dedup index's survivor ledger).
+
+    Returns {n_appended, batch_mean_d2, build_mean_d2,
+    appended_mean_d2, drift_ratio, rebuild_recommended}."""
+    spark = new_vecs.sparkSession
+    from pyspark.sql import Observation
+
+    centroids = _collect_index_centroids(spark, path)
+    if not centroids:
+        raise ValueError(f"ivf_append_index: no centroids at {path}")
+    _ensure_build_stats(spark, path, centroids)
+
+    obs = Observation("ivf_append_stats")
+    assigned = (
+        new_vecs.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            l2_norm(vec_col).alias("cn"),
+            F.col(vec_col).cast("array<double>").alias("_vd"),
+        )
+        .select(
+            "neighbor_id",
+            "cv",
+            "cn",
+            assign_cell_struct_expr("_vd", centroids).alias("_a"),
+        )
+        .select("neighbor_id", "cv", "cn", F.col("_a.cell").alias("cell"),
+                F.col("_a.d2").alias("_d2"))
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
+    )
+    assigned.drop("_d2").write.mode("append").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    got = obs.get
+    n, sum_d2 = int(got["n"]), float(got["sum_d2"] or 0.0)
+    if n:
+        _write_index_stats(
+            spark, path, kind="append", n_rows=n, sum_d2=sum_d2, append=True
+        )
+    report = ivf_index_drift(
+        spark, path, rebuild_threshold=rebuild_threshold
+    )
+    report["n_appended"] = n
+    report["batch_mean_d2"] = (sum_d2 / n) if n else None
+    return report
+
+
+def _ensure_build_stats(
+    spark, path: str, centroids: list[tuple[int, list[float]]]
+) -> None:
+    """Reconstruct ``{path}/stats`` for a pre-stats index: one explicit
+    scan of the current cells table, re-measuring d2 against the stored
+    centroids (the mean then reflects everything indexed so far — fine
+    as a drift baseline, and recorded once)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/stats")
+    if p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p):
+        return
+    row = (
+        spark.read.parquet(f"{path}/cells")
+        .select(F.col("cv").cast("array<double>").alias("_vd"))
+        .select(assign_cell_struct_expr("_vd", centroids)["d2"].alias("_d2"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
+        .collect()[0]
+    )
+    _write_index_stats(
+        spark, path, kind="build", n_rows=row["n"], sum_d2=row["sum_d2"] or 0.0
+    )
+
+
+def ivf_index_drift(
+    spark, path: str, *, rebuild_threshold: float = 2.0
+) -> dict:
+    """Drift report for an IVF index: appended-rows mean squared
+    distance to their assigned centroid vs the build-time mean.
+    ``rebuild_recommended`` when appended_mean > threshold × build_mean
+    (a zero/degenerate build mean — e.g. n_centroids ≥ n_rows at build —
+    recommends rebuild on ANY positive appended mean). An index with no
+    appends reports drift_ratio 1.0 and never recommends."""
+    rows = spark.read.parquet(f"{path}/stats").collect()
+    b_n = sum(r["n_rows"] for r in rows if r["kind"] == "build")
+    b_d2 = sum(r["sum_d2"] for r in rows if r["kind"] == "build")
+    a_n = sum(r["n_rows"] for r in rows if r["kind"] == "append")
+    a_d2 = sum(r["sum_d2"] for r in rows if r["kind"] == "append")
+    build_mean = (b_d2 / b_n) if b_n else None
+    appended_mean = (a_d2 / a_n) if a_n else None
+    if appended_mean is None:
+        ratio, rec = 1.0, False
+    elif not build_mean or build_mean <= 0.0:
+        ratio = float("inf") if appended_mean > 0 else 1.0
+        rec = appended_mean > 0
+    else:
+        ratio = appended_mean / build_mean
+        rec = ratio > rebuild_threshold
+    return {
+        "build_mean_d2": build_mean,
+        "appended_mean_d2": appended_mean,
+        "n_indexed_at_build": b_n,
+        "n_appended_total": a_n,
+        "drift_ratio": ratio,
+        "rebuild_recommended": rec,
+    }
 
 
 def ivf_topk_indexed(
@@ -750,32 +1042,33 @@ def _blas_query_batched(
     )
 
 
-def _bad_corpus_candidates(all_qids, bad_nids, *, k: int, exclude_self: bool):
-    """Vectorized (query, bad-corpus-row) candidate pairs for one Arrow
-    batch. Bad (NULL / zero-norm vector) corpus rows carry NULL cosine,
-    which the global window ranks LAST, neighbor_id asc — so only the
-    smallest bad neighbor ids in this batch can ever reach a query's
-    global top-k. Cap: k when self matches are kept; with
-    ``exclude_self`` the only entries ever removed for a query q are the
-    copies of q itself — at most the batch's max per-id multiplicity —
-    so k + max_multiplicity smallest ids are a provable superset for
-    every query (a duplicate-ridden corpus cannot evict a ranked id, the
-    k+1 constant could). One repeat/tile cross product, no per-row
-    Python loop; the emission stays O(k·|queries|) per batch instead of
-    |bad rows|·|queries|. Returns (q_arr, n_arr) or None."""
+def _null_tail_candidates(qids, nids, *, k: int, exclude_self: bool):
+    """Vectorized NULL-cosine candidate pairs (qids × smallest nids) for
+    one Arrow batch — used in BOTH null-tail directions: every probing
+    query against the batch's bad (NULL / zero-norm vector) corpus rows,
+    and every bad query against the batch's good corpus rows. Either
+    way the pair carries NULL cosine, which the global window ranks
+    LAST, neighbor_id asc — so only the smallest candidate neighbor ids
+    in this batch can ever reach a query's global top-k. Cap: k when
+    self matches are kept; with ``exclude_self`` the only entries ever
+    removed for a query q are the copies of q itself — at most the
+    batch's max per-id multiplicity — so k + max_multiplicity smallest
+    ids are a provable superset for every query (a duplicate-ridden
+    corpus cannot evict a ranked id, a fixed k+1 constant could). ONE
+    sort + one repeat/tile cross product per call, no per-query Python
+    loop; the emission stays O(k·|qids|) per batch instead of
+    |nids|·|qids|. Returns (q_arr, n_arr) or None."""
     import numpy as np
 
-    if len(bad_nids) == 0 or len(all_qids) == 0:
+    if len(nids) == 0 or len(qids) == 0:
         return None
     cap = k
     if exclude_self:
-        _, counts = np.unique(bad_nids, return_counts=True)
+        _, counts = np.unique(nids, return_counts=True)
         cap = k + int(counts.max())
-    bad = np.sort(bad_nids)[:cap]
-    if len(bad) == 0 or len(all_qids) == 0:
-        return None
-    q_rep = np.repeat(all_qids, len(bad))
-    n_til = np.tile(bad, len(all_qids))
+    cand = np.sort(nids)[:cap]
+    q_rep = np.repeat(qids, len(cand))
+    n_til = np.tile(cand, len(qids))
     if exclude_self:
         keep = q_rep != n_til
         q_rep, n_til = q_rep[keep], n_til[keep]
@@ -870,7 +1163,7 @@ def _ivf_blas_topk(
                 # here; converted to NULL Spark-side) — the native
                 # path's behavior, capped at the smallest bad ids per
                 # batch (a duplicate-safe superset of any query's
-                # global NULL-tail top-k — see _bad_corpus_candidates)
+                # global NULL-tail top-k — see _null_tail_candidates)
                 # and emitted as ONE vectorized cross product so a
                 # NULL-heavy corpus cannot degrade the scan to
                 # per-row Python.
@@ -878,7 +1171,7 @@ def _ivf_blas_topk(
                 bad_c = grp["cv"].isna().to_numpy() | ~(
                     np.nan_to_num(cn_raw.astype(np.float64), nan=0.0) > 0
                 )
-                pair = _bad_corpus_candidates(
+                pair = _null_tail_candidates(
                     all_qids,
                     grp["neighbor_id"].to_numpy()[bad_c],
                     k=k,
@@ -890,14 +1183,16 @@ def _ivf_blas_topk(
                 if len(grp) == 0:
                     continue
                 nids = grp["neighbor_id"].to_numpy()
-                # a bad QUERY sees every good corpus row at null cosine;
-                # the global ranking is neighbor-id asc, so the k
-                # smallest ids of this batch are a superset of its
-                # contribution to the global top-k.
-                for bq in bad_qids:
-                    ns = np.sort(nids[nids != bq] if exclude_self else nids)[:k]
-                    if len(ns):
-                        outs.append(_emit(np.full(len(ns), bq), ns, np.nan))
+                # a bad QUERY sees every good corpus row at null cosine —
+                # the mirror direction of the bad-corpus emission above,
+                # vectorized through the same capped helper so a
+                # mostly-NULL query table cannot degrade the scan to
+                # per-query Python sorts.
+                pair = _null_tail_candidates(
+                    bad_qids, nids, k=k, exclude_self=exclude_self
+                )
+                if pair is not None:
+                    outs.append(_emit(pair[0], pair[1], np.nan))
                 if len(qids) == 0:
                     continue
                 cm = np.stack(grp["cv"].to_numpy()).astype(np.float64)

@@ -305,19 +305,19 @@ def test_blas_null_heavy_corpus_equals_native(spark):
         assert a == b, excl
 
 
-def test_bad_corpus_candidates_capped_and_complete():
+def test_null_tail_candidates_capped_and_complete():
     """Unit bounds for the vectorized bad-row emission: at most
     (k+1)·|queries| pairs, every query sees the k smallest bad ids it
     could rank (self-exclusion honored), no Python-level row loop
     required for correctness."""
     import numpy as np
 
-    from bigdataproject_spark.operators.simsearch import _bad_corpus_candidates
+    from bigdataproject_spark.operators.simsearch import _null_tail_candidates
 
     qids = np.array([3, 50, 1000])
     bad = np.array([7, 3, 99, 2, 41, 8, 5, 6])  # includes a self (3)
     k = 3
-    out = _bad_corpus_candidates(qids, bad, k=k, exclude_self=True)
+    out = _null_tail_candidates(qids, bad, k=k, exclude_self=True)
     assert out is not None
     q_arr, n_arr = out
     assert len(q_arr) <= (k + 1) * len(qids)
@@ -328,9 +328,9 @@ def test_bad_corpus_candidates_capped_and_complete():
         assert mine[:k] == expect
         assert q not in mine
     # empty inputs → None
-    assert _bad_corpus_candidates(qids, np.array([]), k=k, exclude_self=True) is None
+    assert _null_tail_candidates(qids, np.array([]), k=k, exclude_self=True) is None
     assert (
-        _bad_corpus_candidates(np.array([]), bad, k=k, exclude_self=False) is None
+        _null_tail_candidates(np.array([]), bad, k=k, exclude_self=False) is None
     )
 
 
@@ -341,15 +341,15 @@ def test_bad_corpus_duplicate_self_ids_not_evicted():
     k+1 cap dropped it when the self id appeared twice)."""
     import numpy as np
 
-    from bigdataproject_spark.operators.simsearch import _bad_corpus_candidates
+    from bigdataproject_spark.operators.simsearch import _null_tail_candidates
 
     qids = np.array([3])
     bad = np.array([3, 3, 4, 5, 6, 7])  # self id twice, then k larger ids
     k = 3
-    q_arr, n_arr = _bad_corpus_candidates(qids, bad, k=k, exclude_self=True)
+    q_arr, n_arr = _null_tail_candidates(qids, bad, k=k, exclude_self=True)
     assert sorted(n_arr[q_arr == 3])[:k] == [4, 5, 6]
     # exclude_self=False needs no slack: exactly the k smallest ids
-    q_arr, n_arr = _bad_corpus_candidates(qids, bad, k=k, exclude_self=False)
+    q_arr, n_arr = _null_tail_candidates(qids, bad, k=k, exclude_self=False)
     assert sorted(n_arr[q_arr == 3]) == [3, 3, 4]
 
 
@@ -416,3 +416,81 @@ def test_native_search_batched_equals_unbatched(spark, sf_dir):
             ).collect()
         ]
         assert batched == ref, fn.__name__
+
+
+def test_blas_null_heavy_queries_equals_native(spark):
+    """r6: a MOSTLY-NULL query table (the mirror of the null-heavy
+    corpus case) must return the native path's exact result through the
+    blas scan, via the vectorized null-tail helper — no per-query
+    Python sort loop."""
+    from bigdataproject_spark.operators.simsearch import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 5), 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # 10 queries, 8 of them NULL/zero-norm
+    q_rows = []
+    for i in range(10):
+        if i in (0, 5):
+            q_rows.append((i, [1.0, float(i), 2.0]))
+        elif i % 2:
+            q_rows.append((i, None))
+        else:
+            q_rows.append((i, [0.0, 0.0, 0.0]))
+    queries = spark.createDataFrame(
+        q_rows, "vec_id bigint, embedding array<double>"
+    )
+    for excl in (True, False):
+        kw = dict(id_col="vec_id", vec_col="embedding", k=5, exclude_self=excl)
+        a = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in brute_force_topk(corpus, queries, **kw).collect()
+        ]
+        b = [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in brute_force_topk(corpus, queries, impl="blas", **kw).collect()
+        ]
+        assert a == b, excl
+    # every bad query still gets a full NULL-cosine tail of k smallest ids
+    by_q = {}
+    for (qi, rk, ni, co) in a:
+        by_q.setdefault(qi, []).append((rk, ni, co))
+    assert sorted(n for _, n, _ in by_q[1]) == [0, 1, 2, 3, 4][: len(by_q[1])]
+    assert all(c is None for _, _, c in by_q[1])
+
+
+def test_measured_query_bytes_memoized(spark, monkeypatch):
+    """r6: the tier-2 measured estimate is memoized on the analyzed
+    plan's semanticHash — a second identical search pays ZERO extra
+    measurement jobs (the uncached path would raise here), while a
+    semantically different plan misses the cache."""
+    from bigdataproject_spark.operators import simsearch
+
+    local = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(20)],
+        "q_id bigint, qv array<double>",
+    )
+    simsearch.clear_measured_query_cache(spark)
+    first = simsearch._measured_query_bytes(local, n_probe=4)
+    assert first > 0
+
+    def _boom(q):
+        raise AssertionError("uncached measurement re-ran")
+
+    monkeypatch.setattr(simsearch, "_query_row_stats_uncached", _boom)
+    # identical plan → cache hit, no job, same value
+    assert simsearch._measured_query_bytes(local, n_probe=4) == first
+    # n_probe scales the SAME cached stats — still no measurement job
+    assert simsearch._measured_query_bytes(local, n_probe=8) == 2 * first
+    # a semantically different plan must MISS (and here, loudly re-measure)
+    import pytest
+
+    with pytest.raises(AssertionError, match="re-ran"):
+        simsearch._measured_query_bytes(
+            local.filter("q_id < 10"), n_probe=4
+        )
+    monkeypatch.undo()
+    assert simsearch.clear_measured_query_cache(spark) >= 1
+    # cleared → recompute works again
+    assert simsearch._measured_query_bytes(local, n_probe=4) == first
