@@ -128,10 +128,29 @@ def range_join_count(
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / lookback_s)
     # per-row identity BEFORE the bucket explode (both probes of one row
     # share it): grouping by the left value columns alone would collapse
-    # duplicate left rows and sum their counts. The id never reaches the
-    # output, so monotonically_increasing_id's instability under stage
-    # retry cannot leak into result values.
-    probes = left.withColumn("_lid", F.monotonically_increasing_id()).withColumn(
+    # duplicate left rows and sum their counts. The id must also be
+    # STABLE under stage retry — a retried task that regenerates the two
+    # probe rows of one left row with different ids would split that
+    # row's count into two partial output rows. So the id is
+    # DETERMINISTIC by construction: a row_number over a window
+    # partitioned by every left column — identical rows get dup indexes
+    # 1..n, and whichever physical row draws which index, the multiset
+    # of (row values, index) is the same on every (re)computation. Costs
+    # one exchange on the left, which the downstream groupBy would pay
+    # anyway. Map-typed columns cannot be window keys; that (rare) shape
+    # falls back to monotonically_increasing_id pinned by an eager
+    # localCheckpoint, so retries replay stored blocks instead of
+    # recomputing ids.
+    from pyspark.sql.types import MapType
+
+    if any(isinstance(f.dataType, MapType) for f in left.schema.fields):
+        stamped = left.withColumn(
+            "_lid", F.monotonically_increasing_id()
+        ).localCheckpoint()
+    else:
+        w = Window.partitionBy(*left.columns).orderBy(F.lit(1))
+        stamped = left.withColumn("_lid", F.row_number().over(w))
+    probes = stamped.withColumn(
         "_bucket", F.explode(F.array(lb.cast("long"), (lb - 1).cast("long")))
     )
     build = right.select(

@@ -15,15 +15,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _prep(df: DataFrame, single_file: bool, partition_by: list[str] | None) -> DataFrame:
+def _prep(
+    df: DataFrame,
+    single_file: bool,
+    partition_by: list[str] | None,
+    sort_by: list | None = None,
+) -> DataFrame:
     if single_file and partition_by:
         raise ValueError("single_file and partition_by are mutually exclusive")
+    if sort_by and not single_file:
+        raise ValueError("sort_by requires single_file=True")
     # repartition(1), not coalesce(1): coalesce propagates up through
     # every narrow transformation to the previous shuffle boundary, so
     # the whole upstream computation would run on ONE core — the
     # reference's exact mistake. One extra shuffle confines the
-    # single-task section to the write itself.
-    return df.repartition(1) if single_file else df
+    # single-task section to the write itself. The price of that shuffle
+    # is row ORDER: a single reducer fetches its map outputs in
+    # nondeterministic order, so an upstream orderBy does NOT survive
+    # into the file on a real cluster (it happens to today on
+    # single-partition local inputs — never rely on it). Callers that
+    # need an ordered file pass ``sort_by``; the sortWithinPartitions
+    # runs inside the one write task, after the exchange, so the
+    # guarantee is structural, not incidental.
+    if not single_file:
+        return df
+    out = df.repartition(1)
+    return out.sortWithinPartitions(*sort_by) if sort_by else out
 
 
 def write_parquet(
@@ -33,9 +50,12 @@ def write_parquet(
     mode: str = "overwrite",
     single_file: bool = False,
     partition_by: list[str] | None = None,
+    sort_by: list | None = None,
 ) -> None:
-    """Canonical columnar sink; ``partition_by`` enables partition pruning."""
-    w = _prep(df, single_file, partition_by).write.mode(mode)
+    """Canonical columnar sink; ``partition_by`` enables partition pruning.
+    ``sort_by`` (single_file only) makes the one output file ordered —
+    see :func:`_prep` for why an upstream orderBy is not enough."""
+    w = _prep(df, single_file, partition_by, sort_by).write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
@@ -48,10 +68,15 @@ def write_csv(
     mode: str = "overwrite",
     header: bool = True,
     single_file: bool = False,
+    sort_by: list | None = None,
 ) -> None:
     """Compatibility CSV sink (S6). ``single_file=True`` reproduces the
-    reference's human-readable one-file output."""
-    _prep(df, single_file, None).write.mode(mode).option("header", header).csv(path)
+    reference's human-readable one-file output; pass ``sort_by`` when
+    that file must be ORDERED (ranked exports) — repartition(1) alone
+    does not preserve upstream sort order on a cluster."""
+    _prep(df, single_file, None, sort_by).write.mode(mode).option(
+        "header", header
+    ).csv(path)
 
 
 def write_json(
@@ -60,12 +85,13 @@ def write_json(
     *,
     mode: str = "overwrite",
     single_file: bool = False,
+    sort_by: list | None = None,
 ) -> None:
     """Executor-side JSON sink (replaces driver-side json.dump, S7).
 
     Nested rows (e.g. struct timelines) serialize directly; no collect().
     """
-    _prep(df, single_file, None).write.mode(mode).json(path)
+    _prep(df, single_file, None, sort_by).write.mode(mode).json(path)
 
 
 def training_shard_plan(

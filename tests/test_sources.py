@@ -157,3 +157,35 @@ def test_ts_sniff_transient_failure_not_cached(spark, tmp_path):
     # and a successful read IS cached (no re-sniff cost per load)
     f.unlink()
     assert events_ts_is_nanos(str(d)) is True
+
+
+def test_single_file_sort_by_orders_output(spark, tmp_path):
+    """r6 ADVICE fix: repartition(1) does not preserve upstream sort
+    order; sort_by re-sorts INSIDE the single write task, so the file
+    is ordered no matter how many partitions feed it."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.sources.writers import write_csv
+
+    df = (
+        spark.range(0, 500)
+        .repartition(16)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id") * 7919, F.lit(1000)).alias("v"),
+        )
+    )
+    out = str(tmp_path / "ranked.csv")
+    write_csv(
+        df, out, single_file=True, sort_by=[F.desc("v"), F.asc("k")]
+    )
+    files = glob.glob(f"{out}/part-*.csv")
+    assert len(files) == 1
+    lines = [ln.split(",") for ln in open(files[0]).read().splitlines()[1:]]
+    vals = [(-int(v), int(k)) for k, v in lines]
+    assert vals == sorted(vals)
+    with pytest.raises(ValueError, match="sort_by requires"):
+        write_csv(df, out, single_file=False, sort_by=["v"])

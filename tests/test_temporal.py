@@ -154,3 +154,47 @@ def test_range_join_count_duplicate_left_rows(spark):
         range_join_count(
             left, right, key="key", left_ts="ts", right_ts="rts", lookback_s=0
         )
+
+
+def test_range_join_count_row_id_deterministic(spark):
+    """r6 ADVICE fix: the per-row id is a row_number over the left's
+    value columns — deterministic under stage retry — so the physical
+    plan carries NO monotonically_increasing_id for map-free schemas."""
+    from bigdataproject_spark.operators.temporal import range_join_count
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00"), ("k", "2024-01-01 00:10:00"),
+         ("j", "2024-01-01 00:11:00")],
+        "key string, ts string",
+    ).selectExpr("key", "cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:09:00"), ("j", "2024-01-01 00:05:00")],
+        "key string, rts string",
+    ).selectExpr("key", "cast(rts as timestamp) as rts")
+    out = range_join_count(
+        left, right, key="key", left_ts="ts", right_ts="rts", lookback_s=600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    assert sorted((r.key, r.n_in_range) for r in out.collect()) == [
+        ("j", 1), ("k", 1), ("k", 1)
+    ]
+
+
+def test_range_join_count_map_column_fallback(spark):
+    """Map-typed columns cannot be window keys: the fallback stamps
+    monotonically_increasing_id pinned by localCheckpoint — results
+    stay per-row correct."""
+    from bigdataproject_spark.operators.temporal import range_join_count
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:10:00", {"a": 1})] * 2,
+        "key string, ts string, props map<string,int>",
+    ).selectExpr("key", "cast(ts as timestamp) as ts", "props")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:09:00")], "key string, rts string"
+    ).selectExpr("key", "cast(rts as timestamp) as rts")
+    rows = range_join_count(
+        left, right, key="key", left_ts="ts", right_ts="rts", lookback_s=600
+    ).collect()
+    assert sorted(r.n_in_range for r in rows) == [1, 1]

@@ -59,8 +59,16 @@ def main() -> int:
     # 1. relation graph (relation_graph/danmaku_analysis_cluster.py)
     fanren = read_danmaku_csv(spark, f"{args.data}/凡人修仙传/danmaku_*.csv")
     ent = extract_entity_table(fanren, "text", FANREN_ALIASES).cache()
-    write_csv(graph_nodes(ent), f"{args.out}/fanren_nodes.csv", single_file=True)
-    write_csv(graph_edges(ent), f"{args.out}/fanren_edges.csv", single_file=True)
+    # ranked exports: sort_by re-sorts inside the single write task —
+    # repartition(1) does not preserve the upstream orderBy on a cluster
+    write_csv(
+        graph_nodes(ent), f"{args.out}/fanren_nodes.csv", single_file=True,
+        sort_by=[F.desc("Size"), F.asc("Id")],
+    )
+    write_csv(
+        graph_edges(ent), f"{args.out}/fanren_edges.csv", single_file=True,
+        sort_by=[F.desc("Weight"), F.asc("Source"), F.asc("Target")],
+    )
     ent.unpersist()
     print(f"graph: wrote {args.out}/fanren_nodes.csv, fanren_edges.csv")
 
@@ -97,7 +105,10 @@ def main() -> int:
         .orderBy(F.desc("frequency"), F.asc("word"))
         .limit(500)
     )
-    write_csv(wc, f"{args.out}/wordcount_top500.csv", single_file=True)
+    write_csv(
+        wc, f"{args.out}/wordcount_top500.csv", single_file=True,
+        sort_by=[F.desc("frequency"), F.asc("word")],
+    )
     print(f"wordcount: wrote {args.out}/wordcount_top500.csv")
 
     spark.stop()
