@@ -68,6 +68,19 @@ def _touch(spark: SparkSession, path: str) -> None:
     fs.create(p, True).close()
 
 
+def _n_parquet_files(spark: SparkSession, path: str) -> int:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
 def ensure_index(
     spark: SparkSession,
     path: str,
@@ -106,11 +119,30 @@ def make_index_batch_writer(
     num_hashes: int = 32,
     bands: int = 8,
     hash_family: str = "murmur3",
+    compact_every_n_batches: int | None = None,
+    compact_min_band_files: int | None = None,
 ):
     """The foreachBatch function (see module docstring for the
     two-phase idempotent commit). Exposed separately from
     :func:`stream_dedup_to_index` so tests can drive replay and
-    crash-window cases directly."""
+    crash-window cases directly.
+
+    Auto-compaction policy: without it, per-batch appends (and the
+    duplicate band rows a crash replay can leave) grow the index's
+    file count and bytes without bound until someone remembers to call
+    ``compact_index`` — at 100 TB "remembers to" is not a policy.
+    ``compact_every_n_batches=N`` compacts after every N-th batch
+    (batch ids are monotonic and checkpoint-stable, so the trigger
+    needs no writer-side state and survives restarts);
+    ``compact_min_band_files=M`` compacts whenever the bands table has
+    accumulated ≥ M part files (one cheap listStatus per batch).
+    Either, both, or neither may be set. The compaction runs INSIDE
+    foreachBatch after phase 2 — exactly the between-batches window
+    ``compact_index`` requires (no concurrent reader; the next batch
+    starts only after this one returns), and a crash anywhere around
+    it is already covered by compaction's rename-aside heal + the
+    two-phase batch replay."""
+    from bigdataproject_spark.operators.dedup_index import compact_index
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -182,6 +214,17 @@ def make_index_batch_writer(
             append=True,
         )
 
+        due = (
+            compact_every_n_batches is not None
+            and (batch_id + 1) % compact_every_n_batches == 0
+        ) or (
+            compact_min_band_files is not None
+            and _n_parquet_files(spark, f"{index_path}/bands")
+            >= compact_min_band_files
+        )
+        if due:
+            compact_index(spark, index_path)
+
     return _write_batch
 
 
@@ -197,10 +240,15 @@ def stream_dedup_to_index(
     num_hashes: int = 32,
     bands: int = 8,
     hash_family: str = "murmur3",
+    compact_every_n_batches: int | None = None,
+    compact_min_band_files: int | None = None,
 ):
     """Drain a (already shingled) document stream through the index:
     returns the started StreamingQuery (availableNow trigger — process
-    everything pending, then stop; call ``.awaitTermination()``)."""
+    everything pending, then stop; call ``.awaitTermination()``).
+    ``compact_every_n_batches`` / ``compact_min_band_files`` enable the
+    in-stream auto-compaction policy (see
+    :func:`make_index_batch_writer`)."""
     writer = make_index_batch_writer(
         index_path,
         out_path,
@@ -210,6 +258,8 @@ def stream_dedup_to_index(
         num_hashes=num_hashes,
         bands=bands,
         hash_family=hash_family,
+        compact_every_n_batches=compact_every_n_batches,
+        compact_min_band_files=compact_min_band_files,
     )
     return (
         docs_stream.writeStream.foreachBatch(writer)

@@ -410,3 +410,79 @@ def test_short_doc_not_duplicated_across_stream_batches(spark, tmp_path):
     b1rows = spark.read.parquet(f"{out}/batch=1").count()
     assert 7 in b0
     assert b1rows == 0
+
+
+def test_auto_compaction_policy_triggers_in_stream(spark, tmp_path):
+    """r6: the auto-compaction policy fires INSIDE the foreachBatch
+    loop (every-N-batches and min-band-files variants) — no explicit
+    compact_index call — and the survivor set, stored set, and probe
+    pairs are identical to the never-compacted run, while the bands
+    table ends with strictly fewer part files."""
+    from bigdataproject_spark.operators.dedup_index import (
+        incremental_minhash_pairs,
+    )
+    from bigdataproject_spark.streaming.index_stream import _n_parquet_files
+
+    PROBE = [
+        (21, BASE + " tomorrow"),
+        (22, "totally novel musings on cartography and the projection "
+             "of coastlines onto flat maps with careful attention to "
+             "distortion near the poles and the equator alike"),
+    ]
+
+    results, band_files = {}, {}
+    policies = {
+        "plain": {},
+        "every1": {"compact_every_n_batches": 1},
+        "minfiles": {"compact_min_band_files": 1},
+    }
+    for mode, pol in policies.items():
+        idx = str(tmp_path / f"idx_{mode}")
+        out = str(tmp_path / f"out_{mode}")
+        writer = make_index_batch_writer(
+            idx, out, id_col="doc_id", shingles_col="shingles",
+            threshold=THRESHOLD, **pol,
+        )
+        writer(_docs(spark, B1), 0)
+        writer(_docs(spark, B2), 1)
+        pairs = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"], r["vs_index"])
+            for r in incremental_minhash_pairs(
+                spark, _docs(spark, PROBE), idx,
+                id_col="doc_id", shingles_col="shingles",
+                threshold=THRESHOLD,
+            ).collect()
+        )
+        results[mode] = (
+            _out_ids(spark, out),
+            {r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()},
+            pairs,
+        )
+        band_files[mode] = _n_parquet_files(spark, f"{idx}/bands")
+    assert results["plain"] == results["every1"] == results["minfiles"]
+    assert results["plain"][0] == {1, 2, 12}
+    assert results["plain"][2]
+    # the policy actually compacted: appended part files were rewritten
+    assert band_files["every1"] < band_files["plain"]
+    assert band_files["minfiles"] < band_files["plain"]
+
+
+def test_auto_compaction_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (at-least-once foreachBatch) under the
+    every-N policy re-runs compaction harmlessly: index contents and
+    survivor output unchanged."""
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD, compact_every_n_batches=1,
+    )
+    writer(_docs(spark, B1), 0)
+    writer(_docs(spark, B2), 1)
+    stored = {r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()}
+    n_bands = spark.read.parquet(f"{idx}/bands").count()
+    writer(_docs(spark, B2), 1)  # replay
+    assert _out_ids(spark, out) == {1, 2, 12}
+    assert {
+        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
+    } == stored
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
