@@ -115,6 +115,7 @@ def get_tokenizer(
     min_len: int = 1,
     drop_numeric: bool = False,
     lowercase: bool = True,
+    bpe_merges=None,
 ):
     """Injectable tokenizer seam: returns ``Column|str -> Column``
     (array<string> tokens) so every token-consuming stage — chunking,
@@ -130,6 +131,11 @@ def get_tokenizer(
       * ``"jieba"`` — import-gated Arrow pandas_udf
         (:func:`jieba_tokenize_udf`; raises ImportError without the
         library — same gate pattern);
+      * ``"bpe"`` — deterministic pure-Python subword BPE
+        (functions/bpe.py; public Sennrich-2016 algorithm, vendored
+        default merge table) as an Arrow pandas_udf — pack budgets
+        measured in MODEL-ish subword tokens instead of regex words;
+        pass ``bpe_merges`` to use your own learned table;
       * any CALLABLE ``Column -> Column`` — bring-your-own tokenizer:
         e.g. an Arrow pandas_udf wrapping a real BPE vocabulary, so
         pack budgets measure true context-window fill instead of regex
@@ -171,9 +177,20 @@ def get_tokenizer(
             lowercase=lowercase,
         )
         return lambda c: udf(F.col(c) if isinstance(c, str) else c)
+    if backend == "bpe":
+        from bigdataproject_spark.functions.bpe import bpe_tokenize_udf
+
+        udf = bpe_tokenize_udf(
+            bpe_merges,
+            stopwords=stopwords,
+            min_len=min_len,
+            drop_numeric=drop_numeric,
+            lowercase=lowercase,
+        )
+        return lambda c: udf(F.col(c) if isinstance(c, str) else c)
     raise ValueError(
         f"get_tokenizer: unknown backend {backend!r} "
-        "(expected 'regex', 'cjk-bigram', 'jieba', or a callable)"
+        "(expected 'regex', 'cjk-bigram', 'jieba', 'bpe', or a callable)"
     )
 
 
