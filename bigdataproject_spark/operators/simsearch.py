@@ -530,19 +530,30 @@ def assign_cell_struct_expr(
 
     Pass a NAMED ``array<double>`` column: the vector is referenced once
     per centroid inside the fold, and a named column is a cheap
-    attribute where an inline cast would copy the array per centroid."""
+    attribute where an inline cast would copy the array per centroid.
+
+    The centroid array is built as ONE SQL expression string parsed
+    JVM-side, not per-element ``F.lit`` Columns: 64 centroids × 32 dims
+    is ~2000 py4j round-trips (~1 s of driver time PER CALL, measured —
+    it dominated the sf10 append), vs ~7 ms for the single-string parse.
+    Same expression tree after parsing; Catalyst constant-folds it
+    either way."""
+    import math
+
     v = F.col(vec) if isinstance(vec, str) else vec
-    ctrs = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in ctr])
-                .cast("array<double>")
-                .alias("ctr"),
+    for cell, ctr in centroids:
+        if not all(math.isfinite(float(x)) for x in ctr):
+            raise ValueError(
+                f"assign_cell_struct_expr: centroid {cell} has a "
+                "non-finite component"
             )
-            for cell, ctr in centroids
-        ]
+    parts = ", ".join(
+        "named_struct('cell', {}, 'ctr', array({}))".format(
+            int(cell), ",".join(repr(float(x)) + "D" for x in ctr)
+        )
+        for cell, ctr in centroids
     )
+    ctrs = F.expr(f"array({parts})")
 
     def _d2(c: Column) -> Column:
         return F.aggregate(
@@ -662,10 +673,56 @@ def ivf_write_index(
     if fitted is None:
         raise ValueError("ivf_write_index: corpus is empty; nothing to index")
     assigned, ctr_df, _, n_rows, sum_d2 = fitted
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    _write_cells(assigned, path, mode="overwrite")
     ctr_df.write.mode("overwrite").parquet(f"{path}/centroids")
     _write_index_stats(
         corpus.sparkSession, path, kind="build", n_rows=n_rows, sum_d2=sum_d2
+    )
+
+
+def _obs_stats(obs) -> tuple[int, float]:
+    """(n, sum_d2) from a write-piggybacked Observation. When AQE's
+    empty-relation propagation prunes the whole input subtree (an EMPTY
+    batch behind the repartition exchange), the CollectMetrics node is
+    eliminated with it and ``obs.get`` raises instead of reporting
+    n=0 — the only way the metrics can go missing is that zero rows
+    were written, so zero is the faithful reading."""
+    try:
+        got = obs.get
+    except Exception:
+        return (0, 0.0)
+    return (int(got["n"]), float(got["sum_d2"] or 0.0))
+
+
+# Files per cell per write: 1 would minimize file count, but a
+# partial-probe scan then opens n_probe files — and on a small or
+# freshly-built index those files are single-row-group, so SCAN
+# parallelism collapses to n_probe tasks (measured at sf10: native
+# search 48 s → 83 s, blas 3.8 s → 5.0 s). 4 salted files per cell
+# keeps the per-write file count bounded (n_cells × 4, vs the
+# tasks × n_cells explosion the clustering exists to prevent) while a
+# probe scan gets n_probe × 4 splits; at 100 TB cells are hundreds of
+# MB and row-group splitting takes over either way.
+_IVF_FILES_PER_CELL = 4
+
+
+def _write_cells(assigned: DataFrame, path: str, *, mode: str) -> None:
+    """The one cells-table writer: CLUSTER by (cell, salt) before the
+    partitioned write. Without the repartition every upstream task
+    writes a file into every cell dir it touches — tasks × n_centroids
+    tiny files per write (measured: the dominant cost of a 10k-row
+    append at sf10, and a compaction debt for every later scan). The
+    exchange moves only the rows being written (the delta, for an
+    append), and each shuffle task holds whole (cell, salt) groups, so
+    a write emits ≤ ``_IVF_FILES_PER_CELL`` files per cell."""
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(_IVF_FILES_PER_CELL))
+    (
+        assigned.withColumn("_salt", salt)
+        .repartition(F.col("cell"), F.col("_salt"))
+        .drop("_salt")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
     )
 
 
@@ -733,16 +790,12 @@ def ivf_write_index_from_centroids(
                 F.col("_a.d2").alias("_d2"))
         .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
     )
-    assigned.drop("_d2").write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/cells"
-    )
+    _write_cells(assigned.drop("_d2"), path, mode="overwrite")
     spark.createDataFrame(
         centroids, "cell int, ctr array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    got = obs.get
-    _write_index_stats(
-        spark, path, kind="build", n_rows=got["n"], sum_d2=got["sum_d2"] or 0.0
-    )
+    n, sum_d2 = _obs_stats(obs)
+    _write_index_stats(spark, path, kind="build", n_rows=n, sum_d2=sum_d2)
 
 
 def ivf_append_index(
@@ -811,11 +864,8 @@ def ivf_append_index(
                 F.col("_a.d2").alias("_d2"))
         .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
     )
-    assigned.drop("_d2").write.mode("append").partitionBy("cell").parquet(
-        f"{path}/cells"
-    )
-    got = obs.get
-    n, sum_d2 = int(got["n"]), float(got["sum_d2"] or 0.0)
+    _write_cells(assigned.drop("_d2"), path, mode="append")
+    n, sum_d2 = _obs_stats(obs)
     if n:
         _write_index_stats(
             spark, path, kind="append", n_rows=n, sum_d2=sum_d2, append=True
