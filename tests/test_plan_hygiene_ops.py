@@ -172,3 +172,46 @@ def test_redact_is_single_map_projection(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_ivf_append_assignment_single_exchange_no_join(spark, sf_dir, tmp_path):
+    """r6: the append's assignment plan is a pure map-side projection
+    (literal-centroid argmin — no join against a centroid table, no
+    shuffle of the delta except the ONE clustered-write exchange), so
+    a corpus delta costs its own scan plus one delta-sized shuffle."""
+    from bigdataproject_spark.operators.simsearch import (
+        _collect_index_centroids,
+        assign_cell_struct_expr,
+        ivf_write_index,
+    )
+    from bigdataproject_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    ivf_write_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx,
+        id_col="vec_id", vec_col="embedding", n_centroids=8,
+    )
+    ctrs = _collect_index_centroids(spark, idx)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    assigned = delta.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_vd"),
+    ).select(
+        "neighbor_id", assign_cell_struct_expr("_vd", ctrs).alias("_a")
+    )
+    plan = _plan(assigned)
+    # the assignment itself: zero joins, zero exchanges, zero Python
+    for marker in (
+        "Join", "Exchange", "CartesianProduct", "BatchEvalPython",
+        "MapInPandas", "ArrowEvalPython",
+    ):
+        assert marker not in plan, marker
+    # the write path adds exactly ONE exchange (the cell/salt clustering)
+    clustered = (
+        assigned.select("neighbor_id", F.col("_a.cell").alias("cell"))
+        .withColumn("_salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(4)))
+        .repartition(F.col("cell"), F.col("_salt"))
+    )
+    wplan = _plan(clustered)
+    assert wplan.count("Exchange") == 1
