@@ -13,13 +13,25 @@ the 8-byte line hash (count + min(struct(doc, pos)) — both partial-agg
 friendly, so a line occurring 10^9 times costs its combiner-reduced
 count, never a 10^9-row task) → join of the hot-line set back onto the
 exploded lines → per-document reassembly via
-collect_list(struct(pos, line)) + array_sort. The hot-set join carries
-NO broadcast hint: with the default ``min_count=2`` a web-scale corpus
-can have billions of qualifying lines, so a pinned broadcast is a
-guaranteed OOM — AQE converts to broadcast at runtime exactly when the
-measured hot-set size is actually small. The reassembly buffer is
-bounded by document size (same bound as the document itself), unlike
-the unbounded timeline case.
+collect_list(struct(pos, line)) + array_sort. The hot-set join is
+MEASURED-byte-guarded (r6): the hot set is an aggregate output, so
+Catalyst's static estimate for it is the (corpus-sized) child estimate
+— past the autoBroadcastJoinThreshold the static plan sort-merges,
+shuffling the ENTIRE exploded corpus WITH line text against a hot set
+that is typically a few thousand rows (measured at the 10x rehearsal:
+4.4 MB -> 809 MB shuffle for 10x docs, a plan transition that is
+guaranteed at 100 TB). AQE cannot rescue it: by the time runtime stats
+exist, the corpus-side shuffle write has happened. So ``dedup_lines``
+localCheckpoints the hot set (its aggregation runs exactly once either
+way; the checkpoint stores the output instead of re-deriving it),
+counts the stored rows — fixed-width (long, struct(long,int)) rows, so
+count*bytes is exact, not an estimate — and broadcast-hints the join
+only when that fits ``hot_broadcast_max_bytes``. An UNconditioned pin
+stays banned (r3 hazard: with ``min_count=2`` a web-scale hot set can
+be billions of rows — the guard falls back to the shuffle join
+exactly there). The reassembly buffer is bounded by document size
+(same bound as the document itself), unlike the unbounded timeline
+case.
 
 Semantics:
   * lines are split on ``\\r\\n?|\\n`` and rejoined with ``\\n`` — CRLF,
@@ -97,6 +109,13 @@ def hot_lines(
     )
 
 
+# Unsafe-row width of one hot-set row: 8B null bitmap + 8B _key +
+# 8B struct pointer+size word + 16B struct payload (8B bitmap, 8B+4B
+# fields rounded to word). Used with a 2x safety factor against JVM
+# object overhead in the driver-side broadcast relation.
+_HOT_ROW_BYTES = 40
+
+
 def dedup_lines(
     docs: DataFrame,
     *,
@@ -104,16 +123,28 @@ def dedup_lines(
     text_col: str = "text",
     min_count: int = 2,
     keep_first: bool = False,
+    hot_broadcast_max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Rewrite ``text_col`` with over-represented lines removed; other
     columns pass through. Documents whose every line is dropped come
     back with empty text (they stay accounted for — filter downstream).
+
+    ``hot_broadcast_max_bytes`` caps the measured-size broadcast of the
+    hot-line set (see module docstring); ``0`` disables the guard (no
+    checkpoint, no hint — the pure-lazy r5 plan shape).
     """
     others = [c for c in docs.columns if c != text_col]
     lines = _lines(docs, id_col, text_col)
     hot = _hot_stats(
         docs, id_col=id_col, text_col=text_col, min_count=min_count
     ).select("_key", "_first")
+    if hot_broadcast_max_bytes > 0:
+        # eager: one job computes the hot aggregation (which every plan
+        # below needs anyway) and stores its output blocks; the count
+        # scans those blocks, it does not re-explode the corpus.
+        hot = hot.localCheckpoint()
+        if hot.count() * _HOT_ROW_BYTES * 2 <= hot_broadcast_max_bytes:
+            hot = F.broadcast(hot)
 
     marked = lines.join(hot, "_key", "left")
     if keep_first:

@@ -150,3 +150,32 @@ def test_duckdb_oracle_parity(spark):
         FROM docs d LEFT JOIN kept USING (doc_id) GROUP BY d.doc_id
     """).fetchall())
     assert got == oracle
+
+
+def test_guard_fallback_equals_broadcast_path(spark):
+    """The measured broadcast guard changes only the physical join
+    strategy: output under guard-on (hot set fits, broadcast hint),
+    guard-forced-fallback (budget too small, shuffle join), and
+    guard-off (r5 lazy shape) must be row-identical."""
+    docs = _docs(spark)
+    for kf in (False, True):
+        base = sorted(
+            map(tuple, dedup_lines(docs, keep_first=kf).collect())
+        )
+        fallback = sorted(
+            map(
+                tuple,
+                dedup_lines(
+                    docs, keep_first=kf, hot_broadcast_max_bytes=1
+                ).collect(),
+            )
+        )
+        lazy = sorted(
+            map(
+                tuple,
+                dedup_lines(
+                    docs, keep_first=kf, hot_broadcast_max_bytes=0
+                ).collect(),
+            )
+        )
+        assert base == fallback == lazy
