@@ -52,7 +52,14 @@ def pagerank(
                 F.col(dst).alias("s"), F.col(src).alias("d"), w.alias("w")
             )
         )
-    e = e.groupBy("s", "d").agg(F.sum("w").alias("w"))
+    # The aggregated edge list is the LAST corpus-sized frame: everything
+    # upstream (the caller's edge build — e.g. the entity-hits explode +
+    # pair aggregation over the whole document corpus) is expensive,
+    # everything downstream is graph-sized. Persist it so `trans` and
+    # `nodes` fill from ONE materialization — un-persisted, each pays the
+    # full upstream build (measured 2x the corpus shuffle at the 10x
+    # rehearsal: 2 x 83 MB at sf10, 2 x 830 MB at the 100x corpus).
+    e = e.groupBy("s", "d").agg(F.sum("w").alias("w")).persist()
 
     out_sum = e.groupBy("s").agg(F.sum("w").alias("out_w"))
     trans = (
@@ -69,7 +76,15 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         # empty graph → empty result with the output schema
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+        out = nodes.select("node", F.lit(0.0).alias("rank"))
+        for c in (trans, nodes, e):
+            c.unpersist()
+        return out
+
+    # Fill trans from the cached edge list, then drop the edge cache —
+    # the iterations only ever touch trans/nodes.
+    trans.count()
+    e.unpersist()
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank")).localCheckpoint()
     pending: list[DataFrame] = []
@@ -131,4 +146,8 @@ def pagerank(
             pending = []
         else:
             ranks = new_ranks
+    # the result is a localCheckpoint snapshot — it does not read these
+    # caches, so release them instead of leaking them to session end.
+    trans.unpersist()
+    nodes.unpersist()
     return ranks
