@@ -181,12 +181,21 @@ def fan_out(df: DataFrame, min_splits: int | None = None) -> DataFrame:
     a single 594 KB/5000-doc split). The guarded round-robin repartition
     trades one tiny local shuffle for full-width parallelism.
 
-    At 100 TB the guard makes this the IDENTITY: input splits ≫
-    ``spark.sql.shuffle.partitions``, so no exchange ever enters the
-    plan and the pass stays a pure scan-stage map. The split count comes
-    from driver-side plan metadata (``getNumPartitions`` compiles the
-    RDD DAG but runs no job, scans no data)."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    At 100 TB the guard makes this the IDENTITY: input splits ≫ the
+    cluster's core count, so no exchange ever enters the plan and the
+    pass stays a pure scan-stage map. The split count comes from
+    driver-side plan metadata (``getNumPartitions`` compiles the RDD
+    DAG but runs no job, scans no data).
+
+    The width target is ``defaultParallelism`` (total executor cores) —
+    NOT ``spark.sql.shuffle.partitions``: that is a reduce-side
+    memory-sizing knob, routinely raised several-fold above core count
+    so reduce partitions fit in memory, and using it here turned that
+    tuning into a full-corpus-text repartition (the 10x rehearsal,
+    sized at shuffle.partitions=256 on 32 cores, grew an 825 MB
+    document-text exchange inside every fan_out consumer that a
+    32-core width target makes the identity)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
     if min_splits is None:
         min_splits = target
     if df.rdd.getNumPartitions() >= min_splits:

@@ -120,3 +120,21 @@ def test_fan_out_identity_when_splits_suffice(spark, sf_dir):
     small = spark.range(0, 1000, 1, 1)
     plan = fan_out(small)._jdf.queryExecution().executedPlan().toString()
     assert "roundrobinpartitioning" in plan.lower()
+
+
+def test_fan_out_ignores_shuffle_partitions(spark):
+    """fan_out's width target is core count, NOT shuffle.partitions:
+    raising the reduce-side sizing knob (done per-SF to keep reduce
+    partitions in memory) must not grow a corpus-text repartition into
+    map-pass plans (the 10x rehearsal grew an 825 MB exchange this
+    way — sized at shuffle.partitions=256 on 32 cores)."""
+    from bigdataproject_spark.sources.readers import fan_out
+
+    cores = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, cores)  # splits == cores, < 4096
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4096")
+    try:
+        assert fan_out(df) is df
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
