@@ -117,40 +117,34 @@ def range_join_count(
     (only rows with ≥1 match; outer-count variants compose with a left join).
 
     Output cardinality is per left ROW, not per distinct left row: two
-    identical left rows each get their own count (grouping rides a
-    per-row id, never the value columns alone).
+    identical left rows each get their own output row.
+
+    Physical shape (r6 rewrite): ``n_in_range`` is a function of
+    (key, ts) ALONE, so the probe side is ``distinct (key, ts)`` — every
+    exchange before the final join carries two columns, map-side
+    combinable — and the per-pair counts equi-join back onto the full
+    left. Only that last join touches full-width left rows, and AQE
+    broadcasts the counts side whenever it is small. This is
+    deterministic under stage retry by construction (no row ids, no
+    nondeterministic expressions anywhere — the r5 formulation stamped
+    monotonically_increasing_id before the explode, and a retried,
+    reordered map task could regenerate one left row's two probe rows
+    with different ids, splitting its count across two output rows);
+    duplicate left rows ride through the back-join, each picking up the
+    identical count their shared (key, ts) determines. Left rows with a
+    NULL key or ts can never satisfy the range predicate and drop out of
+    both joins consistently.
     """
     if lookback_s <= 0:
         raise ValueError(
             f"range_join_count: lookback_s must be positive, got {lookback_s}"
         )
-    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / lookback_s)
+    pairs = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_t")
+    ).distinct()
+    lb = F.floor(F.unix_timestamp(F.col("_t")) / lookback_s)
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / lookback_s)
-    # per-row identity BEFORE the bucket explode (both probes of one row
-    # share it): grouping by the left value columns alone would collapse
-    # duplicate left rows and sum their counts. The id must also be
-    # STABLE under stage retry — a retried task that regenerates the two
-    # probe rows of one left row with different ids would split that
-    # row's count into two partial output rows. So the id is
-    # DETERMINISTIC by construction: a row_number over a window
-    # partitioned by every left column — identical rows get dup indexes
-    # 1..n, and whichever physical row draws which index, the multiset
-    # of (row values, index) is the same on every (re)computation. Costs
-    # one exchange on the left, which the downstream groupBy would pay
-    # anyway. Map-typed columns cannot be window keys; that (rare) shape
-    # falls back to monotonically_increasing_id pinned by an eager
-    # localCheckpoint, so retries replay stored blocks instead of
-    # recomputing ids.
-    from pyspark.sql.types import MapType
-
-    if any(isinstance(f.dataType, MapType) for f in left.schema.fields):
-        stamped = left.withColumn(
-            "_lid", F.monotonically_increasing_id()
-        ).localCheckpoint()
-    else:
-        w = Window.partitionBy(*left.columns).orderBy(F.lit(1))
-        stamped = left.withColumn("_lid", F.row_number().over(w))
-    probes = stamped.withColumn(
+    probes = pairs.withColumn(
         "_bucket", F.explode(F.array(lb.cast("long"), (lb - 1).cast("long")))
     )
     build = right.select(
@@ -160,16 +154,18 @@ def range_join_count(
     )
     joined = probes.join(
         build,
-        (F.col(key) == F.col("_rkey"))
+        (F.col("_k") == F.col("_rkey"))
         & (probes["_bucket"] == build["_bucket"])
-        & (F.col("_rts") < F.col(left_ts))
+        & (F.col("_rts") < F.col("_t"))
         & (
             F.col("_rts")
-            >= F.col(left_ts) - F.expr(f"INTERVAL {lookback_s} SECONDS")
+            >= F.col("_t") - F.expr(f"INTERVAL {lookback_s} SECONDS")
         ),
     )
-    return (
-        joined.groupBy("_lid", *[F.col(c) for c in left.columns])
-        .agg(F.count(F.lit(1)).alias("n_in_range"))
-        .drop("_lid")
+    counts = joined.groupBy("_k", "_t").agg(
+        F.count(F.lit(1)).alias("n_in_range")
     )
+    return left.join(
+        counts,
+        (F.col(key) == F.col("_k")) & (F.col(left_ts) == F.col("_t")),
+    ).select(*left.columns, "n_in_range")

@@ -157,9 +157,10 @@ def test_range_join_count_duplicate_left_rows(spark):
 
 
 def test_range_join_count_row_id_deterministic(spark):
-    """r6 ADVICE fix: the per-row id is a row_number over the left's
-    value columns — deterministic under stage retry — so the physical
-    plan carries NO monotonically_increasing_id for map-free schemas."""
+    """r6 ADVICE fix: the count is computed per distinct (key, ts) and
+    equi-joined back — deterministic under stage retry — so the physical
+    plan carries NO monotonically_increasing_id (and no row ids at
+    all)."""
     from bigdataproject_spark.operators.temporal import range_join_count
 
     left = spark.createDataFrame(
@@ -182,9 +183,9 @@ def test_range_join_count_row_id_deterministic(spark):
 
 
 def test_range_join_count_map_column_fallback(spark):
-    """Map-typed columns cannot be window keys: the fallback stamps
-    monotonically_increasing_id pinned by localCheckpoint — results
-    stay per-row correct."""
+    """Map-typed value columns ride through the (key, ts) back-join
+    untouched (they are never grouping or join keys) — results stay
+    per-row correct, duplicates included."""
     from bigdataproject_spark.operators.temporal import range_join_count
 
     left = spark.createDataFrame(
