@@ -805,6 +805,7 @@ def ivf_append_index(
     id_col: str,
     vec_col: str,
     rebuild_threshold: float = 2.0,
+    guard_ids: bool = False,
 ) -> dict:
     """Incremental IVF maintenance: assign a batch of NEW vectors to the
     index's EXISTING centroids and append them into the ``cell=``
@@ -830,11 +831,22 @@ def ivf_append_index(
     before stats existed gets its build row reconstructed from the
     current cells table (one explicit scan, once).
 
-    Replay caution: the append itself has no id-membership guard (the
-    index is a search layout, not a dedup ledger) — re-running the same
-    batch appends duplicate rows, which search then returns once per
-    copy. Callers needing exactly-once feed the append from an
-    idempotent upstream (e.g. the dedup index's survivor ledger).
+    Replay: by default the append has no id-membership guard (the index
+    is a search layout, not a dedup ledger) — re-running the same batch
+    appends duplicate rows, which search then returns once per copy.
+    ``guard_ids=True`` makes the append IDEMPOTENT: rows whose id is
+    already indexed are anti-joined away before the write, with the
+    membership read PARTITION-PRUNED to the batch's own touched cells
+    (assignment is deterministic, so a replayed row lands in the same
+    ``cell=`` partition its first copy lives in — checking those
+    partitions is exhaustive). Cost: one extra delta-sized pass to
+    collect the touched-cell list (bounded by n_centroids rows) plus an
+    id-column scan of the touched partitions. Guarded replays also keep
+    the drift ledger honest: the stats row records post-guard rows
+    only, so a replay adds nothing twice. The streaming flow
+    (streaming/ivf_stream.py) runs with the guard on; bulk one-shot
+    loads from an already-idempotent upstream (e.g. the dedup index's
+    survivor ledger) can skip it.
 
     Returns {n_appended, batch_mean_d2, build_mean_d2,
     appended_mean_d2, drift_ratio, rebuild_recommended}."""
@@ -862,7 +874,20 @@ def ivf_append_index(
         )
         .select("neighbor_id", "cv", "cn", F.col("_a.cell").alias("cell"),
                 F.col("_a.d2").alias("_d2"))
-        .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
+    )
+    if guard_ids:
+        touched = [
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        ]
+        if touched:
+            existing = (
+                spark.read.parquet(f"{path}/cells")
+                .where(F.col("cell").isin(touched))
+                .select("neighbor_id")
+            )
+            assigned = assigned.join(existing, "neighbor_id", "left_anti")
+    assigned = assigned.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2")
     )
     _write_cells(assigned.drop("_d2"), path, mode="append")
     n, sum_d2 = _obs_stats(obs)
@@ -932,6 +957,107 @@ def ivf_index_drift(
         "n_appended_total": a_n,
         "drift_ratio": ratio,
         "rebuild_recommended": rec,
+    }
+
+
+def ivf_compact_index(
+    spark,
+    path: str,
+    *,
+    files_per_cell: int | None = None,
+) -> dict:
+    """Rewrite the ``cells`` table in place: per-batch appended part
+    files (every :func:`ivf_append_index` adds up to
+    ``_IVF_FILES_PER_CELL`` files per touched cell) become a bounded
+    number of large files per cell, and duplicate (neighbor_id, cell)
+    rows — possible only from UNguarded replayed appends — are dropped
+    (one surviving row per id per cell; the layout does not version
+    vectors). ``files_per_cell`` defaults to footer-estimated table
+    size / 128 MiB / n_cells, floored at 1. Centroids and the stats
+    ledger are untouched (dropped duplicate rows stay counted in the
+    append stats — the drift MEAN they contributed to was computed from
+    real assignments, so the baseline stays honest; only n_appended_total
+    over-counts by the number of dropped copies, recorded in the return).
+
+    OFFLINE maintenance op with the same crash-safe rename-aside swap as
+    the dedup index's compact_index (operators/dedup_index.py) — the
+    live dir is only renamed aside after the compacted copy is complete,
+    an interrupted run heals on re-entry, and a failed swap-in restores
+    the original (reporting the rollback result). Returns
+    {files_before, files_after, rows, dup_rows_dropped}."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    live = f"{path}/cells"
+    tmp = f"{path}/cells__compacting"
+    old = f"{path}/cells__old"
+    fs = Path(live).getFileSystem(hconf)
+
+    # heal an interrupted previous run: live is missing only in the
+    # window between rename(live→old) and rename(tmp→live), where both
+    # complete copies exist — prefer the compacted temp dir (marked
+    # complete by _SUCCESS), fall back to the original.
+    if not fs.exists(Path(live)):
+        if fs.exists(Path(f"{tmp}/_SUCCESS")):
+            src = tmp
+        elif fs.exists(Path(old)):
+            src = old
+        else:
+            raise IOError(f"ivf_compact_index: {live} missing and no recovery copy")
+        if not fs.rename(Path(src), Path(live)):
+            raise IOError(
+                f"ivf_compact_index: recovery rename {src} -> {live} failed"
+            )
+    fs.delete(Path(tmp), True)
+    fs.delete(Path(old), True)
+
+    df = spark.read.parquet(live)
+    rows_before = df.count()
+    deduped = df.dropDuplicates(["neighbor_id", "cell"])
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    if files_per_cell is None:
+        from bigdataproject_spark.operators.dedup import _plan_size_bytes
+
+        target = 128 * 1024 * 1024
+        files_per_cell = max(
+            1, -(-_plan_size_bytes(df) // (target * max(n_cells, 1)))
+        )
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(int(files_per_cell)))
+    (
+        deduped.withColumn("_salt", salt)
+        .repartition(F.col("cell"), F.col("_salt"))
+        .drop("_salt")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+
+    def _parts(p: str) -> int:
+        n = 0
+        it = fs.listFiles(Path(p), True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before = _parts(live)
+    rows_after = spark.read.parquet(tmp).count()
+    if not fs.rename(Path(live), Path(old)):
+        raise IOError(f"ivf_compact_index: rename {live} -> {old} failed")
+    if not fs.rename(Path(tmp), Path(live)):
+        restored = fs.rename(Path(old), Path(live))
+        raise IOError(
+            f"ivf_compact_index: rename {tmp} -> {live} failed "
+            f"(live restored from {old}: {'yes' if restored else 'NO'}"
+            f"{'' if restored else ' — re-run ivf_compact_index to heal'})"
+        )
+    fs.delete(Path(old), True)
+    return {
+        "files_before": before,
+        "files_after": _parts(live),
+        "rows": rows_after,
+        "dup_rows_dropped": rows_before - rows_after,
     }
 
 

@@ -1,0 +1,143 @@
+"""Streaming IVF index maintenance: an embedding stream appends into a
+persisted IVF index (operators/simsearch.py) one micro-batch at a time
+— the search-side twin of the streaming dedup-index flow
+(streaming/index_stream.py). The reference has no counterpart (its data
+model stops at batch scripts); this is the steady-state story a
+training-data pipeline needs: documents arrive continuously, their
+embeddings must become searchable without a quantizer refit or index
+rewrite per delta.
+
+Exactly-once without stream state: foreachBatch is at-least-once, so
+every append runs with ``ivf_append_index(guard_ids=True)`` — the
+membership anti-join is partition-pruned to the batch's own touched
+``cell=`` partitions (assignment against fixed centroids is
+deterministic, so a replayed row lands exactly where its first copy
+lives; checking those partitions is exhaustive). A replayed or crashed-
+and-retried batch therefore appends exactly the missing rows — nothing
+twice — and the drift ledger stays honest because the stats row records
+post-guard rows only.
+
+Unlike the dedup-index flow there is NO bootstrap-from-nothing: an IVF
+index needs trained centroids, so the stream maintains an index BUILT
+from a seed corpus (``ivf_write_index`` /
+``ivf_write_index_from_centroids``). That is the real-world shape — the
+coarse quantizer is fit once per epoch on existing data; the stream
+keeps the index current between refits, and the per-batch drift report
+(``rebuild_recommended``) is the signal that the next refit is due.
+The report is surfaced through ``on_report`` (called once per batch,
+post-guard) rather than a log line, so a driver loop can route it to
+whatever alerting exists.
+
+Auto-compaction policy: per-batch appends grow the cells file count
+without bound (≤ _IVF_FILES_PER_CELL files per touched cell per batch)
+until someone remembers to call ``ivf_compact_index`` — at 100 TB
+"remembers to" is not a policy. ``compact_every_n_batches=N`` compacts
+after every N-th batch (batch ids are monotonic and checkpoint-stable:
+no writer-side state, survives restarts); ``compact_min_cell_files=M``
+compacts whenever the cells table holds ≥ M part files (one recursive
+listing per batch). The compaction runs INSIDE foreachBatch after the
+append — exactly the between-batches window the rename-aside swap
+requires — and a crash anywhere around it is covered by the swap's
+heal + the guarded replay.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdataproject_spark.operators.simsearch import (
+    ivf_append_index,
+    ivf_compact_index,
+)
+
+__all__ = ["make_ivf_batch_writer", "stream_embeddings_to_ivf"]
+
+
+def _n_cell_files(spark: SparkSession, path: str) -> int:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def make_ivf_batch_writer(
+    index_path: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    rebuild_threshold: float = 2.0,
+    compact_every_n_batches: int | None = None,
+    compact_min_cell_files: int | None = None,
+    on_report: Callable[[int, dict], None] | None = None,
+):
+    """The foreachBatch function (see module docstring). Exposed
+    separately from :func:`stream_embeddings_to_ivf` so tests can drive
+    replay and crash-window cases directly."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        report = ivf_append_index(
+            batch_df,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            rebuild_threshold=rebuild_threshold,
+            guard_ids=True,
+        )
+        if on_report is not None:
+            on_report(batch_id, report)
+
+        due = (
+            compact_every_n_batches is not None
+            and (batch_id + 1) % compact_every_n_batches == 0
+        ) or (
+            compact_min_cell_files is not None
+            and _n_cell_files(spark, index_path) >= compact_min_cell_files
+        )
+        if due:
+            ivf_compact_index(spark, index_path)
+
+    return _write_batch
+
+
+def stream_embeddings_to_ivf(
+    vec_stream: DataFrame,
+    *,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    rebuild_threshold: float = 2.0,
+    compact_every_n_batches: int | None = None,
+    compact_min_cell_files: int | None = None,
+    on_report: Callable[[int, dict], None] | None = None,
+):
+    """Drain an embedding stream into an EXISTING IVF index at
+    ``index_path`` (build one from a seed corpus first — see module
+    docstring): returns the started StreamingQuery (availableNow
+    trigger — process everything pending, then stop; call
+    ``.awaitTermination()``)."""
+    writer = make_ivf_batch_writer(
+        index_path,
+        id_col=id_col,
+        vec_col=vec_col,
+        rebuild_threshold=rebuild_threshold,
+        compact_every_n_batches=compact_every_n_batches,
+        compact_min_cell_files=compact_min_cell_files,
+        on_report=on_report,
+    )
+    return (
+        vec_stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

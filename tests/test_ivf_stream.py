@@ -1,0 +1,209 @@
+"""Streaming IVF maintenance (streaming/ivf_stream.py) + the guarded
+append and cells compaction it rides on (operators/simsearch.py):
+replayed appends are idempotent, a two-batch stream searches exactly
+like a rebuild over the union, the in-stream compaction policy fires
+and preserves results, and unguarded duplicate rows die on compaction.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.operators.simsearch import (
+    ivf_append_index,
+    ivf_compact_index,
+    ivf_topk_indexed,
+    ivf_write_index_from_centroids,
+    sample_centroids,
+)
+from bigdataproject_spark.sources.readers import load_table
+from bigdataproject_spark.streaming.ivf_stream import (
+    make_ivf_batch_writer,
+    stream_embeddings_to_ivf,
+)
+
+
+def _collected(df):
+    return [(r.q_id, r.rank, r.neighbor_id, r.cosine) for r in df.collect()]
+
+
+def _seed_and_deltas(spark, sf_dir):
+    """Seed corpus (2/3 of embeddings), two delta batches, queries, and
+    centroids fit on the seed — the streaming protocol's fixed parts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    d1 = emb.filter(F.col("vec_id") % 3 == 1)
+    d2 = emb.filter(F.col("vec_id") % 3 == 2)
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+    ctrs = sample_centroids(
+        seed, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    return seed, d1, d2, queries, ctrs
+
+
+def _search(spark, idx, queries, n_probe=8):
+    return _collected(
+        ivf_topk_indexed(
+            spark, idx, queries, id_col="vec_id", vec_col="embedding",
+            k=5, n_probe=n_probe,
+        )
+    )
+
+
+def _stream_dir(spark, tmp_path, frames):
+    """Lay each frame down as one parquet file with increasing mtimes so
+    the file source delivers them as ordered micro-batches."""
+    src = tmp_path / "src"
+    src.mkdir()
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    now = time.time()
+    for i, df in enumerate(frames):
+        d = src / f"f{i}.parquet"
+        df.coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = stream_dir / f"{i:04d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return stream_dir
+
+
+def test_guarded_append_replay_is_idempotent(spark, sf_dir, tmp_path):
+    seed, d1, _, queries, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    rep1 = ivf_append_index(
+        d1, idx, id_col="vec_id", vec_col="embedding", guard_ids=True
+    )
+    n1 = d1.count()
+    assert rep1["n_appended"] == n1 > 0
+    rows = spark.read.parquet(f"{idx}/cells").count()
+    want = _search(spark, idx, queries)
+
+    # the replay: same batch again, guard on — nothing appended, the
+    # drift ledger unchanged, search identical
+    rep2 = ivf_append_index(
+        d1, idx, id_col="vec_id", vec_col="embedding", guard_ids=True
+    )
+    assert rep2["n_appended"] == 0
+    assert rep2["n_appended_total"] == rep1["n_appended_total"] == n1
+    assert spark.read.parquet(f"{idx}/cells").count() == rows
+    assert _search(spark, idx, queries) == want
+
+
+def test_stream_equals_rebuild_over_union(spark, sf_dir, tmp_path):
+    seed, d1, d2, queries, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    reports = {}
+    stream = (
+        spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(_stream_dir(spark, tmp_path, [d1, d2])))
+    )
+    q = stream_embeddings_to_ivf(
+        stream,
+        index_path=idx,
+        checkpoint=str(tmp_path / "ckpt"),
+        id_col="vec_id",
+        vec_col="embedding",
+        on_report=lambda bid, rep: reports.__setitem__(bid, rep),
+    )
+    q.awaitTermination(120)
+    assert sorted(reports) == [0, 1]
+    assert reports[0]["n_appended"] == d1.count()
+    assert reports[1]["n_appended"] == d2.count()
+
+    full = str(tmp_path / "full")
+    union = seed.unionByName(d1).unionByName(d2)
+    ivf_write_index_from_centroids(
+        union, full, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    for n_probe in (2, 8):
+        assert _search(spark, idx, queries, n_probe) == _search(
+            spark, full, queries, n_probe
+        ), n_probe
+
+
+def test_in_stream_compaction_policy(spark, sf_dir, tmp_path):
+    """compact_every_n_batches=1: every batch compacts; file count stays
+    bounded by the per-cell target and search results are unchanged."""
+    seed, d1, d2, queries, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    stream = (
+        spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(_stream_dir(spark, tmp_path, [d1, d2])))
+    )
+    q = stream_embeddings_to_ivf(
+        stream,
+        index_path=idx,
+        checkpoint=str(tmp_path / "ckpt"),
+        id_col="vec_id",
+        vec_col="embedding",
+        compact_every_n_batches=1,
+    )
+    q.awaitTermination(120)
+    n_files = len(
+        glob.glob(f"{idx}/cells/cell=*/*.parquet")
+    )
+    n_cells = spark.read.parquet(f"{idx}/centroids").count()
+    assert n_files <= n_cells  # files_per_cell resolves to 1 at this size
+
+    full = str(tmp_path / "full")
+    union = seed.unionByName(d1).unionByName(d2)
+    ivf_write_index_from_centroids(
+        union, full, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    assert _search(spark, idx, queries) == _search(spark, full, queries)
+
+
+def test_compact_drops_unguarded_duplicate_rows(spark, sf_dir, tmp_path):
+    seed, d1, _, queries, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    # UNguarded double append — the replay shape the guard exists for
+    ivf_append_index(d1, idx, id_col="vec_id", vec_col="embedding")
+    ivf_append_index(d1, idx, id_col="vec_id", vec_col="embedding")
+    n_dup = d1.count()
+    stats = ivf_compact_index(spark, idx)
+    assert stats["dup_rows_dropped"] == n_dup
+    assert stats["rows"] == seed.count() + n_dup
+    assert stats["files_after"] <= stats["files_before"]
+
+    full = str(tmp_path / "full")
+    ivf_write_index_from_centroids(
+        seed.unionByName(d1), full, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    assert _search(spark, idx, queries) == _search(spark, full, queries)
+
+
+def test_compact_is_rerunnable(spark, sf_dir, tmp_path):
+    seed, d1, _, queries, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_append_index(
+        d1, idx, id_col="vec_id", vec_col="embedding", guard_ids=True
+    )
+    want = _search(spark, idx, queries)
+    s1 = ivf_compact_index(spark, idx)
+    s2 = ivf_compact_index(spark, idx)
+    assert s1["rows"] == s2["rows"]
+    assert s2["dup_rows_dropped"] == 0
+    assert _search(spark, idx, queries) == want
