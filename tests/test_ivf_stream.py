@@ -207,3 +207,38 @@ def test_compact_is_rerunnable(spark, sf_dir, tmp_path):
     assert s1["rows"] == s2["rows"]
     assert s2["dup_rows_dropped"] == 0
     assert _search(spark, idx, queries) == want
+
+
+def test_compact_heals_interrupted_swap(spark, sf_dir, tmp_path):
+    """Crash window: cells deleted after the compacted temp dir
+    completed — a re-run must heal from the temp dir; and the variant
+    where live was renamed aside but the temp is incomplete must
+    restore the set-aside original."""
+    import os
+
+    seed, d1, _, queries, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_append_index(
+        d1, idx, id_col="vec_id", vec_col="embedding", guard_ids=True
+    )
+    want = _search(spark, idx, queries)
+
+    # 1: finished temp dir, live deleted (crash between the renames)
+    ivf_compact_index(spark, idx)  # leaves a compact live store
+    shutil.copytree(f"{idx}/cells", f"{idx}/cells__compacting")
+    shutil.rmtree(f"{idx}/cells")
+    stats = ivf_compact_index(spark, idx)
+    assert stats["rows"] == seed.count() + d1.count()
+    assert _search(spark, idx, queries) == want
+
+    # 2: live renamed aside, temp incomplete (no _SUCCESS)
+    shutil.move(f"{idx}/cells", f"{idx}/cells__old")
+    os.mkdir(f"{idx}/cells__compacting")
+    stats = ivf_compact_index(spark, idx)
+    assert stats["rows"] == seed.count() + d1.count()
+    assert _search(spark, idx, queries) == want
+    assert not os.path.exists(f"{idx}/cells__old")
+    assert not os.path.exists(f"{idx}/cells__compacting")
