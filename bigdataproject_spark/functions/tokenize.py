@@ -116,6 +116,7 @@ def get_tokenizer(
     drop_numeric: bool = False,
     lowercase: bool = True,
     bpe_merges=None,
+    cjk_words: Sequence[str] | None = None,
 ):
     """Injectable tokenizer seam: returns ``Column|str -> Column``
     (array<string> tokens) so every token-consuming stage — chunking,
@@ -128,6 +129,13 @@ def get_tokenizer(
         scale path and the deterministic default, unchanged;
       * ``"cjk-bigram"`` — dictionary-free CJK fallback
         (:func:`cjk_bigram_tokens`);
+      * ``"cjk-dict"`` — pure-Python forward-maximum-matching
+        dictionary segmenter (functions/cjk_dict.py; the in-container
+        stand-in for jieba's dictionary phase — deterministic, Arrow
+        pandas_udf, vendored default word list). Pass ``cjk_words`` to
+        segment with your own dictionary (e.g. a domain alias table's
+        keys); OOV Han falls back to single chars, which min_len>=2
+        then drops like the reference's len<=1 rule;
       * ``"jieba"`` — import-gated Arrow pandas_udf
         (:func:`jieba_tokenize_udf`; raises ImportError without the
         library — same gate pattern);
@@ -169,6 +177,25 @@ def get_tokenizer(
             ),
             F.array(),
         )
+    if backend == "cjk-dict":
+        from bigdataproject_spark.functions.cjk_dict import (
+            cjk_dict_tokenize_udf,
+        )
+
+        # raw segmentation from the UDF; the SAME native post-filter as
+        # the regex/cjk-bigram backends applies the policy, so
+        # min_len/drop_numeric/stopwords behave identically across
+        # backends (the seam's contract).
+        seg = cjk_dict_tokenize_udf(cjk_words, lowercase=lowercase)
+        return lambda c: F.coalesce(
+            _post_filter(
+                seg(F.col(c) if isinstance(c, str) else c),
+                stopwords,
+                min_len,
+                drop_numeric,
+            ),
+            F.array(),
+        )
     if backend == "jieba":
         udf = jieba_tokenize_udf(
             stopwords=stopwords,
@@ -189,8 +216,8 @@ def get_tokenizer(
         )
         return lambda c: udf(F.col(c) if isinstance(c, str) else c)
     raise ValueError(
-        f"get_tokenizer: unknown backend {backend!r} "
-        "(expected 'regex', 'cjk-bigram', 'jieba', 'bpe', or a callable)"
+        f"get_tokenizer: unknown backend {backend!r} (expected 'regex', "
+        "'cjk-bigram', 'cjk-dict', 'jieba', 'bpe', or a callable)"
     )
 
 

@@ -221,6 +221,7 @@ def accept_batch(
     num_hashes: int = 32,
     bands: int = 8,
     hash_family: str = "murmur3",
+    lease_owner: str | None = None,
 ) -> DataFrame:
     """The full incremental step: find the batch docs that are NOT
     near-dups of the stored corpus or of an earlier (smaller-id) batch
@@ -235,7 +236,17 @@ def accept_batch(
     The drop-list is localCheckpoint'd BEFORE the index append: that
     truncates the survivor plan's lineage so it no longer reads
     ``{path}/bands`` — re-evaluating the returned frame after the
-    append must not see the batch's own just-appended signatures."""
+    append must not see the batch's own just-appended signatures.
+
+    ``lease_owner`` (default: this applicationId) is checked against a
+    compaction lease on the index (operators/lease.py): an append racing
+    another writer's :func:`compact_index` swap would be silently
+    dropped by the swap, so it raises loudly instead."""
+    from bigdataproject_spark.operators.lease import assert_unleased
+
+    assert_unleased(
+        spark, path, lease_owner or spark.sparkContext.applicationId
+    )
     pairs = incremental_minhash_pairs(
         spark,
         new_docs,
@@ -282,6 +293,7 @@ def compact_index(
     path: str,
     *,
     num_files: int | None = None,
+    lease_owner: str | None = None,
 ) -> dict[str, dict[str, int]]:
     """Rewrite the index in place: thousands of per-batch appended part
     files (``accept_batch`` appends every batch) become a few large
@@ -294,8 +306,16 @@ def compact_index(
     (the verify joins and the resume anti-join both probe by id).
     ``num_files`` defaults to footer-estimated size / 128 MiB.
 
-    OFFLINE maintenance op: the rename-swap is not atomic for
-    concurrent readers — run it between batches, like any compaction.
+    OFFLINE maintenance op: no concurrent writer (an append racing the
+    swap would vanish into the renamed-aside copy — enforced
+    best-effort by the writer lease this function acquires, see
+    operators/lease.py; :func:`accept_batch` checks it and raises) and
+    no concurrent reader (the rename-swap leaves each table briefly
+    nonexistent — run it between batches, quiesce or retry external
+    readers). ``lease_owner`` defaults to this applicationId; a
+    restartable maintenance loop should pass a restart-stable string
+    (the streaming flow passes its checkpoint path) so its own stale
+    lease after a crash is stolen back instead of wedging it.
     Crash-safe by re-run, with NO window that can lose data: the live
     table is never deleted, only atomically RENAMED aside to
     ``{table}__old`` after the compacted temp dir is complete, then the
@@ -305,6 +325,20 @@ def compact_index(
     stale temp/old dir from any earlier crash is cleared before the
     rewrite. Returns per-table {files_before, files_after, rows}.
     """
+    from bigdataproject_spark.operators.lease import acquire_lease, release_lease
+
+    owner = lease_owner or spark.sparkContext.applicationId
+    acquire_lease(spark, path, owner)
+    try:
+        return _compact_index_leased(spark, path, num_files)
+    finally:
+        release_lease(spark, path, owner)
+
+
+def _compact_index_leased(
+    spark: SparkSession, path: str, num_files: int | None
+) -> dict[str, dict[str, int]]:
+    """:func:`compact_index` body, lease already held."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path

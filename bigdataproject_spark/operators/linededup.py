@@ -24,8 +24,10 @@ guaranteed at 100 TB). AQE cannot rescue it: by the time runtime stats
 exist, the corpus-side shuffle write has happened. So ``dedup_lines``
 localCheckpoints the hot set (its aggregation runs exactly once either
 way; the checkpoint stores the output instead of re-deriving it),
-counts the stored rows — fixed-width (long, struct(long,int)) rows, so
-count*bytes is exact, not an estimate — and broadcast-hints the join
+MEASURES its bytes with one aggregate over the stored rows — the
+per-row width derived from the caller's actual id type, since a
+string/wide doc id must not ride a long-sized estimate into a pinned
+broadcast (r7, was a fixed 40B/row) — and broadcast-hints the join
 only when that fits ``hot_broadcast_max_bytes``. An UNconditioned pin
 stays banned (r3 hazard: with ``min_count=2`` a web-scale hot set can
 be billions of rows — the guard falls back to the shuffle join
@@ -109,11 +111,30 @@ def hot_lines(
     )
 
 
-# Unsafe-row width of one hot-set row: 8B null bitmap + 8B _key +
-# 8B struct pointer+size word + 16B struct payload (8B bitmap, 8B+4B
-# fields rounded to word). Used with a 2x safety factor against JVM
-# object overhead in the driver-side broadcast relation.
-_HOT_ROW_BYTES = 40
+def _hot_set_bytes(hot: DataFrame, id_type) -> int:
+    """Measured byte size of the (already localCheckpoint'd) hot set:
+    ONE aggregate over its stored blocks summing a per-row width
+    expression. The fixed part — 8B null bitmap + 8B _key + 8B struct
+    pointer/size word + struct payload (8B bitmap + 8B-padded _pos) —
+    is exact for unsafe rows; the ``_first._id`` term depends on the
+    CALLER'S id column type (``dedup_lines`` accepts any id_col), so it
+    is derived from the actual data type — fixed-width types count 8B,
+    string/binary ids count their measured per-row length (a wide doc id
+    must not ride a long-sized estimate into a pinned broadcast; the
+    pre-r7 fixed-40B constant did exactly that). A 2x safety factor
+    against JVM object overhead is applied by the caller."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    base = F.lit(40).cast("long")
+    idc = F.col("_first._id")
+    if isinstance(id_type, StringType):
+        term = (F.coalesce(F.length(idc), F.lit(0)) * 2 + 16).cast("long")
+    elif isinstance(id_type, BinaryType):
+        term = (F.coalesce(F.length(idc), F.lit(0)) + 16).cast("long")
+    else:  # fixed-width numeric/date/timestamp: 8B padded slot
+        term = F.lit(8).cast("long")
+    row = hot.agg(F.sum(base + term).alias("b")).collect()[0]
+    return int(row["b"] or 0)
 
 
 def dedup_lines(
@@ -140,10 +161,13 @@ def dedup_lines(
     ).select("_key", "_first")
     if hot_broadcast_max_bytes > 0:
         # eager: one job computes the hot aggregation (which every plan
-        # below needs anyway) and stores its output blocks; the count
-        # scans those blocks, it does not re-explode the corpus.
+        # below needs anyway) and stores its output blocks; the size
+        # measurement scans those blocks, it does not re-explode the
+        # corpus. Width is MEASURED per the actual id type (string doc
+        # ids are not 8 bytes — see _hot_set_bytes).
         hot = hot.localCheckpoint()
-        if hot.count() * _HOT_ROW_BYTES * 2 <= hot_broadcast_max_bytes:
+        measured = _hot_set_bytes(hot, docs.schema[id_col].dataType)
+        if measured * 2 <= hot_broadcast_max_bytes:
             hot = F.broadcast(hot)
 
     marked = lines.join(hot, "_key", "left")

@@ -17,6 +17,8 @@ Two paths:
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,19 +40,25 @@ _SEARCH_BROADCAST_MAX_BYTES = 256 << 20
 _UNKNOWN_STATS_BYTES = 1 << 62
 
 
-# (count, max-row-bytes) per analyzed query plan, keyed by
-# (SparkContext id, plan semanticHash): a long-lived search service
-# re-issues the SAME query frame per search call, and without the cache
-# every call whose plan Catalyst cannot size re-pays the two tier-2
-# measurement jobs. semanticHash is over the ANALYZED plan, so two
-# syntactically different but semantically equal frames share an entry,
-# and any real plan change (new filter, different source) misses. The
-# cache assumes a plan's underlying data is immutable within the
-# session — re-reading a parquet path after appending files produces a
-# new file-index in the analyzed plan (a new hash), but callers that
-# mutate data under an UNCHANGED plan object should call
+# (count, max-row-bytes) per analyzed query plan: a long-lived search
+# service re-issues the SAME query frame per search call, and without
+# the cache every call whose plan Catalyst cannot size re-pays the two
+# tier-2 measurement jobs. Keyed by (applicationId, semanticHash) —
+# applicationId embeds the context's start time so a stopped context's
+# key can never be recycled the way ``id()`` could — and every hit is
+# CONFIRMED with ``DataFrame.sameSemantics`` against a weakly-held
+# reference frame, so a 32-bit semanticHash collision between distinct
+# plans degrades to a re-measure, never to serving another plan's
+# stats (a dead weakref likewise re-measures: correctness over hit
+# rate). LRU-bounded at ``_QUERY_STATS_CACHE_MAX`` entries so a
+# year-long session issuing many distinct plans cannot grow it without
+# bound. The cache assumes a plan's underlying data is immutable within
+# the session — re-reading a parquet path after appending files
+# produces a new file-index in the analyzed plan (a new hash), but
+# callers that mutate data under an UNCHANGED plan object should call
 # :func:`clear_measured_query_cache` first.
-_QUERY_STATS_CACHE: dict[tuple[int, int], tuple[int, int]] = {}
+_QUERY_STATS_CACHE: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
+_QUERY_STATS_CACHE_MAX = 256
 
 
 def _query_row_stats_uncached(q: DataFrame) -> tuple[int, int]:
@@ -82,20 +90,37 @@ def _query_row_stats_uncached(q: DataFrame) -> tuple[int, int]:
 
 def _query_row_stats(q: DataFrame) -> tuple[int, int]:
     """Memoized :func:`_query_row_stats_uncached` (see
-    ``_QUERY_STATS_CACHE``). A hash failure (exotic plan, JVM hiccup)
-    degrades to uncached measurement, never to a wrong estimate."""
+    ``_QUERY_STATS_CACHE``). Any failure in keying or hit confirmation
+    (exotic plan, JVM hiccup, dead weakref) degrades to uncached
+    measurement, never to a wrong estimate."""
+    import weakref
+
     try:
         key = (
-            id(q.sparkSession.sparkContext),
+            q.sparkSession.sparkContext.applicationId,
             int(q._jdf.queryExecution().analyzed().semanticHash()),
         )
     except Exception:
         key = None
     if key is not None and key in _QUERY_STATS_CACHE:
-        return _QUERY_STATS_CACHE[key]
+        ref, stats = _QUERY_STATS_CACHE[key]
+        cached_q = ref()
+        try:
+            confirmed = cached_q is not None and q.sameSemantics(cached_q)
+        except Exception:
+            confirmed = False
+        if confirmed:
+            _QUERY_STATS_CACHE.move_to_end(key)
+            return stats
+        _QUERY_STATS_CACHE.pop(key, None)
     stats = _query_row_stats_uncached(q)
     if key is not None:
-        _QUERY_STATS_CACHE[key] = stats
+        try:
+            _QUERY_STATS_CACHE[key] = (weakref.ref(q), stats)
+        except TypeError:  # un-weakref-able frame subclass: skip caching
+            pass
+        while len(_QUERY_STATS_CACHE) > _QUERY_STATS_CACHE_MAX:
+            _QUERY_STATS_CACHE.popitem(last=False)
     return stats
 
 
@@ -103,8 +128,8 @@ def clear_measured_query_cache(spark) -> int:
     """Drop this session's memoized tier-2 measurements (returns how
     many entries were dropped). Call after mutating data underneath a
     query frame you intend to re-search with the same plan object."""
-    sc_id = id(spark.sparkContext)
-    keys = [k for k in _QUERY_STATS_CACHE if k[0] == sc_id]
+    app_id = spark.sparkContext.applicationId
+    keys = [k for k in _QUERY_STATS_CACHE if k[0] == app_id]
     for k in keys:
         _QUERY_STATS_CACHE.pop(k, None)
     return len(keys)
@@ -726,16 +751,62 @@ def _write_cells(assigned: DataFrame, path: str, *, mode: str) -> None:
     )
 
 
-_INDEX_STATS_SCHEMA = "kind string, n_rows long, sum_d2 double"
+# ``ledger_id`` (nullable; new in r7 — pre-r7 stats files simply read
+# it as NULL through the explicit schema) keys an append batch so a
+# replayed batch can recognize its own already-recorded stats row and
+# skip the write: see the ledger protocol in :func:`ivf_append_index`.
+_INDEX_STATS_SCHEMA = "kind string, n_rows long, sum_d2 double, ledger_id string"
 
 
 def _write_index_stats(
-    spark, path: str, *, kind: str, n_rows: int, sum_d2: float, append: bool = False
+    spark,
+    path: str,
+    *,
+    kind: str,
+    n_rows: int,
+    sum_d2: float,
+    append: bool = False,
+    ledger_id: str | None = None,
 ) -> None:
     spark.createDataFrame(
-        [(kind, int(n_rows), float(sum_d2))], _INDEX_STATS_SCHEMA
+        [(kind, int(n_rows), float(sum_d2), ledger_id)], _INDEX_STATS_SCHEMA
     ).coalesce(1).write.mode("append" if append else "overwrite").parquet(
         f"{path}/stats"
+    )
+
+
+def _read_stats(spark, path: str) -> DataFrame:
+    """The stats ledger as a DataFrame — explicit schema, so pre-r7
+    three-column files read with a NULL ledger_id. Heals the ledger
+    fold's swap window on entry (crash between the two renames leaves
+    ``stats`` missing with a complete copy aside — same recovery rule
+    as the cells swap) so a drift read never fails on a crashed
+    compaction's debris."""
+    live = f"{path}/stats"
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(live).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(Path(live)):
+        tmp, old = f"{live}__compacting", f"{live}__old"
+        if fs.exists(Path(f"{tmp}/_SUCCESS")):
+            src = tmp
+        elif fs.exists(Path(old)):
+            src = old
+        else:
+            raise IOError(f"_read_stats: {live} missing and no recovery copy")
+        if not fs.rename(Path(src), Path(live)):
+            raise IOError(f"_read_stats: recovery rename {src} -> {live} failed")
+    return spark.read.schema(_INDEX_STATS_SCHEMA).parquet(live)
+
+
+def _ledger_id_recorded(spark, path: str, ledger_id: str) -> bool:
+    """Has an append stats row for this ledger id already been written?
+    One tiny filter job over the stats table (never a full collect)."""
+    return bool(
+        _read_stats(spark, path)
+        .where(F.col("ledger_id") == ledger_id)
+        .limit(1)
+        .count()
     )
 
 
@@ -805,7 +876,10 @@ def ivf_append_index(
     id_col: str,
     vec_col: str,
     rebuild_threshold: float = 2.0,
+    max_cell_share_threshold: float | None = 0.5,
     guard_ids: bool = False,
+    ledger_id: str | None = None,
+    lease_owner: str | None = None,
 ) -> dict:
     """Incremental IVF maintenance: assign a batch of NEW vectors to the
     index's EXISTING centroids and append them into the ``cell=``
@@ -848,17 +922,48 @@ def ivf_append_index(
     loads from an already-idempotent upstream (e.g. the dedup index's
     survivor ledger) can skip it.
 
+    Stats-row crash safety: without ``ledger_id``, a crash between the
+    committed cells append and the stats write loses that batch's stats
+    row — the drift ledger then undercounts appended rows (advisory
+    metric, but a real skew). ``ledger_id`` (requires ``guard_ids``)
+    closes the window with a write-stats-FIRST protocol: the post-guard
+    delta is localCheckpoint'd and counted explicitly, the stats row —
+    keyed by the caller's replay-stable id (the streaming flow passes
+    its batch id) — is written before the cells append UNLESS a row
+    with that id already exists, and the cells append follows. A crash
+    anywhere replays to a consistent state: the guard re-derives the
+    identical post-guard delta while the cells are un-appended and an
+    empty one after, and the ledger check makes the stats write
+    at-most-once. Cost vs the observe piggyback: the checkpoint + one
+    delta-sized aggregate + one tiny ledger-membership job.
+
+    ``lease_owner`` (default: this applicationId) is checked against a
+    compaction lease on the index (operators/lease.py): appending while
+    another writer's :func:`ivf_compact_index` swap is in flight would
+    be silently dropped by the swap, so it raises instead.
+
     Returns {n_appended, batch_mean_d2, build_mean_d2,
-    appended_mean_d2, drift_ratio, rebuild_recommended}."""
+    appended_mean_d2, drift_ratio, max_cell_share, hot_cell,
+    rebuild_recommended} (see :func:`ivf_index_drift`)."""
     spark = new_vecs.sparkSession
     from pyspark.sql import Observation
 
+    from bigdataproject_spark.operators.lease import assert_unleased
+
+    if ledger_id is not None and not guard_ids:
+        raise ValueError(
+            "ivf_append_index: ledger_id requires guard_ids=True (an "
+            "unguarded replay double-appends rows, so at-most-once stats "
+            "would misstate what the cells table actually holds)"
+        )
+    assert_unleased(
+        spark, path, lease_owner or spark.sparkContext.applicationId
+    )
     centroids = _collect_index_centroids(spark, path)
     if not centroids:
         raise ValueError(f"ivf_append_index: no centroids at {path}")
     _ensure_build_stats(spark, path, centroids)
 
-    obs = Observation("ivf_append_stats")
     assigned = (
         new_vecs.select(
             F.col(id_col).alias("neighbor_id"),
@@ -886,17 +991,39 @@ def ivf_append_index(
                 .select("neighbor_id")
             )
             assigned = assigned.join(existing, "neighbor_id", "left_anti")
-    assigned = assigned.observe(
-        obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2")
-    )
-    _write_cells(assigned.drop("_d2"), path, mode="append")
-    n, sum_d2 = _obs_stats(obs)
-    if n:
-        _write_index_stats(
-            spark, path, kind="append", n_rows=n, sum_d2=sum_d2, append=True
+
+    if ledger_id is not None:
+        # stats-first ledger protocol (docstring above): checkpoint the
+        # post-guard delta so the counted rows ARE the appended rows.
+        assigned = assigned.localCheckpoint()
+        row = assigned.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2")
+        ).collect()[0]
+        n, sum_d2 = int(row["n"]), float(row["sum_d2"] or 0.0)
+        if n and not _ledger_id_recorded(spark, path, ledger_id):
+            _write_index_stats(
+                spark, path, kind="append", n_rows=n, sum_d2=sum_d2,
+                append=True, ledger_id=ledger_id,
+            )
+        if n:
+            _write_cells(assigned.drop("_d2"), path, mode="append")
+    else:
+        obs = Observation("ivf_append_stats")
+        assigned = assigned.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2")
         )
+        _write_cells(assigned.drop("_d2"), path, mode="append")
+        n, sum_d2 = _obs_stats(obs)
+        if n:
+            _write_index_stats(
+                spark, path, kind="append", n_rows=n, sum_d2=sum_d2,
+                append=True,
+            )
     report = ivf_index_drift(
-        spark, path, rebuild_threshold=rebuild_threshold
+        spark,
+        path,
+        rebuild_threshold=rebuild_threshold,
+        max_cell_share_threshold=max_cell_share_threshold,
     )
     report["n_appended"] = n
     report["batch_mean_d2"] = (sum_d2 / n) if n else None
@@ -927,19 +1054,50 @@ def _ensure_build_stats(
 
 
 def ivf_index_drift(
-    spark, path: str, *, rebuild_threshold: float = 2.0
+    spark,
+    path: str,
+    *,
+    rebuild_threshold: float = 2.0,
+    max_cell_share_threshold: float | None = 0.5,
 ) -> dict:
-    """Drift report for an IVF index: appended-rows mean squared
-    distance to their assigned centroid vs the build-time mean.
-    ``rebuild_recommended`` when appended_mean > threshold × build_mean
-    (a zero/degenerate build mean — e.g. n_centroids ≥ n_rows at build —
-    recommends rebuild on ANY positive appended mean). An index with no
-    appends reports drift_ratio 1.0 and never recommends."""
-    rows = spark.read.parquet(f"{path}/stats").collect()
-    b_n = sum(r["n_rows"] for r in rows if r["kind"] == "build")
-    b_d2 = sum(r["sum_d2"] for r in rows if r["kind"] == "build")
-    a_n = sum(r["n_rows"] for r in rows if r["kind"] == "append")
-    a_d2 = sum(r["sum_d2"] for r in rows if r["kind"] == "append")
+    """Drift report for an IVF index — TWO independent rebuild signals,
+    because a coarse quantizer can rot in two different ways:
+
+    * **Distance drift**: appended-rows mean squared distance to their
+      assigned centroid vs the build-time mean. ``rebuild_recommended``
+      when appended_mean > ``rebuild_threshold`` × build_mean (a
+      zero/degenerate build mean — e.g. n_centroids ≥ n_rows at build —
+      recommends rebuild on ANY positive appended mean). An index with
+      no appends reports drift_ratio 1.0.
+    * **Cell-occupancy skew**: mean-d2 misses the failure mode where
+      new data concentrates NEAR one old centroid — d2 stays flat while
+      one ``cell=`` partition grows toward a large corpus fraction,
+      and probe pruning dies with it (a probe that hits the hot cell
+      scans most of the corpus). ``max_cell_share`` is the largest
+      cell's fraction of all indexed rows, measured by ONE
+      partition-column-only aggregate over the cells table (the scan
+      projects only the Hive partition column, so it reads directory
+      listings + footers, no data pages; with compaction bounding
+      files/cell, bounded work). Past ``max_cell_share_threshold`` it
+      also fires ``rebuild_recommended``. Pass ``None`` to skip the
+      occupancy job entirely (e.g. a hot drift-poll loop that compacts
+      rarely).
+
+    The ledger read is ONE four-value aggregate — never a collect of
+    the per-batch rows — so a year of per-minute appends costs the
+    driver four numbers, not 525k rows."""
+    agg = (
+        _read_stats(spark, path)
+        .agg(
+            F.sum(F.when(F.col("kind") == "build", F.col("n_rows"))).alias("b_n"),
+            F.sum(F.when(F.col("kind") == "build", F.col("sum_d2"))).alias("b_d2"),
+            F.sum(F.when(F.col("kind") == "append", F.col("n_rows"))).alias("a_n"),
+            F.sum(F.when(F.col("kind") == "append", F.col("sum_d2"))).alias("a_d2"),
+        )
+        .collect()[0]
+    )
+    b_n, b_d2 = int(agg["b_n"] or 0), float(agg["b_d2"] or 0.0)
+    a_n, a_d2 = int(agg["a_n"] or 0), float(agg["a_d2"] or 0.0)
     build_mean = (b_d2 / b_n) if b_n else None
     appended_mean = (a_d2 / a_n) if a_n else None
     if appended_mean is None:
@@ -950,12 +1108,39 @@ def ivf_index_drift(
     else:
         ratio = appended_mean / build_mean
         rec = ratio > rebuild_threshold
+    max_share, hot_cell = None, None
+    if max_cell_share_threshold is not None:
+        # total comes from the same scan as the max (NOT from the
+        # ledger: unguarded-replay duplicates die at compaction, so the
+        # ledger can over-count the live cells table). struct-max keeps
+        # the hot-cell tie-break deterministic (largest n, smallest id).
+        occ = (
+            spark.read.parquet(f"{path}/cells")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("n").alias("total"),
+                F.max(
+                    F.struct(
+                        F.col("n").alias("n"),
+                        (-F.col("cell")).cast("long").alias("negc"),
+                    )
+                ).alias("mx"),
+            )
+            .collect()[0]
+        )
+        if occ["total"]:
+            hot_cell = int(-occ["mx"]["negc"])
+            max_share = int(occ["mx"]["n"]) / int(occ["total"])
+            rec = rec or (max_share > max_cell_share_threshold)
     return {
         "build_mean_d2": build_mean,
         "appended_mean_d2": appended_mean,
         "n_indexed_at_build": b_n,
         "n_appended_total": a_n,
         "drift_ratio": ratio,
+        "max_cell_share": max_share,
+        "hot_cell": hot_cell,
         "rebuild_recommended": rec,
     }
 
@@ -965,6 +1150,7 @@ def ivf_compact_index(
     path: str,
     *,
     files_per_cell: int | None = None,
+    lease_owner: str | None = None,
 ) -> dict:
     """Rewrite the ``cells`` table in place: per-batch appended part
     files (every :func:`ivf_append_index` adds up to
@@ -973,18 +1159,59 @@ def ivf_compact_index(
     rows — possible only from UNguarded replayed appends — are dropped
     (one surviving row per id per cell; the layout does not version
     vectors). ``files_per_cell`` defaults to footer-estimated table
-    size / 128 MiB / n_cells, floored at 1. Centroids and the stats
-    ledger are untouched (dropped duplicate rows stay counted in the
-    append stats — the drift MEAN they contributed to was computed from
-    real assignments, so the baseline stays honest; only n_appended_total
-    over-counts by the number of dropped copies, recorded in the return).
+    size / 128 MiB / n_cells, floored at 1.
 
-    OFFLINE maintenance op with the same crash-safe rename-aside swap as
-    the dedup index's compact_index (operators/dedup_index.py) — the
-    live dir is only renamed aside after the compacted copy is complete,
-    an interrupted run heals on re-entry, and a failed swap-in restores
-    the original (reporting the rollback result). Returns
-    {files_before, files_after, rows, dup_rows_dropped}."""
+    The STATS LEDGER is folded in the same run (r7): per-batch append
+    rows — one tiny file each — collapse into one summed row per kind
+    plus one zero-row marker per recorded ``ledger_id`` (the markers
+    keep replayed batches at-most-once across a fold; they are rows in
+    ONE file, not files, so the listing cost the fold exists to kill
+    stays dead). The drift report is numerically unchanged by a fold
+    (same sums; tested). Dropped duplicate cell rows stay counted in
+    the append stats — the drift MEAN they contributed to was computed
+    from real assignments, so the baseline stays honest; only
+    n_appended_total over-counts by the number of dropped copies,
+    recorded in the return.
+
+    OFFLINE maintenance op, and offline means NO CONCURRENT ANYTHING:
+
+    * No concurrent WRITER: appends racing the swap would vanish into
+      the renamed-aside copy. Enforced best-effort by the writer lease
+      (operators/lease.py) — this function acquires it (raising
+      :class:`~bigdataproject_spark.operators.lease.LeaseHeldError`
+      if another owner holds it) and :func:`ivf_append_index` checks
+      it. ``lease_owner`` defaults to this applicationId; a restartable
+      maintenance loop should pass a restart-stable string (the
+      streaming flow passes its checkpoint path) so its own stale
+      lease after a crash is stolen back instead of wedging it.
+    * No concurrent READER: the rename-aside swap leaves
+      ``{path}/cells`` briefly NONEXISTENT, so an external search
+      service querying the live index during the swap can fail with a
+      path-not-found. Quiesce or retry readers around compaction
+      windows — including the in-stream auto-compaction policy
+      (streaming/ivf_stream.py), whose docstring carries the same
+      warning. The lease does NOT protect readers.
+
+    Crash-safe rename-aside swap (same scheme as the dedup index's
+    compact_index): the live dir is only renamed aside after the
+    compacted copy is complete, an interrupted run heals on re-entry,
+    and a failed swap-in restores the original (reporting the rollback
+    result). Returns {files_before, files_after, rows,
+    dup_rows_dropped, stats_files_before, stats_files_after}."""
+    from bigdataproject_spark.operators.lease import acquire_lease, release_lease
+
+    owner = lease_owner or spark.sparkContext.applicationId
+    acquire_lease(spark, path, owner)
+    try:
+        return _compact_index_leased(spark, path, files_per_cell)
+    finally:
+        release_lease(spark, path, owner)
+
+
+def _compact_index_leased(
+    spark, path: str, files_per_cell: int | None
+) -> dict:
+    """:func:`ivf_compact_index` body, lease already held."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
@@ -1041,23 +1268,56 @@ def ivf_compact_index(
                 n += 1
         return n
 
+    def _swap_in(live_p: str, tmp_p: str, old_p: str) -> None:
+        if not fs.rename(Path(live_p), Path(old_p)):
+            raise IOError(
+                f"ivf_compact_index: rename {live_p} -> {old_p} failed"
+            )
+        if not fs.rename(Path(tmp_p), Path(live_p)):
+            restored = fs.rename(Path(old_p), Path(live_p))
+            raise IOError(
+                f"ivf_compact_index: rename {tmp_p} -> {live_p} failed "
+                f"(live restored from {old_p}: {'yes' if restored else 'NO'}"
+                f"{'' if restored else ' — re-run ivf_compact_index to heal'})"
+            )
+        fs.delete(Path(old_p), True)
+
     before = _parts(live)
     rows_after = spark.read.parquet(tmp).count()
-    if not fs.rename(Path(live), Path(old)):
-        raise IOError(f"ivf_compact_index: rename {live} -> {old} failed")
-    if not fs.rename(Path(tmp), Path(live)):
-        restored = fs.rename(Path(old), Path(live))
-        raise IOError(
-            f"ivf_compact_index: rename {tmp} -> {live} failed "
-            f"(live restored from {old}: {'yes' if restored else 'NO'}"
-            f"{'' if restored else ' — re-run ivf_compact_index to heal'})"
+    _swap_in(live, tmp, old)
+
+    # ---- stats-ledger fold (module docstring + ivf_index_drift) ----
+    s_live = f"{path}/stats"
+    s_tmp = f"{s_live}__compacting"
+    s_old = f"{s_live}__old"
+    sdf = _read_stats(spark, path)  # heals its own swap window on entry
+    fs.delete(Path(s_tmp), True)
+    fs.delete(Path(s_old), True)
+    sums = (
+        sdf.groupBy("kind")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_d2").alias("sum_d2"))
+        .select(
+            "kind", "n_rows", "sum_d2",
+            F.lit(None).cast("string").alias("ledger_id"),
         )
-    fs.delete(Path(old), True)
+    )
+    markers = sdf.where(F.col("ledger_id").isNotNull()).select(
+        "kind",
+        F.lit(0).cast("long").alias("n_rows"),
+        F.lit(0.0).alias("sum_d2"),
+        "ledger_id",
+    ).distinct()
+    stats_before = _parts(s_live)
+    sums.unionByName(markers).coalesce(1).write.mode("overwrite").parquet(s_tmp)
+    _swap_in(s_live, s_tmp, s_old)
+
     return {
         "files_before": before,
         "files_after": _parts(live),
         "rows": rows_after,
         "dup_rows_dropped": rows_before - rows_after,
+        "stats_files_before": stats_before,
+        "stats_files_after": _parts(s_live),
     }
 
 

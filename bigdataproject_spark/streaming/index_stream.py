@@ -121,11 +121,17 @@ def make_index_batch_writer(
     hash_family: str = "murmur3",
     compact_every_n_batches: int | None = None,
     compact_min_band_files: int | None = None,
+    lease_owner: str | None = None,
 ):
     """The foreachBatch function (see module docstring for the
     two-phase idempotent commit). Exposed separately from
     :func:`stream_dedup_to_index` so tests can drive replay and
-    crash-window cases directly.
+    crash-window cases directly. ``lease_owner`` should be a
+    restart-stable string (:func:`stream_dedup_to_index` derives one
+    from the checkpoint path) — it guards the index append against a
+    concurrent external compaction and lets this stream's own
+    compaction steal back its stale lease after a crash
+    (operators/lease.py).
 
     Auto-compaction policy: without it, per-batch appends (and the
     duplicate band rows a crash replay can leave) grow the index's
@@ -145,7 +151,14 @@ def make_index_batch_writer(
     from bigdataproject_spark.operators.dedup_index import compact_index
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from bigdataproject_spark.operators.lease import assert_unleased
+
         spark = batch_df.sparkSession
+        assert_unleased(
+            spark,
+            index_path,
+            lease_owner or spark.sparkContext.applicationId,
+        )
         ensure_index(
             spark,
             index_path,
@@ -223,7 +236,7 @@ def make_index_batch_writer(
             >= compact_min_band_files
         )
         if due:
-            compact_index(spark, index_path)
+            compact_index(spark, index_path, lease_owner=lease_owner)
 
     return _write_batch
 
@@ -260,6 +273,7 @@ def stream_dedup_to_index(
         hash_family=hash_family,
         compact_every_n_batches=compact_every_n_batches,
         compact_min_band_files=compact_min_band_files,
+        lease_owner=f"dedup-stream:{checkpoint}",
     )
     return (
         docs_stream.writeStream.foreachBatch(writer)

@@ -14,8 +14,17 @@ membership anti-join is partition-pruned to the batch's own touched
 deterministic, so a replayed row lands exactly where its first copy
 lives; checking those partitions is exhaustive). A replayed or crashed-
 and-retried batch therefore appends exactly the missing rows — nothing
-twice — and the drift ledger stays honest because the stats row records
-post-guard rows only.
+twice — and the drift ledger stays honest through the ledger protocol
+(r7): each append passes ``ledger_id=f"batch-{batch_id}"`` (batch ids
+are checkpoint-stable), so the stats row is written at-most-once and
+BEFORE the cells append — a crash between the two no longer loses the
+batch's stats row (the pre-r7 crash window).
+
+Single-writer lease: every append and compaction runs under
+``lease_owner=f"ivf-stream:{checkpoint}"`` — restart-stable, so a
+stream that crashed mid-compaction steals its OWN stale lease back on
+the next trigger instead of wedging, while a second maintenance driver
+pointed at the same index fails loudly (operators/lease.py).
 
 Unlike the dedup-index flow there is NO bootstrap-from-nothing: an IVF
 index needs trained centroids, so the stream maintains an index BUILT
@@ -37,8 +46,21 @@ no writer-side state, survives restarts); ``compact_min_cell_files=M``
 compacts whenever the cells table holds ≥ M part files (one recursive
 listing per batch). The compaction runs INSIDE foreachBatch after the
 append — exactly the between-batches window the rename-aside swap
-requires — and a crash anywhere around it is covered by the swap's
-heal + the guarded replay.
+requires for WRITERS — and a crash anywhere around it is covered by
+the swap's heal + the guarded replay. The compaction also folds the
+stats ledger (per-batch tiny files → one file), so the per-batch drift
+read stays listing-cheap over any stream lifetime.
+
+READER WARNING: the swap is safe against this stream's own writes, NOT
+against external readers. ``ivf_compact_index`` leaves ``{path}/cells``
+(and briefly ``{path}/stats``) nonexistent inside its rename window, so
+an external search service querying the live index during a drain can
+fail with path-not-found mid-swap. Enabling
+``compact_every_n_batches``/``compact_min_cell_files`` therefore
+requires quiescing external readers during drains — or giving readers
+a path-not-found retry, which heals in milliseconds. A reader-safe
+versioned layout (cells-v{N} + pointer file) is the upgrade path if
+neither is acceptable.
 """
 
 from __future__ import annotations
@@ -78,10 +100,15 @@ def make_ivf_batch_writer(
     compact_every_n_batches: int | None = None,
     compact_min_cell_files: int | None = None,
     on_report: Callable[[int, dict], None] | None = None,
+    lease_owner: str | None = None,
 ):
     """The foreachBatch function (see module docstring). Exposed
     separately from :func:`stream_embeddings_to_ivf` so tests can drive
-    replay and crash-window cases directly."""
+    replay and crash-window cases directly. ``lease_owner`` should be a
+    restart-stable string (:func:`stream_embeddings_to_ivf` derives one
+    from the checkpoint path); None falls back to the applicationId,
+    which changes per restart and therefore cannot steal back its own
+    stale lease after a crash."""
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -92,6 +119,8 @@ def make_ivf_batch_writer(
             vec_col=vec_col,
             rebuild_threshold=rebuild_threshold,
             guard_ids=True,
+            ledger_id=f"batch-{batch_id}",
+            lease_owner=lease_owner,
         )
         if on_report is not None:
             on_report(batch_id, report)
@@ -104,7 +133,7 @@ def make_ivf_batch_writer(
             and _n_cell_files(spark, index_path) >= compact_min_cell_files
         )
         if due:
-            ivf_compact_index(spark, index_path)
+            ivf_compact_index(spark, index_path, lease_owner=lease_owner)
 
     return _write_batch
 
@@ -134,6 +163,7 @@ def stream_embeddings_to_ivf(
         compact_every_n_batches=compact_every_n_batches,
         compact_min_cell_files=compact_min_cell_files,
         on_report=on_report,
+        lease_owner=f"ivf-stream:{checkpoint}",
     )
     return (
         vec_stream.writeStream.foreachBatch(writer)

@@ -33,6 +33,105 @@ def test_stopword_filter(spark):
     assert "真好" in got.k and "end" in got.k
 
 
+def test_fmm_longest_match_and_oov():
+    """Forward maximum matching: longest dictionary word wins at each
+    position; out-of-vocabulary Han falls back to single characters."""
+    from bigdataproject_spark.functions.cjk_dict import fmm_segment
+
+    d = frozenset({"前方", "前方高能", "高能", "韩立", "厉害"})
+    assert fmm_segment("前方高能", d, 4) == ["前方高能"]
+    assert fmm_segment("韩立真厉害", d, 4) == ["韩立", "真", "厉害"]
+    assert fmm_segment("泪", d, 4) == ["泪"]
+    assert fmm_segment("", d, 4) == []
+
+
+def test_segment_text_mixed_order_preserved():
+    from bigdataproject_spark.functions.cjk_dict import segment_text
+
+    d = frozenset({"韩立", "厉害"})
+    assert segment_text("Wow 韩立真厉害 GG 42", d, 2) == [
+        "wow", "韩立", "真", "厉害", "gg", "42",
+    ]
+    assert segment_text(None, d, 2) == []
+    assert segment_text(
+        "Wow 韩立", d, 2, lowercase=False
+    ) == ["Wow", "韩立"]
+
+
+def test_cjk_dict_backend_honors_policy(spark):
+    """The cjk-dict backend routes through the SAME native post-filter
+    as the other backends: min_len drops the OOV single-char fallback
+    (the reference's len<=1 rule), drop_numeric and stopwords apply."""
+    from bigdataproject_spark.functions.tokenize import get_tokenizer
+
+    tok = get_tokenizer(
+        "cjk-dict",
+        stopwords=("哈哈",),
+        min_len=2,
+        drop_numeric=True,
+        cjk_words=("韩立", "厉害", "哈哈"),
+    )
+    df = spark.createDataFrame(
+        [("哈哈 韩立真厉害 666 ok",), (None,)], "text string"
+    ).select(tok("text").alias("toks"))
+    rows = df.collect()
+    assert rows[0]["toks"] == ["韩立", "厉害", "ok"]  # 哈哈 stopped, 真 len1,
+    assert rows[1]["toks"] == []                      # 666 numeric dropped
+
+
+def test_cjk_dict_backend_is_arrow(spark):
+    from bigdataproject_spark.functions.tokenize import get_tokenizer
+
+    tok = get_tokenizer("cjk-dict")
+    plan = (
+        spark.createDataFrame([("韩立 ok",)], "text string")
+        .select(tok("text").alias("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data/SPY&FAMILY"),
+    reason="reference snapshot not available",
+)
+def test_danmaku_word_count_dict_mode(spark):
+    """Golden dictionary-mode word count over REAL reference danmaku:
+    with the vendored dict plus the episode's meme word, dictionary
+    segmentation surfaces it as a high-frequency WORD (the bigram
+    backend only ever sees it as one of many overlapping bigrams), and
+    the reference's own filter policy (len<=1 and numeric drops) holds.
+    Cited fixture: /root/reference/data/SPY&FAMILY (crawler output; see
+    SURVEY §1.1)."""
+    from bigdataproject_spark.functions.cjk_dict import DEFAULT_CJK_WORDS
+    from bigdataproject_spark.functions.tokenize import get_tokenizer
+    from bigdataproject_spark.sources.readers import read_danmaku_csv
+
+    dm = read_danmaku_csv(
+        spark, "/root/reference/data/SPY&FAMILY/danmaku_BV1Fu4y1u7B8.csv"
+    )
+    tok = get_tokenizer(
+        "cjk-dict",
+        min_len=2,
+        drop_numeric=True,
+        cjk_words=DEFAULT_CJK_WORDS + ("上岸", "阿尼亚"),
+    )
+    top = (
+        dm.select(F.explode(tok("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(50)
+        .collect()
+    )
+    by_word = {r.w: r["count"] for r in top}
+    assert "上岸" in by_word and by_word["上岸"] > 100
+    assert all(len(w) >= 2 for w in by_word)
+    assert not any(w.isdigit() for w in by_word)
+
+
 @pytest.mark.skipif(
     not os.path.isdir("/root/reference/data/SPY&FAMILY"),
     reason="reference snapshot not available",

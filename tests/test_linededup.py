@@ -179,3 +179,65 @@ def test_guard_fallback_equals_broadcast_path(spark):
             )
         )
         assert base == fallback == lazy
+
+
+def test_hot_set_bytes_measures_wide_string_ids(spark):
+    """r7 ADVICE fix: the broadcast guard's row width is MEASURED from
+    the actual id column type. Long ids stay near the old fixed 40B/row;
+    a wide STRING doc id multiplies the estimate — the pre-r7 constant
+    under-estimated it ~100x and could pin an over-budget broadcast."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.linededup import (
+        _hot_set_bytes,
+        _hot_stats,
+    )
+
+    long_docs = spark.createDataFrame(
+        [(i, "nav bar\ncontent " + str(i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    hot_long = _hot_stats(
+        long_docs, id_col="doc_id", text_col="text", min_count=2
+    ).select("_key", "_first").localCheckpoint()
+    n = hot_long.count()
+    b_long = _hot_set_bytes(hot_long, long_docs.schema["doc_id"].dataType)
+    assert n == 1 and 40 <= b_long <= 64  # one hot line, long-id row
+
+    wide = "x" * 2000
+    str_docs = spark.createDataFrame(
+        [(wide + str(i), "nav bar\ncontent " + str(i)) for i in range(20)],
+        "doc_id string, text string",
+    )
+    hot_str = _hot_stats(
+        str_docs, id_col="doc_id", text_col="text", min_count=2
+    ).select("_key", "_first").localCheckpoint()
+    b_str = _hot_set_bytes(hot_str, str_docs.schema["doc_id"].dataType)
+    assert b_str > 2000 * 2  # the measured width sees the string bytes
+
+
+def test_string_id_guard_correctness_all_paths(spark):
+    """dedup_lines with a STRING id column: guard-on, guard-forced
+    -fallback, and guard-off outputs are row-identical (the width fix
+    changes only the physical join choice, never the result)."""
+    docs = spark.createDataFrame(
+        [
+            (f"doc-{i}", "© footer 2024\nBODY line " + str(i))
+            for i in range(12)
+        ],
+        "doc_id string, text string",
+    )
+    outs = []
+    for budget in (64 * 1024 * 1024, 1, 0):
+        outs.append(
+            sorted(
+                map(
+                    tuple,
+                    dedup_lines(
+                        docs, hot_broadcast_max_bytes=budget
+                    ).collect(),
+                )
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert all("© footer 2024" not in t for _, t in outs[0])

@@ -85,17 +85,18 @@ def test_token_count_follows_injected_tokenizer(spark):
         assert by_id[doc_id] == expect, doc_id
 
 
-@pytest.mark.parametrize("backend", ["regex", "fake-bpe"])
+@pytest.mark.parametrize("backend", ["regex", "fake-bpe", "cjk-dict"])
 def test_chunk_pack_math_is_tokenizer_agnostic(spark, backend):
-    """Identical pipeline code over two different tokenizers: every
-    chunk/pack invariant holds for both — n_tokens is the span length,
+    """Identical pipeline code over three different tokenizers (native
+    regex, injected Arrow UDF, dictionary CJK segmenter): every
+    chunk/pack invariant holds for all — n_tokens is the span length,
     pack ids are dense, positions sequential, and every pack total obeys
     the next-fit bound (target − max_chunk, target + max_chunk) with
     only the LAST pack per shard allowed to undershoot."""
     tok = (
-        get_tokenizer("regex")
-        if backend == "regex"
-        else get_tokenizer(_fake_bpe_udf())
+        get_tokenizer(_fake_bpe_udf())
+        if backend == "fake-bpe"
+        else get_tokenizer(backend)
     )
     TARGET, CHUNK = 10, 4
     docs = _docs(spark).withColumn("tokens", tok("text"))

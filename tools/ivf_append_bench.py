@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from bigdataproject_spark.operators.simsearch import (
     ivf_append_index,
+    ivf_compact_index,
     ivf_topk_indexed,
     ivf_write_index,
     release_search_broadcasts,
@@ -90,6 +91,13 @@ def main() -> None:
         search[impl] = round(time.perf_counter() - t0, 2)
         release_search_broadcasts(spark)
 
+    # r7: compaction cost + the stats-ledger fold, measured on the
+    # appended index (after the search timings so the search numbers
+    # stay protocol-comparable with r6's).
+    t0 = time.perf_counter()
+    compact = ivf_compact_index(spark, idx)
+    compact_sec = round(time.perf_counter() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -103,6 +111,8 @@ def main() -> None:
                 "drift": reports[-1],
                 "search_batch_queries": q_n,
                 "search_batch_sec": search,
+                "compact_sec": compact_sec,
+                "compact": compact,
             }
         )
     )
