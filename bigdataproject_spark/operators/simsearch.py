@@ -995,18 +995,25 @@ def ivf_append_index(
     if ledger_id is not None:
         # stats-first ledger protocol (docstring above): checkpoint the
         # post-guard delta so the counted rows ARE the appended rows.
+        from bigdataproject_spark.session import release_local_checkpoint
+
         assigned = assigned.localCheckpoint()
-        row = assigned.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2")
-        ).collect()[0]
-        n, sum_d2 = int(row["n"]), float(row["sum_d2"] or 0.0)
-        if n and not _ledger_id_recorded(spark, path, ledger_id):
-            _write_index_stats(
-                spark, path, kind="append", n_rows=n, sum_d2=sum_d2,
-                append=True, ledger_id=ledger_id,
-            )
-        if n:
-            _write_cells(assigned.drop("_d2"), path, mode="append")
+        try:
+            row = assigned.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2")
+            ).collect()[0]
+            n, sum_d2 = int(row["n"]), float(row["sum_d2"] or 0.0)
+            if n and not _ledger_id_recorded(spark, path, ledger_id):
+                _write_index_stats(
+                    spark, path, kind="append", n_rows=n, sum_d2=sum_d2,
+                    append=True, ledger_id=ledger_id,
+                )
+            if n:
+                _write_cells(assigned.drop("_d2"), path, mode="append")
+        finally:
+            # per-batch checkpoint blocks must not pile up for a
+            # stream's lifetime — release deterministically, not at GC
+            release_local_checkpoint(assigned)
     else:
         obs = Observation("ivf_append_stats")
         assigned = assigned.observe(

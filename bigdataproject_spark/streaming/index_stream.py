@@ -216,16 +216,25 @@ def make_index_batch_writer(
             .localCheckpoint()
         )
         to_append = batch_df.join(new_ids, id_col, "left_semi")
-        write_minhash_index(
-            to_append,
-            index_path,
-            id_col=id_col,
-            shingles_col=shingles_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            hash_family=hash_family,
-            append=True,
-        )
+        try:
+            write_minhash_index(
+                to_append,
+                index_path,
+                id_col=id_col,
+                shingles_col=shingles_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                hash_family=hash_family,
+                append=True,
+            )
+        finally:
+            # r7: the per-batch id-set checkpoint is fully consumed by
+            # the append — release its blocks deterministically so a
+            # long stream does not accumulate one snapshot per batch
+            # until the JVM happens to GC them.
+            from bigdataproject_spark.session import release_local_checkpoint
+
+            release_local_checkpoint(new_ids)
 
         due = (
             compact_every_n_batches is not None
