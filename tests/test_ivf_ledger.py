@@ -206,3 +206,34 @@ def test_occupancy_skew_flips_rebuild_while_drift_stays_flat(spark, tmp_path):
     quiet = ivf_index_drift(spark, idx, max_cell_share_threshold=None)
     assert quiet["max_cell_share"] is None
     assert quiet["rebuild_recommended"] is False  # d2 alone stays calm
+
+
+def test_stats_swap_window_heals_on_read(spark, sf_dir, tmp_path):
+    """Crash between the ledger fold's two renames: stats/ is missing
+    with a complete __compacting copy (or only the set-aside original).
+    Any later read — a drift report, an append's ledger check — must
+    heal and proceed."""
+    seed, d1, _, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_append_index(
+        d1, idx, id_col="vec_id", vec_col="embedding",
+        guard_ids=True, ledger_id="batch-0",
+    )
+    want = ivf_index_drift(spark, idx)
+
+    # 1: complete temp dir, live missing -> heal prefers the temp copy
+    shutil.copytree(f"{idx}/stats", f"{idx}/stats__compacting")
+    shutil.rmtree(f"{idx}/stats")
+    _drift_eq(want, ivf_index_drift(spark, idx))
+    import os
+
+    assert os.path.isdir(f"{idx}/stats")
+    assert not os.path.isdir(f"{idx}/stats__compacting")
+
+    # 2: live renamed aside, no temp -> heal restores the original
+    shutil.move(f"{idx}/stats", f"{idx}/stats__old")
+    _drift_eq(want, ivf_index_drift(spark, idx))
+    assert not os.path.isdir(f"{idx}/stats__old")
