@@ -237,3 +237,24 @@ def test_stats_swap_window_heals_on_read(spark, sf_dir, tmp_path):
     shutil.move(f"{idx}/stats", f"{idx}/stats__old")
     _drift_eq(want, ivf_index_drift(spark, idx))
     assert not os.path.isdir(f"{idx}/stats__old")
+
+
+def test_occupancy_scan_reads_zero_data_columns(spark, sf_dir, tmp_path):
+    """The skew signal's cost claim, pinned: the occupancy aggregate
+    projects ONLY the Hive partition column, so the parquet scan's
+    ReadSchema is the empty struct — row counts come from footers and
+    directory structure, never data pages."""
+    seed, _, _, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    plan = (
+        spark.read.parquet(f"{idx}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<>" in plan
