@@ -1158,6 +1158,7 @@ def ivf_compact_index(
     *,
     files_per_cell: int | None = None,
     lease_owner: str | None = None,
+    keep_marker_ids=None,
 ) -> dict:
     """Rewrite the ``cells`` table in place: per-batch appended part
     files (every :func:`ivf_append_index` adds up to
@@ -1173,7 +1174,17 @@ def ivf_compact_index(
     plus one zero-row marker per recorded ``ledger_id`` (the markers
     keep replayed batches at-most-once across a fold; they are rows in
     ONE file, not files, so the listing cost the fold exists to kill
-    stays dead). The drift report is numerically unchanged by a fold
+    stays dead). ``keep_marker_ids`` prunes even the marker ROWS: pass
+    the set of ledger ids that could still replay and every other
+    marker is dropped, bounding the folded ledger to a handful of rows.
+    SAFETY ARGUMENT REQUIRED of the caller: a pruned id that replays
+    anyway re-writes its stats row and double-counts — prune only ids
+    that can never replay. Inside the streaming flow that set is exactly
+    the CURRENT batch id (Structured Streaming replays at most the
+    batch whose commit is pending; every earlier id is committed and
+    dead — streaming/ivf_stream.py passes it). ``None`` (default) keeps
+    all markers: always safe, grows one tiny row per batch between
+    folds. The drift report is numerically unchanged by a fold
     (same sums; tested). Dropped duplicate cell rows stay counted in
     the append stats — the drift MEAN they contributed to was computed
     from real assignments, so the baseline stays honest; only
@@ -1210,13 +1221,15 @@ def ivf_compact_index(
     owner = lease_owner or spark.sparkContext.applicationId
     acquire_lease(spark, path, owner)
     try:
-        return _compact_index_leased(spark, path, files_per_cell)
+        return _compact_index_leased(
+            spark, path, files_per_cell, keep_marker_ids
+        )
     finally:
         release_lease(spark, path, owner)
 
 
 def _compact_index_leased(
-    spark, path: str, files_per_cell: int | None
+    spark, path: str, files_per_cell: int | None, keep_marker_ids
 ) -> dict:
     """:func:`ivf_compact_index` body, lease already held."""
     jvm = spark._jvm
@@ -1314,6 +1327,13 @@ def _compact_index_leased(
         F.lit(0.0).alias("sum_d2"),
         "ledger_id",
     ).distinct()
+    if keep_marker_ids is not None:
+        keep = [str(k) for k in keep_marker_ids]
+        markers = (
+            markers.where(F.col("ledger_id").isin(keep))
+            if keep
+            else markers.limit(0)
+        )
     stats_before = _parts(s_live)
     sums.unionByName(markers).coalesce(1).write.mode("overwrite").parquet(s_tmp)
     _swap_in(s_live, s_tmp, s_old)

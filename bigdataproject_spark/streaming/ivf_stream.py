@@ -48,8 +48,11 @@ listing per batch). The compaction runs INSIDE foreachBatch after the
 append — exactly the between-batches window the rename-aside swap
 requires for WRITERS — and a crash anywhere around it is covered by
 the swap's heal + the guarded replay. The compaction also folds the
-stats ledger (per-batch tiny files → one file), so the per-batch drift
-read stays listing-cheap over any stream lifetime.
+stats ledger (per-batch tiny files → one file) and prunes the
+at-most-once markers of every batch that can no longer replay (all
+committed ids — everything below the current batch), so the folded
+ledger is bounded at ≤3 ROWS in one file for the stream's whole
+lifetime, and the per-batch drift read stays listing-cheap forever.
 
 READER WARNING: the swap is safe against this stream's own writes, NOT
 against external readers. ``ivf_compact_index`` leaves ``{path}/cells``
@@ -133,7 +136,17 @@ def make_ivf_batch_writer(
             and _n_cell_files(spark, index_path) >= compact_min_cell_files
         )
         if due:
-            ivf_compact_index(spark, index_path, lease_owner=lease_owner)
+            # keep_marker_ids={current batch}: inside foreachBatch of
+            # batch N, every id < N is COMMITTED (Structured Streaming
+            # replays at most the batch whose commit is pending), so
+            # pruning their at-most-once markers is safe and the folded
+            # ledger stays <= 3 rows for the stream's whole lifetime.
+            ivf_compact_index(
+                spark,
+                index_path,
+                lease_owner=lease_owner,
+                keep_marker_ids={f"batch-{batch_id}"},
+            )
 
     return _write_batch
 

@@ -258,3 +258,35 @@ def test_occupancy_scan_reads_zero_data_columns(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "ReadSchema: struct<>" in plan
+
+
+def test_fold_prunes_markers_to_keep_set(spark, sf_dir, tmp_path):
+    """keep_marker_ids bounds the folded ledger to sums + kept markers;
+    the kept id stays at-most-once on replay, drift totals unchanged."""
+    seed, d1, d2, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    for i, d in enumerate((d1, d2)):
+        ivf_append_index(
+            d, idx, id_col="vec_id", vec_col="embedding",
+            guard_ids=True, ledger_id=f"batch-{i}",
+        )
+    before = ivf_index_drift(spark, idx)
+
+    # prune to the "still replayable" set {batch-1} — the streaming
+    # flow's shape inside foreachBatch of batch 1
+    ivf_compact_index(spark, idx, keep_marker_ids={"batch-1"})
+    sdf = spark.read.parquet(f"{idx}/stats")
+    assert sdf.count() == 3  # build sum + append sum + one marker
+    assert [r["ledger_id"] for r in sdf.where("ledger_id is not null").collect()] == ["batch-1"]
+    _drift_eq(before, ivf_index_drift(spark, idx))
+
+    # the kept id is still at-most-once
+    rep = ivf_append_index(
+        d2, idx, id_col="vec_id", vec_col="embedding",
+        guard_ids=True, ledger_id="batch-1",
+    )
+    assert rep["n_appended"] == 0
+    _drift_eq(before, ivf_index_drift(spark, idx))

@@ -275,6 +275,9 @@ def test_stream_stats_ledger_stays_bounded(spark, sf_dir, tmp_path):
     # every batch compacted -> the ledger is ONE folded file, not
     # one-per-batch
     assert len(glob.glob(f"{idx}/stats/*.parquet")) == 1
+    # ... and the in-stream marker prune bounds it to <= 3 ROWS
+    # (build sum + append sum + the one still-replayable batch marker)
+    assert spark.read.parquet(f"{idx}/stats").count() <= 3
     # totals survive the folds exactly
     from bigdataproject_spark.operators.simsearch import ivf_index_drift
 
