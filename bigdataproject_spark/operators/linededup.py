@@ -119,18 +119,21 @@ def _hot_set_bytes(hot: DataFrame, id_type) -> int:
     is exact for unsafe rows; the ``_first._id`` term depends on the
     CALLER'S id column type (``dedup_lines`` accepts any id_col), so it
     is derived from the actual data type — fixed-width types count 8B,
-    string/binary ids count their measured per-row length (a wide doc id
-    must not ride a long-sized estimate into a pinned broadcast; the
-    pre-r7 fixed-40B constant did exactly that). A 2x safety factor
-    against JVM object overhead is applied by the caller."""
+    string/binary ids count their measured per-row UTF-8/raw BYTE
+    length via ``octet_length`` (NOT ``length``: that counts
+    characters, and UnsafeRow stores UTF-8 — a CJK doc id is 3 bytes
+    per char, so a chars×2 estimate understates it; a wide doc id must
+    not ride an under-sized estimate into a pinned broadcast), rounded
+    up to UnsafeRow's 8-byte alignment plus the 8B offset/length slot.
+    A 2x safety factor against JVM object overhead is applied by the
+    caller."""
     from pyspark.sql.types import BinaryType, StringType
 
     base = F.lit(40).cast("long")
     idc = F.col("_first._id")
-    if isinstance(id_type, StringType):
-        term = (F.coalesce(F.length(idc), F.lit(0)) * 2 + 16).cast("long")
-    elif isinstance(id_type, BinaryType):
-        term = (F.coalesce(F.length(idc), F.lit(0)) + 16).cast("long")
+    if isinstance(id_type, (StringType, BinaryType)):
+        b = F.coalesce(F.octet_length(idc), F.lit(0)).cast("long")
+        term = F.shiftleft(F.shiftright(b + F.lit(7), 3), 3) + F.lit(8)
     else:  # fixed-width numeric/date/timestamp: 8B padded slot
         term = F.lit(8).cast("long")
     row = hot.agg(F.sum(base + term).alias("b")).collect()[0]

@@ -213,7 +213,22 @@ def test_hot_set_bytes_measures_wide_string_ids(spark):
         str_docs, id_col="doc_id", text_col="text", min_count=2
     ).select("_key", "_first").localCheckpoint()
     b_str = _hot_set_bytes(hot_str, str_docs.schema["doc_id"].dataType)
-    assert b_str > 2000 * 2  # the measured width sees the string bytes
+    assert b_str > 2000  # the measured width sees the string bytes
+
+    # r8 ADVICE fix: octet_length, not length — a CJK id is 3 UTF-8
+    # bytes per char, so the measurement must be >= the true UnsafeRow
+    # payload bytes (chars*2 was 0.67x of actual for pure-CJK ids).
+    cjk = "漢字测" * 400  # 1200 chars, 3600 UTF-8 bytes
+    cjk_docs = spark.createDataFrame(
+        [(cjk + str(i), "nav bar\ncontent " + str(i)) for i in range(20)],
+        "doc_id string, text string",
+    )
+    hot_cjk = _hot_stats(
+        cjk_docs, id_col="doc_id", text_col="text", min_count=2
+    ).select("_key", "_first").localCheckpoint()
+    b_cjk = _hot_set_bytes(hot_cjk, cjk_docs.schema["doc_id"].dataType)
+    true_id_bytes = len((cjk + "0").encode("utf-8"))
+    assert b_cjk >= true_id_bytes  # measured >= true UnsafeRow bytes
 
 
 def test_string_id_guard_correctness_all_paths(spark):
