@@ -943,8 +943,9 @@ def ivf_append_index(
     be silently dropped by the swap, so it raises instead.
 
     Returns {n_appended, batch_mean_d2, build_mean_d2,
-    appended_mean_d2, drift_ratio, max_cell_share, hot_cell,
-    rebuild_recommended} (see :func:`ivf_index_drift`)."""
+    appended_mean_d2, drift_ratio, max_cell_share,
+    max_cell_share_threshold, hot_cell, rebuild_recommended} (see
+    :func:`ivf_index_drift`)."""
     spark = new_vecs.sparkSession
     from pyspark.sql import Observation
 
@@ -1085,10 +1086,17 @@ def ivf_index_drift(
       partition-column-only aggregate over the cells table (the scan
       projects only the Hive partition column, so it reads directory
       listings + footers, no data pages; with compaction bounding
-      files/cell, bounded work). Past ``max_cell_share_threshold`` it
-      also fires ``rebuild_recommended``. Pass ``None`` to skip the
-      occupancy job entirely (e.g. a hot drift-poll loop that compacts
-      rarely).
+      files/cell, bounded work). Past the EFFECTIVE threshold —
+      ``max(max_cell_share_threshold, 3/n_centroids)``, so a small-k
+      index whose largest cell NATURALLY holds a big share (any
+      imbalance at k=2-3 exceeds a flat 0.5) cannot fire permanently
+      and rebuild-loop automation keyed on the flag — it also fires
+      ``rebuild_recommended``; the applied value is returned as
+      ``max_cell_share_threshold``. For k <= 3 the effective threshold
+      reaches 1.0 and the signal never fires (the share is measured
+      and returned regardless — automation can apply its own rule).
+      Pass ``None`` to skip the occupancy job entirely (e.g. a hot
+      drift-poll loop that compacts rarely).
 
     The ledger read is ONE four-value aggregate — never a collect of
     the per-batch rows — so a year of per-minute appends costs the
@@ -1115,8 +1123,16 @@ def ivf_index_drift(
     else:
         ratio = appended_mean / build_mean
         rec = ratio > rebuild_threshold
-    max_share, hot_cell = None, None
+    max_share, hot_cell, eff_threshold = None, None, None
     if max_cell_share_threshold is not None:
+        # small-k guard (r8 ADVICE): a flat threshold fires permanently
+        # when the uniform share itself is large — scale it so only a
+        # cell >= 3x uniform occupancy can flag. Centroid count is a
+        # <=n_centroids-row read, trivial next to the occupancy scan.
+        n_cells = spark.read.parquet(f"{path}/centroids").count()
+        eff_threshold = max(
+            float(max_cell_share_threshold), 3.0 / max(int(n_cells), 1)
+        )
         # total comes from the same scan as the max (NOT from the
         # ledger: unguarded-replay duplicates die at compaction, so the
         # ledger can over-count the live cells table). struct-max keeps
@@ -1139,7 +1155,7 @@ def ivf_index_drift(
         if occ["total"]:
             hot_cell = int(-occ["mx"]["negc"])
             max_share = int(occ["mx"]["n"]) / int(occ["total"])
-            rec = rec or (max_share > max_cell_share_threshold)
+            rec = rec or (max_share > eff_threshold)
     return {
         "build_mean_d2": build_mean,
         "appended_mean_d2": appended_mean,
@@ -1147,6 +1163,7 @@ def ivf_index_drift(
         "n_appended_total": a_n,
         "drift_ratio": ratio,
         "max_cell_share": max_share,
+        "max_cell_share_threshold": eff_threshold,
         "hot_cell": hot_cell,
         "rebuild_recommended": rec,
     }

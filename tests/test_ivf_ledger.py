@@ -206,6 +206,34 @@ def test_occupancy_skew_flips_rebuild_while_drift_stays_flat(spark, tmp_path):
     quiet = ivf_index_drift(spark, idx, max_cell_share_threshold=None)
     assert quiet["max_cell_share"] is None
     assert quiet["rebuild_recommended"] is False  # d2 alone stays calm
+    # the threshold actually applied is reported (r8: scaled to k)
+    assert rep["max_cell_share_threshold"] == max(0.5, 3.0 / 4)
+
+
+def test_occupancy_threshold_scales_with_small_k(spark, tmp_path):
+    """r8 ADVICE fix: with few centroids the largest cell NATURALLY
+    holds a big share (any imbalance at k=2 exceeds 0.5), so a flat
+    default threshold would flag a healthy index forever and automation
+    keyed on rebuild_recommended would rebuild-loop. The effective
+    threshold scales as 3/n_centroids: a k=2 index with mild imbalance
+    must stay quiet, while the share itself is still measured."""
+    dim = 2
+    # two clusters, 60/40 split: max share 0.6 > 0.5 but < 3/2 = 1.5
+    rows = [(i, [10.0 + 0.01 * i, 0.0]) for i in range(60)]
+    rows += [(100 + i, [0.0, 10.0 + 0.01 * i]) for i in range(40)]
+    seed = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    ctrs = [(0, [10.0, 0.0]), (1, [0.0, 10.0])]
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    rep = ivf_index_drift(spark, idx)
+    assert rep["max_cell_share"] is not None
+    assert rep["max_cell_share"] > 0.5  # a flat 0.5 would have fired
+    assert rep["max_cell_share_threshold"] == 1.5  # 3/n_cells floor
+    assert rep["rebuild_recommended"] is False
 
 
 def test_stats_swap_window_heals_on_read(spark, sf_dir, tmp_path):
