@@ -56,16 +56,35 @@ def write_minhash_index(
     bands: int = 8,
     hash_family: str = "murmur3",
     append: bool = False,
+    lease_owner: str | None = None,
 ) -> None:
-    """Materialize (or extend) the index: ``{path}/bands`` with
-    (id, band_id, band_hash) and ``{path}/shingles`` with (id, sh).
+    """Materialize (or extend) the index: a ``bands`` table with
+    (id, band_id, band_hash) and a ``shingles`` table with (id, sh),
+    both in the versioned layout of operators/versioned.py (flat
+    ``{path}/bands`` until the first compaction versions the table;
+    resolve reads through ``table_read_dir``, never hardcode the flat
+    path). Bands are written BEFORE shingles on purpose: the shingles
+    table is the index's id-membership commit point (see
+    streaming/index_stream.py), so a crash between the two writes
+    leaves only harmless orphan band rows, never a claimed-but-absent
+    membership. ``lease_owner`` (default: this applicationId) gates the
+    healing of pre-versioned crash debris on the append path.
 
     The same (num_hashes, bands, hash_family) MUST be used for every
     write and query against one index path — band keys from different
     families never collide, so a mismatch silently finds nothing;
     callers keep the parameters with the path (they are also the
     arguments of :func:`incremental_minhash_pairs`)."""
-    mode = "append" if append else "overwrite"
+    from bigdataproject_spark.operators.versioned import (
+        TableMissingError,
+        publish_version,
+        table_live_dir,
+        table_overwrite_target,
+        table_read_dir,
+    )
+
+    spark = docs.sparkSession
+    owner = lease_owner or spark.sparkContext.applicationId
     band_df = lsh_band_rows(
         docs,
         id_col=id_col,
@@ -74,10 +93,24 @@ def write_minhash_index(
         bands=bands,
         hash_family=hash_family,
     )
-    band_df.write.mode(mode).parquet(f"{path}/bands")
-    _prepared(docs, id_col=id_col, shingles_col=shingles_col).write.mode(
-        mode
-    ).parquet(f"{path}/shingles")
+    prep = _prepared(docs, id_col=id_col, shingles_col=shingles_col)
+    if append:
+        band_df.write.mode("append").parquet(
+            table_live_dir(spark, path, "bands", owner)
+        )
+        prep.write.mode("append").parquet(
+            table_live_dir(spark, path, "shingles", owner)
+        )
+        return
+    for table, frame in (("bands", band_df), ("shingles", prep)):
+        try:
+            prev = table_read_dir(spark, path, table)
+        except TableMissingError:
+            prev = None
+        tgt, ver = table_overwrite_target(spark, path, table)
+        frame.write.mode("overwrite").parquet(tgt)
+        if ver is not None:
+            publish_version(spark, path, table, ver, prev)
 
 
 def incremental_minhash_pairs(
@@ -119,8 +152,10 @@ def incremental_minhash_pairs(
         bands=bands,
         hash_family=hash_family,
     )
-    stored_bands = spark.read.parquet(f"{path}/bands")
-    stored_sh = spark.read.parquet(f"{path}/shingles")
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
+    stored_bands = spark.read.parquet(table_read_dir(spark, path, "bands"))
+    stored_sh = spark.read.parquet(table_read_dir(spark, path, "shingles"))
 
     nb = new_bands.select(
         F.col("id").alias("id_a"), "band_id", "band_hash"
@@ -243,10 +278,10 @@ def accept_batch(
     another writer's :func:`compact_index` swap would be silently
     dropped by the swap, so it raises loudly instead."""
     from bigdataproject_spark.operators.lease import assert_unleased
+    from bigdataproject_spark.operators.versioned import table_read_dir
 
-    assert_unleased(
-        spark, path, lease_owner or spark.sparkContext.applicationId
-    )
+    owner = lease_owner or spark.sparkContext.applicationId
+    assert_unleased(spark, path, owner)
     pairs = incremental_minhash_pairs(
         spark,
         new_docs,
@@ -259,7 +294,7 @@ def accept_batch(
         hash_family=hash_family,
     )
     already_stored = new_docs.select(F.col(id_col)).join(
-        spark.read.parquet(f"{path}/shingles").select(
+        spark.read.parquet(table_read_dir(spark, path, "shingles")).select(
             F.col("id").alias(id_col)
         ),
         id_col,
@@ -281,7 +316,23 @@ def accept_batch(
         bands=bands,
         hash_family=hash_family,
         append=True,
+        lease_owner=owner,
     )
+    # lease RE-verification (documented TOCTOU in operators/lease.py):
+    # a compaction acquiring the lease after the entry check has been
+    # rewriting while we appended — those signature rows land in the
+    # superseded generation and are LOST to its flip. One exists-check
+    # per batch makes that loss loud and retriable instead of silent.
+    try:
+        assert_unleased(spark, path, owner)
+    except Exception as ex:
+        raise RuntimeError(
+            f"accept_batch: a foreign writer acquired the lease on "
+            f"{path} DURING this append — the appended signatures may "
+            f"be racing its compaction and could be dropped by the "
+            f"generation flip; re-run this batch after the lease clears "
+            f"(the append is idempotent at shingle granularity)"
+        ) from ex
     return survivors
 
 
@@ -306,72 +357,65 @@ def compact_index(
     (the verify joins and the resume anti-join both probe by id).
     ``num_files`` defaults to footer-estimated size / 128 MiB.
 
-    OFFLINE maintenance op: no concurrent writer (an append racing the
-    swap would vanish into the renamed-aside copy — enforced
+    MAINTENANCE op under the writer lease, READER-SAFE by layout (r8):
+    no concurrent WRITER (an append racing the generation flip would
+    land in the superseded generation and be dropped by GC — enforced
     best-effort by the writer lease this function acquires, see
-    operators/lease.py; :func:`accept_batch` checks it and raises) and
-    no concurrent reader (the rename-swap leaves each table briefly
-    nonexistent — run it between batches, quiesce or retry external
-    readers). ``lease_owner`` defaults to this applicationId; a
-    restartable maintenance loop should pass a restart-stable string
-    (the streaming flow passes its checkpoint path) so its own stale
-    lease after a crash is stolen back instead of wedging it.
-    Crash-safe by re-run, with NO window that can lose data: the live
-    table is never deleted, only atomically RENAMED aside to
-    ``{table}__old`` after the compacted temp dir is complete, then the
-    temp dir is renamed into place and the old copy dropped. On entry a
-    missing live dir (crash between the two renames) is healed from
-    the completed temp dir, else from the renamed-aside original; a
-    stale temp/old dir from any earlier crash is cleared before the
-    rewrite. Returns per-table {files_before, files_after, rows}.
+    operators/lease.py; :func:`accept_batch` checks it before AND
+    after its append), but concurrent READERS are safe: each table is
+    rewritten into its NEXT generation directory
+    (``bands-v{N}``/``shingles-v{N}`` — operators/versioned.py) and
+    published by an atomic pointer flip, and the generation a reader
+    resolved stays on disk until the NEXT compaction's GC (the
+    one-generation grace window — a single resolution must not be held
+    across two compaction cycles). ``lease_owner`` defaults to this
+    applicationId; a restartable maintenance loop should pass a
+    restart-stable string (the streaming flow passes its checkpoint
+    path) so its own stale lease after a crash is stolen back instead
+    of wedging it.
+
+    Crash-safe by construction: the live generation is never touched —
+    a crash before a flip leaves an orphan next-generation dir a later
+    run skips past; a crash inside the (fallback, non-atomic) flip is
+    covered by read resolution's newest-complete rule. Pre-versioned
+    (rename-aside) crash debris is healed on entry under the held
+    lease. Returns per-table {files_before, files_after, rows}.
     """
     from bigdataproject_spark.operators.lease import acquire_lease, release_lease
 
     owner = lease_owner or spark.sparkContext.applicationId
     acquire_lease(spark, path, owner)
     try:
-        return _compact_index_leased(spark, path, num_files)
+        return _compact_index_leased(spark, path, num_files, owner)
     finally:
         release_lease(spark, path, owner)
 
 
 def _compact_index_leased(
-    spark: SparkSession, path: str, num_files: int | None
+    spark: SparkSession, path: str, num_files: int | None, owner: str
 ) -> dict[str, dict[str, int]]:
     """:func:`compact_index` body, lease already held."""
+    from bigdataproject_spark.operators.versioned import (
+        publish_version,
+        table_live_dir,
+        table_overwrite_target,
+    )
+
     jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
 
     stats: dict[str, dict[str, int]] = {}
     for table, keys in (("bands", ["band_hash"]), ("shingles", ["id"])):
-        live = f"{path}/{table}"
-        tmp = f"{path}/{table}__compacting"
-        old = f"{path}/{table}__old"
-        fs = Path(live).getFileSystem(hconf)
+        # table_live_dir heals pre-versioned (rename-aside) crash
+        # debris under the held lease; remaining __compacting/__old
+        # leftovers are stale (incomplete write, or already-recovered
+        # twin) — clear them.
+        prev = table_live_dir(spark, path, table, owner)
+        fs.delete(Path(f"{path}/{table}__compacting"), True)
+        fs.delete(Path(f"{path}/{table}__old"), True)
 
-        # heal an interrupted previous run: live is missing only in the
-        # window between rename(live→old) and rename(tmp→live), where
-        # BOTH complete copies exist — prefer the compacted temp dir
-        # (marked complete by _SUCCESS), fall back to the original.
-        if not fs.exists(Path(live)):
-            if fs.exists(Path(f"{tmp}/_SUCCESS")):
-                src = tmp
-            elif fs.exists(Path(old)):
-                src = old
-            else:
-                raise IOError(
-                    f"compact_index: {live} missing and no recovery copy"
-                )
-            if not fs.rename(Path(src), Path(live)):
-                raise IOError(
-                    f"compact_index: recovery rename {src} -> {live} failed"
-                )
-        # stale leftovers from a crash after recovery was possible
-        fs.delete(Path(tmp), True)
-        fs.delete(Path(old), True)
-
-        df = spark.read.parquet(live)
+        df = spark.read.parquet(prev)
         if table == "bands":
             # a crash between a replayed append's bands write and its
             # shingles write leaves duplicate band rows (idempotence is
@@ -384,11 +428,14 @@ def _compact_index_leased(
         if n is None:
             n = max(1, -(-_plan_size_bytes(df) // _TARGET_FILE_BYTES))
         sort_cols = ["band_id", "band_hash"] if table == "bands" else ["id"]
+        tgt, ver = table_overwrite_target(
+            spark, path, table, force_version=True
+        )
         (
             df.repartition(n, *keys)
             .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(tgt)
         )
 
         def _parts(p: str) -> int:
@@ -398,25 +445,12 @@ def _compact_index_leased(
                 if st.getPath().getName().endswith(".parquet")
             )
 
-        before = _parts(live)
-        rows = spark.read.parquet(tmp).count()
-        if not fs.rename(Path(live), Path(old)):
-            raise IOError(f"compact_index: rename {live} -> {old} failed")
-        if not fs.rename(Path(tmp), Path(live)):
-            # roll the original back so the index stays readable; if the
-            # rollback ALSO fails the live dir is missing (still healable
-            # on re-run from __old/__compacting) — say so instead of
-            # reporting only the first failure.
-            restored = fs.rename(Path(old), Path(live))
-            raise IOError(
-                f"compact_index: rename {tmp} -> {live} failed "
-                f"(live restored from {old}: {'yes' if restored else 'NO'}"
-                f"{'' if restored else ' — re-run compact_index to heal'})"
-            )
-        fs.delete(Path(old), True)
+        before = _parts(prev)
+        rows = spark.read.parquet(tgt).count()
+        publish_version(spark, path, table, ver, prev)
         stats[table] = {
             "files_before": before,
-            "files_after": _parts(live),
+            "files_after": _parts(tgt),
             "rows": rows,
         }
     return stats

@@ -61,6 +61,30 @@ _QUERY_STATS_CACHE: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
 _QUERY_STATS_CACHE_MAX = 256
 
 
+def _resolve_impl(impl: str, fn: str) -> str:
+    """Resolve an ``impl`` argument to a concrete backend. ``'auto'``
+    picks the Arrow/numpy matmul path when its dependencies import
+    (numpy + pandas + pyarrow — all three ship with any pyspark[sql]
+    install, but a minimal JVM-only deployment may lack them) and falls
+    back to the pure-DataFrame native path otherwise. The blas path is
+    equality-tested against native and measured 14–70× faster once the
+    candidate set reaches millions of pairs (sf100: 946 s native vs
+    13.5 s blas for the same 2000-query indexed batch) — a default a
+    user should not have to know to flip. Pass ``impl='native'`` or
+    ``'blas'`` explicitly to override the probe."""
+    if impl == "auto":
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+        except ImportError:
+            return "native"
+        return "blas"
+    if impl not in ("native", "blas"):
+        raise ValueError(f"{fn}: unknown impl {impl!r}")
+    return impl
+
+
 def _query_row_stats_uncached(q: DataFrame) -> tuple[int, int]:
     """(row count, max per-row byte estimate) — ONE aggregate job over
     the query side only (never the corpus), with the per-row byte
@@ -271,9 +295,10 @@ def brute_force_topk(
     same budget as the native path's broadcast join — and a
     mapInPandas partial top-k over the corpus scan; see
     :func:`ivf_topk_indexed`); the interpreted per-pair cosine is the
-    cost center once |queries| × |corpus| reaches millions of pairs."""
-    if impl not in ("native", "blas"):
-        raise ValueError(f"brute_force_topk: unknown impl {impl!r}")
+    cost center once |queries| × |corpus| reaches millions of pairs.
+    ``impl='auto'`` resolves to blas when numpy/pandas/pyarrow import
+    (see :func:`_resolve_impl`)."""
+    impl = _resolve_impl(impl, "brute_force_topk")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -326,9 +351,10 @@ def lsh_bucket_topk(
     sign bucket as the cell key (see :func:`ivf_topk_indexed`). NULL
     vectors: the native path's bucket expression yields a NULL bucket,
     which joins nothing — the blas path reproduces that by keying bad
-    rows under the unmatchable NULL bucket too."""
-    if impl not in ("native", "blas"):
-        raise ValueError(f"lsh_bucket_topk: unknown impl {impl!r}")
+    rows under the unmatchable NULL bucket too. ``impl='auto'``
+    resolves to blas when numpy/pandas/pyarrow import (see
+    :func:`_resolve_impl`)."""
+    impl = _resolve_impl(impl, "lsh_bucket_topk")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -680,13 +706,18 @@ def ivf_write_index(
 
     At 100 TB this is the shape that matters: a probe then prunes file
     I/O (``PartitionFilters`` on ``cell=``), not just the join, so a
-    query reads n_probe/n_centroids of the corpus bytes. Writes
-    ``{path}/cells`` (neighbor_id, cv, cn, cell), ``{path}/centroids``
-    (cell, ctr), and ``{path}/stats`` (kind, n_rows, sum_d2 — the
+    query reads n_probe/n_centroids of the corpus bytes. Writes the
+    ``cells`` table (neighbor_id, cv, cn, cell), ``{path}/centroids``
+    (cell, ctr), and the ``stats`` ledger (kind, n_rows, sum_d2 — the
     build-time quantization cost :func:`ivf_append_index` measures its
-    drift against). Raises on an empty corpus — an index of nothing is
-    unreadable parquet, so fail loudly at build time instead of at
-    first search."""
+    drift against). ``cells`` and ``stats`` live in the versioned
+    layout of operators/versioned.py: flat ``{path}/cells`` on a fresh
+    path, ``{path}/cells-v{N}`` + pointer once compaction has
+    versioned the table (a rebuild then publishes a new generation
+    without disturbing concurrent readers); resolve through
+    ``table_read_dir``, never hardcode the flat path. Raises on an
+    empty corpus — an index of nothing is unreadable parquet, so fail
+    loudly at build time instead of at first search."""
     fitted = _fit_quantizer(
         corpus,
         id_col=id_col,
@@ -698,11 +729,49 @@ def ivf_write_index(
     if fitted is None:
         raise ValueError("ivf_write_index: corpus is empty; nothing to index")
     assigned, ctr_df, _, n_rows, sum_d2 = fitted
-    _write_cells(assigned, path, mode="overwrite")
-    ctr_df.write.mode("overwrite").parquet(f"{path}/centroids")
-    _write_index_stats(
-        corpus.sparkSession, path, kind="build", n_rows=n_rows, sum_d2=sum_d2
+    spark = corpus.sparkSession
+    _overwrite_cells_and_stats(
+        spark, path,
+        write_cells=lambda d: _write_cells(assigned, d, mode="overwrite"),
+        stats=(n_rows, sum_d2),
     )
+    ctr_df.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _overwrite_cells_and_stats(spark, path: str, *, write_cells, stats) -> None:
+    """Full-rebuild writer for the versioned layout
+    (operators/versioned.py): the cells table, then a FRESH build stats
+    row, each written to its overwrite target and published when the
+    table is already versioned — so a rebuild over a compacted index
+    never disturbs the generation an external searcher is reading (a
+    never-compacted index keeps the flat legacy layout). ``write_cells``
+    is called with the concrete target dir; ``stats`` is ``(n, sum_d2)``
+    or a callable evaluated AFTER the cells write (the observe
+    piggyback needs the write to have run)."""
+    from bigdataproject_spark.operators.versioned import (
+        TableMissingError,
+        publish_version,
+        table_overwrite_target,
+        table_read_dir,
+    )
+
+    def _prev(table: str) -> str | None:
+        try:
+            return table_read_dir(spark, path, table)
+        except TableMissingError:
+            return None
+
+    c_prev = _prev("cells")
+    c_tgt, c_ver = table_overwrite_target(spark, path, "cells")
+    write_cells(c_tgt)
+    if c_ver is not None:
+        publish_version(spark, path, "cells", c_ver, c_prev)
+    n, sum_d2 = stats() if callable(stats) else stats
+    s_prev = _prev("stats")
+    s_tgt, s_ver = table_overwrite_target(spark, path, "stats")
+    _write_index_stats(spark, s_tgt, kind="build", n_rows=n, sum_d2=sum_d2)
+    if s_ver is not None:
+        publish_version(spark, path, "stats", s_ver, s_prev)
 
 
 def _obs_stats(obs) -> tuple[int, float]:
@@ -731,7 +800,7 @@ def _obs_stats(obs) -> tuple[int, float]:
 _IVF_FILES_PER_CELL = 4
 
 
-def _write_cells(assigned: DataFrame, path: str, *, mode: str) -> None:
+def _write_cells(assigned: DataFrame, cells_dir: str, *, mode: str) -> None:
     """The one cells-table writer: CLUSTER by (cell, salt) before the
     partitioned write. Without the repartition every upstream task
     writes a file into every cell dir it touches — tasks × n_centroids
@@ -739,7 +808,10 @@ def _write_cells(assigned: DataFrame, path: str, *, mode: str) -> None:
     append at sf10, and a compaction debt for every later scan). The
     exchange moves only the rows being written (the delta, for an
     append), and each shuffle task holds whole (cell, salt) groups, so
-    a write emits ≤ ``_IVF_FILES_PER_CELL`` files per cell."""
+    a write emits ≤ ``_IVF_FILES_PER_CELL`` files per cell.
+    ``cells_dir`` is the CONCRETE generation directory (callers resolve
+    it through operators/versioned.py — the cells table is versioned by
+    compaction, see :func:`ivf_compact_index`)."""
     salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(_IVF_FILES_PER_CELL))
     (
         assigned.withColumn("_salt", salt)
@@ -747,7 +819,7 @@ def _write_cells(assigned: DataFrame, path: str, *, mode: str) -> None:
         .drop("_salt")
         .write.mode(mode)
         .partitionBy("cell")
-        .parquet(f"{path}/cells")
+        .parquet(cells_dir)
     )
 
 
@@ -760,7 +832,7 @@ _INDEX_STATS_SCHEMA = "kind string, n_rows long, sum_d2 double, ledger_id string
 
 def _write_index_stats(
     spark,
-    path: str,
+    stats_dir: str,
     *,
     kind: str,
     n_rows: int,
@@ -768,35 +840,30 @@ def _write_index_stats(
     append: bool = False,
     ledger_id: str | None = None,
 ) -> None:
+    """``stats_dir`` is the CONCRETE generation directory (resolve
+    through operators/versioned.py — the ledger is versioned by the
+    compaction fold)."""
     spark.createDataFrame(
         [(kind, int(n_rows), float(sum_d2), ledger_id)], _INDEX_STATS_SCHEMA
     ).coalesce(1).write.mode("append" if append else "overwrite").parquet(
-        f"{path}/stats"
+        stats_dir
     )
 
 
 def _read_stats(spark, path: str) -> DataFrame:
     """The stats ledger as a DataFrame — explicit schema, so pre-r7
-    three-column files read with a NULL ledger_id. Heals the ledger
-    fold's swap window on entry (crash between the two renames leaves
-    ``stats`` missing with a complete copy aside — same recovery rule
-    as the cells swap) so a drift read never fails on a crashed
-    compaction's debris."""
-    live = f"{path}/stats"
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(live).getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(Path(live)):
-        tmp, old = f"{live}__compacting", f"{live}__old"
-        if fs.exists(Path(f"{tmp}/_SUCCESS")):
-            src = tmp
-        elif fs.exists(Path(old)):
-            src = old
-        else:
-            raise IOError(f"_read_stats: {live} missing and no recovery copy")
-        if not fs.rename(Path(src), Path(live)):
-            raise IOError(f"_read_stats: recovery rename {src} -> {live} failed")
-    return spark.read.schema(_INDEX_STATS_SCHEMA).parquet(live)
+    three-column files read with a NULL ledger_id. Pure READER:
+    resolution (operators/versioned.py) never renames — a pre-versioned
+    crash's recovery copy (``stats`` missing, complete copy set aside)
+    is read IN PLACE, so a drift poll racing a live compaction cannot
+    disturb the compactor's own swap (the r7 reader-heal race). Writer
+    paths heal that debris through
+    :func:`~bigdataproject_spark.operators.versioned.table_live_dir`."""
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
+    return spark.read.schema(_INDEX_STATS_SCHEMA).parquet(
+        table_read_dir(spark, path, "stats")
+    )
 
 
 def _ledger_id_recorded(spark, path: str, ledger_id: str) -> bool:
@@ -861,12 +928,16 @@ def ivf_write_index_from_centroids(
                 F.col("_a.d2").alias("_d2"))
         .observe(obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
     )
-    _write_cells(assigned.drop("_d2"), path, mode="overwrite")
+    _overwrite_cells_and_stats(
+        spark, path,
+        write_cells=lambda d: _write_cells(
+            assigned.drop("_d2"), d, mode="overwrite"
+        ),
+        stats=lambda: _obs_stats(obs),
+    )
     spark.createDataFrame(
         centroids, "cell int, ctr array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    n, sum_d2 = _obs_stats(obs)
-    _write_index_stats(spark, path, kind="build", n_rows=n, sum_d2=sum_d2)
 
 
 def ivf_append_index(
@@ -957,13 +1028,30 @@ def ivf_append_index(
             "unguarded replay double-appends rows, so at-most-once stats "
             "would misstate what the cells table actually holds)"
         )
-    assert_unleased(
-        spark, path, lease_owner or spark.sparkContext.applicationId
-    )
+    owner = lease_owner or spark.sparkContext.applicationId
+    assert_unleased(spark, path, owner)
     centroids = _collect_index_centroids(spark, path)
     if not centroids:
         raise ValueError(f"ivf_append_index: no centroids at {path}")
-    _ensure_build_stats(spark, path, centroids)
+    # WRITER-path resolution (operators/versioned.py): a pre-versioned
+    # crash's set-aside stats/cells copy is healed back into place
+    # BEFORE any write — appending into a fresh empty dir while the
+    # real table sits in debris would fork the table (and, for stats,
+    # silently reset the drift baseline + lose the at-most-once ledger
+    # markers: the r7-ADVICE append-after-swap-crash bug).
+    from bigdataproject_spark.operators.versioned import (
+        TableMissingError,
+        table_live_dir,
+    )
+
+    try:
+        stats_live = table_live_dir(spark, path, "stats", owner)
+    except TableMissingError:
+        # genuinely pre-stats index (no live copy, no recovery copy
+        # anywhere): reconstruct the build baseline from the cells
+        _reconstruct_build_stats(spark, path, centroids, owner)
+        stats_live = table_live_dir(spark, path, "stats", owner)
+    cells_live = table_live_dir(spark, path, "cells", owner)
 
     assigned = (
         new_vecs.select(
@@ -987,7 +1075,7 @@ def ivf_append_index(
         ]
         if touched:
             existing = (
-                spark.read.parquet(f"{path}/cells")
+                spark.read.parquet(cells_live)
                 .where(F.col("cell").isin(touched))
                 .select("neighbor_id")
             )
@@ -1006,11 +1094,11 @@ def ivf_append_index(
             n, sum_d2 = int(row["n"]), float(row["sum_d2"] or 0.0)
             if n and not _ledger_id_recorded(spark, path, ledger_id):
                 _write_index_stats(
-                    spark, path, kind="append", n_rows=n, sum_d2=sum_d2,
-                    append=True, ledger_id=ledger_id,
+                    spark, stats_live, kind="append", n_rows=n,
+                    sum_d2=sum_d2, append=True, ledger_id=ledger_id,
                 )
             if n:
-                _write_cells(assigned.drop("_d2"), path, mode="append")
+                _write_cells(assigned.drop("_d2"), cells_live, mode="append")
         finally:
             # per-batch checkpoint blocks must not pile up for a
             # stream's lifetime — release deterministically, not at GC
@@ -1020,13 +1108,31 @@ def ivf_append_index(
         assigned = assigned.observe(
             obs, F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2")
         )
-        _write_cells(assigned.drop("_d2"), path, mode="append")
+        _write_cells(assigned.drop("_d2"), cells_live, mode="append")
         n, sum_d2 = _obs_stats(obs)
         if n:
             _write_index_stats(
-                spark, path, kind="append", n_rows=n, sum_d2=sum_d2,
+                spark, stats_live, kind="append", n_rows=n, sum_d2=sum_d2,
                 append=True,
             )
+    # lease RE-verification (documented TOCTOU in operators/lease.py):
+    # a compaction that acquired the lease after the entry check has
+    # been snapshotting/swaping while we wrote — the rows just appended
+    # into the superseded generation are LOST to its flip. One
+    # exists-check per batch converts that silent loss into a loud,
+    # retriable error (it cannot CLOSE the window — the racing flip may
+    # land after this check — but a compaction takes far longer than
+    # the gap between this probe and the write it follows).
+    try:
+        assert_unleased(spark, path, owner)
+    except Exception as ex:
+        raise RuntimeError(
+            f"ivf_append_index: a foreign writer acquired the lease on "
+            f"{path} DURING this append — the appended rows may be "
+            f"racing its compaction swap and could be dropped by the "
+            f"generation flip; re-run this batch after the lease clears "
+            f"(idempotent with guard_ids=True)"
+        ) from ex
     report = ivf_index_drift(
         spark,
         path,
@@ -1038,26 +1144,39 @@ def ivf_append_index(
     return report
 
 
-def _ensure_build_stats(
-    spark, path: str, centroids: list[tuple[int, list[float]]]
+def _reconstruct_build_stats(
+    spark, path: str, centroids: list[tuple[int, list[float]]], owner: str
 ) -> None:
-    """Reconstruct ``{path}/stats`` for a pre-stats index: one explicit
-    scan of the current cells table, re-measuring d2 against the stored
-    centroids (the mean then reflects everything indexed so far — fine
-    as a drift baseline, and recorded once)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/stats")
-    if p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p):
-        return
+    """Reconstruct the stats ledger for a genuinely PRE-STATS index:
+    one explicit scan of the current cells table, re-measuring d2
+    against the stored centroids (the mean then reflects everything
+    indexed so far — fine as a drift baseline, and recorded once).
+
+    Callers must have already ruled out a RECOVERABLE ledger (a
+    versioned generation, the legacy dir, or a crashed fold's set-aside
+    copy — ``table_live_dir`` raising :class:`TableMissingError` is the
+    gate). The pre-r8 version keyed on ``exists({path}/stats)`` alone,
+    so an append landing inside a crashed ledger-fold's swap window
+    silently REBUILT the ledger from cells — absorbing every appended
+    row into the build baseline, zeroing the append history, and
+    dropping the at-most-once ledger markers (r7-end driver ADVICE,
+    reproduced in tests/test_ivf_ledger.py)."""
+    from bigdataproject_spark.operators.versioned import (
+        table_live_dir,
+        table_overwrite_target,
+    )
+
+    cells_live = table_live_dir(spark, path, "cells", owner)
     row = (
-        spark.read.parquet(f"{path}/cells")
+        spark.read.parquet(cells_live)
         .select(F.col("cv").cast("array<double>").alias("_vd"))
         .select(assign_cell_struct_expr("_vd", centroids)["d2"].alias("_d2"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
         .collect()[0]
     )
+    tgt, _ = table_overwrite_target(spark, path, "stats")
     _write_index_stats(
-        spark, path, kind="build", n_rows=row["n"], sum_d2=row["sum_d2"] or 0.0
+        spark, tgt, kind="build", n_rows=row["n"], sum_d2=row["sum_d2"] or 0.0
     )
 
 
@@ -1137,8 +1256,10 @@ def ivf_index_drift(
         # ledger: unguarded-replay duplicates die at compaction, so the
         # ledger can over-count the live cells table). struct-max keeps
         # the hot-cell tie-break deterministic (largest n, smallest id).
+        from bigdataproject_spark.operators.versioned import table_read_dir
+
         occ = (
-            spark.read.parquet(f"{path}/cells")
+            spark.read.parquet(table_read_dir(spark, path, "cells"))
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(
@@ -1177,14 +1298,15 @@ def ivf_compact_index(
     lease_owner: str | None = None,
     keep_marker_ids=None,
 ) -> dict:
-    """Rewrite the ``cells`` table in place: per-batch appended part
-    files (every :func:`ivf_append_index` adds up to
-    ``_IVF_FILES_PER_CELL`` files per touched cell) become a bounded
-    number of large files per cell, and duplicate (neighbor_id, cell)
-    rows — possible only from UNguarded replayed appends — are dropped
-    (one surviving row per id per cell; the layout does not version
-    vectors). ``files_per_cell`` defaults to footer-estimated table
-    size / 128 MiB / n_cells, floored at 1.
+    """Rewrite the ``cells`` table into its NEXT GENERATION
+    (operators/versioned.py): per-batch appended part files (every
+    :func:`ivf_append_index` adds up to ``_IVF_FILES_PER_CELL`` files
+    per touched cell) become a bounded number of large files per cell,
+    and duplicate (neighbor_id, cell) rows — possible only from
+    UNguarded replayed appends — are dropped (one surviving row per id
+    per cell; the layout does not version vectors). ``files_per_cell``
+    defaults to footer-estimated table size / 128 MiB / n_cells,
+    floored at 1.
 
     The STATS LEDGER is folded in the same run (r7): per-batch append
     rows — one tiny file each — collapse into one summed row per kind
@@ -1208,75 +1330,85 @@ def ivf_compact_index(
     n_appended_total over-counts by the number of dropped copies,
     recorded in the return.
 
-    OFFLINE maintenance op, and offline means NO CONCURRENT ANYTHING:
+    MAINTENANCE op under the writer lease, READER-SAFE by layout (r8):
 
-    * No concurrent WRITER: appends racing the swap would vanish into
-      the renamed-aside copy. Enforced best-effort by the writer lease
-      (operators/lease.py) — this function acquires it (raising
+    * No concurrent WRITER: an append racing the generation flip would
+      land in the superseded generation and be dropped by GC. Enforced
+      best-effort by the writer lease (operators/lease.py) — this
+      function acquires it (raising
       :class:`~bigdataproject_spark.operators.lease.LeaseHeldError`
       if another owner holds it) and :func:`ivf_append_index` checks
-      it. ``lease_owner`` defaults to this applicationId; a restartable
-      maintenance loop should pass a restart-stable string (the
-      streaming flow passes its checkpoint path) so its own stale
-      lease after a crash is stolen back instead of wedging it.
-    * No concurrent READER: the rename-aside swap leaves
-      ``{path}/cells`` briefly NONEXISTENT, so an external search
-      service querying the live index during the swap can fail with a
-      path-not-found. Quiesce or retry readers around compaction
-      windows — including the in-stream auto-compaction policy
-      (streaming/ivf_stream.py), whose docstring carries the same
-      warning. The lease does NOT protect readers.
+      it before AND after its write. ``lease_owner`` defaults to this
+      applicationId; a restartable maintenance loop should pass a
+      restart-stable string (the streaming flow passes its checkpoint
+      path) so its own stale lease after a crash is stolen back
+      instead of wedging it.
+    * Concurrent READERS are safe: the compacted cells/stats are
+      written to the NEXT generation directory (``cells-v{N}`` — see
+      operators/versioned.py) and published by an atomic pointer flip;
+      the generation a reader resolved stays on disk until the NEXT
+      compaction's GC (the one-generation grace window). An external
+      search service therefore never sees a missing path mid-compaction
+      — the contract is only that a single resolution must not be held
+      across two compaction cycles.
 
-    Crash-safe rename-aside swap (same scheme as the dedup index's
-    compact_index): the live dir is only renamed aside after the
-    compacted copy is complete, an interrupted run heals on re-entry,
-    and a failed swap-in restores the original (reporting the rollback
-    result). Returns {files_before, files_after, rows,
-    dup_rows_dropped, stats_files_before, stats_files_after}."""
+    Crash-safe by construction: the live generation is never touched —
+    a crash before the flip leaves an orphan next-generation dir the
+    next run overwrites-or-skips; a crash inside the (fallback,
+    non-atomic) flip is covered by read resolution's newest-complete
+    rule. Pre-versioned (r7 rename-aside) crash debris is healed on
+    entry under the held lease. Returns {files_before, files_after,
+    rows, dup_rows_dropped, stats_files_before, stats_files_after}."""
     from bigdataproject_spark.operators.lease import acquire_lease, release_lease
 
     owner = lease_owner or spark.sparkContext.applicationId
     acquire_lease(spark, path, owner)
     try:
         return _compact_index_leased(
-            spark, path, files_per_cell, keep_marker_ids
+            spark, path, files_per_cell, keep_marker_ids, owner
         )
     finally:
         release_lease(spark, path, owner)
 
 
+def _n_parquet_parts(spark, dirpath: str) -> int:
+    """Recursive .parquet part-file count under one directory."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dirpath)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
 def _compact_index_leased(
-    spark, path: str, files_per_cell: int | None, keep_marker_ids
+    spark, path: str, files_per_cell: int | None, keep_marker_ids, owner: str
 ) -> dict:
     """:func:`ivf_compact_index` body, lease already held."""
+    from bigdataproject_spark.operators.versioned import (
+        publish_version,
+        table_live_dir,
+        table_overwrite_target,
+    )
+
     jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
 
-    live = f"{path}/cells"
-    tmp = f"{path}/cells__compacting"
-    old = f"{path}/cells__old"
-    fs = Path(live).getFileSystem(hconf)
+    # ---- cells generation rewrite ----
+    # table_live_dir heals pre-versioned (r7 rename-aside) crash debris
+    # under the held lease; any remaining __compacting/__old leftovers
+    # are stale (incomplete write, or already-recovered twin) — clear.
+    cells_prev = table_live_dir(spark, path, "cells", owner)
+    fs.delete(Path(f"{path}/cells__compacting"), True)
+    fs.delete(Path(f"{path}/cells__old"), True)
 
-    # heal an interrupted previous run: live is missing only in the
-    # window between rename(live→old) and rename(tmp→live), where both
-    # complete copies exist — prefer the compacted temp dir (marked
-    # complete by _SUCCESS), fall back to the original.
-    if not fs.exists(Path(live)):
-        if fs.exists(Path(f"{tmp}/_SUCCESS")):
-            src = tmp
-        elif fs.exists(Path(old)):
-            src = old
-        else:
-            raise IOError(f"ivf_compact_index: {live} missing and no recovery copy")
-        if not fs.rename(Path(src), Path(live)):
-            raise IOError(
-                f"ivf_compact_index: recovery rename {src} -> {live} failed"
-            )
-    fs.delete(Path(tmp), True)
-    fs.delete(Path(old), True)
-
-    df = spark.read.parquet(live)
+    df = spark.read.parquet(cells_prev)
     rows_before = df.count()
     deduped = df.dropDuplicates(["neighbor_id", "cell"])
     n_cells = spark.read.parquet(f"{path}/centroids").count()
@@ -1287,6 +1419,9 @@ def _compact_index_leased(
         files_per_cell = max(
             1, -(-_plan_size_bytes(df) // (target * max(n_cells, 1)))
         )
+    tgt, ver = table_overwrite_target(
+        spark, path, "cells", force_version=True
+    )
     salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(int(files_per_cell)))
     (
         deduped.withColumn("_salt", salt)
@@ -1294,42 +1429,17 @@ def _compact_index_leased(
         .drop("_salt")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(tmp)
+        .parquet(tgt)
     )
-
-    def _parts(p: str) -> int:
-        n = 0
-        it = fs.listFiles(Path(p), True)
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(".parquet"):
-                n += 1
-        return n
-
-    def _swap_in(live_p: str, tmp_p: str, old_p: str) -> None:
-        if not fs.rename(Path(live_p), Path(old_p)):
-            raise IOError(
-                f"ivf_compact_index: rename {live_p} -> {old_p} failed"
-            )
-        if not fs.rename(Path(tmp_p), Path(live_p)):
-            restored = fs.rename(Path(old_p), Path(live_p))
-            raise IOError(
-                f"ivf_compact_index: rename {tmp_p} -> {live_p} failed "
-                f"(live restored from {old_p}: {'yes' if restored else 'NO'}"
-                f"{'' if restored else ' — re-run ivf_compact_index to heal'})"
-            )
-        fs.delete(Path(old_p), True)
-
-    before = _parts(live)
-    rows_after = spark.read.parquet(tmp).count()
-    _swap_in(live, tmp, old)
+    before = _n_parquet_parts(spark, cells_prev)
+    rows_after = spark.read.parquet(tgt).count()
+    publish_version(spark, path, "cells", ver, cells_prev)
 
     # ---- stats-ledger fold (module docstring + ivf_index_drift) ----
-    s_live = f"{path}/stats"
-    s_tmp = f"{s_live}__compacting"
-    s_old = f"{s_live}__old"
-    sdf = _read_stats(spark, path)  # heals its own swap window on entry
-    fs.delete(Path(s_tmp), True)
-    fs.delete(Path(s_old), True)
+    stats_prev = table_live_dir(spark, path, "stats", owner)
+    fs.delete(Path(f"{path}/stats__compacting"), True)
+    fs.delete(Path(f"{path}/stats__old"), True)
+    sdf = spark.read.schema(_INDEX_STATS_SCHEMA).parquet(stats_prev)
     sums = (
         sdf.groupBy("kind")
         .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_d2").alias("sum_d2"))
@@ -1351,17 +1461,20 @@ def _compact_index_leased(
             if keep
             else markers.limit(0)
         )
-    stats_before = _parts(s_live)
-    sums.unionByName(markers).coalesce(1).write.mode("overwrite").parquet(s_tmp)
-    _swap_in(s_live, s_tmp, s_old)
+    stats_before = _n_parquet_parts(spark, stats_prev)
+    s_tgt, s_ver = table_overwrite_target(
+        spark, path, "stats", force_version=True
+    )
+    sums.unionByName(markers).coalesce(1).write.mode("overwrite").parquet(s_tgt)
+    publish_version(spark, path, "stats", s_ver, stats_prev)
 
     return {
         "files_before": before,
-        "files_after": _parts(live),
+        "files_after": _n_parquet_parts(spark, tgt),
         "rows": rows_after,
         "dup_rows_dropped": rows_before - rows_after,
         "stats_files_before": stats_before,
-        "stats_files_after": _parts(s_live),
+        "stats_files_after": _n_parquet_parts(spark, s_tgt),
     }
 
 
@@ -1375,7 +1488,7 @@ def ivf_topk_indexed(
     k: int = 10,
     n_probe: int = 4,
     exclude_self: bool = True,
-    impl: str = "native",
+    impl: str = "auto",
     broadcast_max_bytes: int = _SEARCH_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """IVF search against a :func:`ivf_write_index` layout with PARTITION
@@ -1418,9 +1531,15 @@ def ivf_topk_indexed(
     resolve by the same (cosine desc, neighbor asc) window either way;
     raw cosines can differ from the native fold in the last ulp (the
     embedding_neardup round-6 caveat), equality-tested at the default
-    scale."""
-    if impl not in ("native", "blas"):
-        raise ValueError(f"ivf_topk_indexed: unknown impl {impl!r}")
+    scale.
+
+    The DEFAULT is ``impl='auto'`` — blas when numpy/pandas/pyarrow
+    import, native otherwise (:func:`_resolve_impl`): the steady-state
+    search measured 946 s native vs 13.5 s blas for the same sf100
+    2000-query batch, a 70× footgun no caller should hit by omission.
+    Pass ``impl='native'`` explicitly to pin the pure-DataFrame plan
+    (e.g. for an id type the Arrow path does not carry)."""
+    impl = _resolve_impl(impl, "ivf_topk_indexed")
     ctr_df = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -1479,7 +1598,15 @@ def _ivf_indexed_search(
     # assignment never leaves the executors — with a large query table a
     # row collect here would be a driver OOM.
     cells = sorted(r["cell"] for r in probe_plan.select("cell").distinct().collect())
-    corpus = spark.read.parquet(f"{path}/cells").filter(F.col("cell").isin(cells))
+    # versioned-layout resolution (operators/versioned.py): the scan
+    # binds to the CURRENT generation directory, so a compaction
+    # publishing mid-search cannot yank the files out from under this
+    # plan — the superseded generation survives one full cycle (grace).
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
+    corpus = spark.read.parquet(
+        table_read_dir(spark, path, "cells")
+    ).filter(F.col("cell").isin(cells))
     if impl == "blas":
         return _ivf_blas_topk(
             corpus, probe_plan, k=k, exclude_self=exclude_self

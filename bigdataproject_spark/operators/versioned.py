@@ -1,0 +1,289 @@
+"""Reader-safe versioned table layout for the maintained on-disk
+indexes (the IVF index in operators/simsearch.py, the minhash dedup
+index in operators/dedup_index.py).
+
+THE PROBLEM (r7 layout): compaction rewrote a table via rename-aside —
+rename(live -> old), rename(tmp -> live) — which leaves the live
+directory NONEXISTENT between the two renames. Safe for the index's own
+single-writer maintenance loop, but an EXTERNAL reader (the search
+service an ANN index exists to serve; a dedup batch checker) querying
+during the swap fails with path-not-found. At 100 TB, "quiesce all
+readers during every compaction" is not an operating model.
+
+THE LAYOUT (r8): a table named ``t`` under index root ``path`` lives in
+exactly one of
+
+* ``{path}/t``           — the LEGACY (generation-0) directory. Fresh
+                           builds write here, so a never-compacted
+                           index keeps the r7 layout bit-for-bit.
+* ``{path}/t-v{N}``      — versioned generation ``N`` (complete iff it
+                           contains Spark's ``_SUCCESS`` marker).
+* ``{path}/t.version``   — the pointer file; its content is the ASCII
+                           integer of the CURRENT generation.
+
+Compaction writes the full rewrite to generation ``N+1`` (the live data
+is never touched), then atomically replaces the pointer, then GARBAGE
+COLLECTS every generation other than the new one and the one that was
+live immediately before the flip. That one-generation GRACE WINDOW is
+the reader contract: a reader that resolved the table just before a
+flip can finish its scan against the old generation; only a reader
+still holding a resolution TWO compactions old can lose its files
+(document/monitor compaction cadence accordingly — the same snapshot
+expiry contract as any table format with time travel, e.g. Iceberg's
+``expire_snapshots``). Disk cost: at most two generations of the table
+exist between compactions, exactly one in steady state after GC of the
+grace copy on the next cycle.
+
+The pointer flip uses Hadoop ``FileContext.rename(OVERWRITE)`` — atomic
+on HDFS and local filesystems — with a delete-then-rename fallback for
+filesystems whose FileContext is unavailable. Resolution does not
+DEPEND on flip atomicity: a reader that catches the fallback's brief
+pointer-less window falls through to "newest complete generation",
+which is the generation just written (complete before any flip is
+attempted). On eventually-consistent object stores the rename fallback
+inherits the store's visibility caveats — same honesty as
+operators/lease.py; front maintenance with a real coordinator there.
+
+READERS NEVER WRITE: resolution for reads (:func:`table_read_dir`)
+performs no renames, ever. Debris from a PRE-versioned (r7) crash —
+live dir missing, a complete ``t__compacting`` or set-aside ``t__old``
+copy present — is resolved by reading the recovery copy IN PLACE. Only
+writer paths (:func:`table_live_dir`, callers hold or could hold the
+maintenance lease) heal that debris by renaming it back into the live
+location, and only when no FOREIGN writer holds the lease — the r7
+reader-heal race (a drift poll renaming inside a live compaction's
+swap window) is gone by construction.
+"""
+
+from __future__ import annotations
+
+import re
+
+from bigdataproject_spark.operators.lease import LeaseHeldError, lease_owner
+
+__all__ = [
+    "TableMissingError",
+    "complete_versions",
+    "pointer_version",
+    "publish_version",
+    "table_live_dir",
+    "table_overwrite_target",
+    "table_read_dir",
+    "versioned_dir",
+]
+
+
+class TableMissingError(IOError):
+    """The table exists nowhere under the index root — no pointer
+    generation, no complete versioned dir, no legacy dir, no recovery
+    copy."""
+
+
+def versioned_dir(path: str, table: str, version: int) -> str:
+    return f"{path}/{table}-v{int(version)}"
+
+
+def _pointer_path(path: str, table: str) -> str:
+    return f"{path}/{table}.version"
+
+
+def _fs(spark, pathstr: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(pathstr)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _read_small(fs, p) -> str:
+    """Tiny-file content (pointer files are a few bytes; byte-at-a-time
+    over py4j is fine at this size and works on any Hadoop FS)."""
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        for _ in range(64):
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("utf-8", errors="replace")
+    finally:
+        stream.close()
+
+
+def pointer_version(spark, path: str, table: str) -> int | None:
+    """The generation the pointer file names, or None (no pointer /
+    unparseable content — treated as absent so resolution falls through
+    to the newest-complete rule rather than erroring)."""
+    fs, _, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_pointer_path(path, table))
+    if not fs.exists(p):
+        return None
+    try:
+        return int(_read_small(fs, p).strip())
+    except ValueError:
+        return None
+
+
+def complete_versions(spark, path: str, table: str) -> list[int]:
+    """Sorted generation numbers whose directory is COMPLETE (contains
+    ``_SUCCESS``). An incomplete dir is a crashed write — never a read
+    target, and the next writer overwrites it."""
+    fs, root, jvm = _fs(spark, path)
+    if not fs.exists(root):
+        return []
+    Path = jvm.org.apache.hadoop.fs.Path
+    pat = re.compile(re.escape(table) + r"-v(\d+)$")
+    out = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        m = pat.match(st.getPath().getName())
+        if m and fs.exists(Path(f"{st.getPath().toString()}/_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def table_read_dir(spark, path: str, table: str) -> str:
+    """Resolve the directory to READ for logical ``table`` — pointer
+    generation, else newest complete generation (the mid-flip fallback),
+    else the legacy dir, else a pre-versioned crash's recovery copy
+    read IN PLACE (``{table}__compacting`` marked complete, then
+    ``{table}__old``). NEVER mutates the filesystem. Raises
+    :class:`TableMissingError` when nothing exists."""
+    fs, _, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    ptr = pointer_version(spark, path, table)
+    if ptr is not None:
+        d = versioned_dir(path, table, ptr)
+        if fs.exists(Path(d)):
+            return d
+    vs = complete_versions(spark, path, table)
+    if vs:
+        return versioned_dir(path, table, vs[-1])
+    legacy = f"{path}/{table}"
+    if fs.exists(Path(legacy)):
+        return legacy
+    if fs.exists(Path(f"{legacy}__compacting/_SUCCESS")):
+        return f"{legacy}__compacting"
+    if fs.exists(Path(f"{legacy}__old")):
+        return f"{legacy}__old"
+    raise TableMissingError(f"{legacy} missing and no recovery copy")
+
+
+def table_live_dir(spark, path: str, table: str, owner: str) -> str:
+    """Resolve the directory a WRITER appends into — same order as
+    :func:`table_read_dir`, but pre-versioned crash debris is HEALED by
+    renaming the recovery copy back to the legacy live location (an
+    append into a debris dir would split-brain the table the moment the
+    next compaction's entry heal picked the other copy). Healing
+    renames require that no FOREIGN writer holds the maintenance lease:
+    the caller's own (possibly stale) lease or an unleased index heals;
+    another owner's live compaction raises
+    :class:`~bigdataproject_spark.operators.lease.LeaseHeldError`
+    instead of racing its swap."""
+    fs, _, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    ptr = pointer_version(spark, path, table)
+    if ptr is not None:
+        d = versioned_dir(path, table, ptr)
+        if fs.exists(Path(d)):
+            return d
+    vs = complete_versions(spark, path, table)
+    if vs:
+        return versioned_dir(path, table, vs[-1])
+    legacy = f"{path}/{table}"
+    if fs.exists(Path(legacy)):
+        return legacy
+    tmp, old = f"{legacy}__compacting", f"{legacy}__old"
+    if fs.exists(Path(f"{tmp}/_SUCCESS")):
+        src = tmp
+    elif fs.exists(Path(old)):
+        src = old
+    else:
+        raise TableMissingError(f"{legacy} missing and no recovery copy")
+    held_by = lease_owner(spark, path)
+    if held_by is not None and held_by != owner:
+        raise LeaseHeldError(
+            f"index {path}: {table} needs crash healing but the lease is "
+            f"held by {held_by!r} (this writer: {owner!r}) — its "
+            f"compaction owns the debris; retry after it releases"
+        )
+    if not fs.rename(Path(src), Path(legacy)):
+        raise IOError(
+            f"table_live_dir: recovery rename {src} -> {legacy} failed"
+        )
+    return legacy
+
+
+def table_overwrite_target(
+    spark, path: str, table: str, *, force_version: bool = False
+) -> tuple[str, int | None]:
+    """Where a FULL REWRITE of the table should write, as
+    ``(directory, version_to_publish)``.
+
+    * Never-versioned table (fresh index, or a legacy index that has
+      not been compacted): ``({path}/{table}, None)`` — the write goes
+      to the legacy location in place and no publish is needed, so
+      uncompacted indexes keep the flat r7 layout. With
+      ``force_version=True`` (compaction — it must never rewrite the
+      directory it is reading) the first versioned generation is
+      returned instead.
+    * Versioned table: the NEXT generation after both the pointer and
+      the newest complete dir (a complete-but-unpublished orphan from a
+      crash is skipped, not overwritten — a pointer-less reader could
+      be resolving it right now); the caller writes, then calls
+      :func:`publish_version`.
+    """
+    ptr = pointer_version(spark, path, table) or 0
+    vs = complete_versions(spark, path, table)
+    cur = max(ptr, vs[-1] if vs else 0)
+    if cur == 0 and not force_version:
+        return f"{path}/{table}", None
+    return versioned_dir(path, table, cur + 1), cur + 1
+
+
+def publish_version(
+    spark, path: str, table: str, version: int, prev_live: str | None
+) -> None:
+    """Flip the pointer to ``version`` (atomic ``FileContext.rename``
+    with OVERWRITE where available; delete-then-rename fallback — the
+    pointer-less window is covered by read resolution's
+    newest-complete rule), then GC every generation except the new one
+    and ``prev_live`` (the one-generation grace window readers get —
+    see module docstring). ``prev_live`` may be the legacy dir, a
+    versioned dir, or None (fresh table)."""
+    fs, _, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    ptr = _pointer_path(path, table)
+    tmp = f"{ptr}__tmp"
+    out = fs.create(Path(tmp), True)
+    try:
+        out.write(bytearray(str(int(version)).encode("utf-8")))
+    finally:
+        out.close()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            Path(ptr).toUri(), spark._jsc.hadoopConfiguration()
+        )
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        arr = spark.sparkContext._gateway.new_array(ren, 1)
+        arr[0] = ren.OVERWRITE
+        fc.rename(Path(tmp), Path(ptr), arr)
+    except Exception:
+        fs.delete(Path(ptr), False)
+        if not fs.rename(Path(tmp), Path(ptr)):
+            raise IOError(
+                f"publish_version: pointer rename {tmp} -> {ptr} failed"
+            )
+    # GC: everything but the new generation and the grace copy. All
+    # generation dirs are direct children of the index root, so keep
+    # membership is by basename.
+    keep = {versioned_dir(path, table, version).rsplit("/", 1)[-1]}
+    if prev_live is not None:
+        keep.add(prev_live.rstrip("/").rsplit("/", 1)[-1])
+    pat = re.compile(re.escape(table) + r"-v(\d+)$")
+    for st in fs.listStatus(Path(path)):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if (pat.match(name) or name == table) and name not in keep:
+            fs.delete(st.getPath(), True)

@@ -81,6 +81,24 @@ def _n_parquet_files(spark: SparkSession, path: str) -> int:
     )
 
 
+def _n_band_files(spark: SparkSession, index_path: str) -> int:
+    """Part-file count of the CURRENT bands generation (the versioned
+    layout keeps the superseded generation for one grace cycle;
+    counting it too would trip ``compact_min_band_files`` every
+    batch)."""
+    from bigdataproject_spark.operators.versioned import (
+        TableMissingError,
+        table_read_dir,
+    )
+
+    try:
+        return _n_parquet_files(
+            spark, table_read_dir(spark, index_path, "bands")
+        )
+    except TableMissingError:
+        return 0
+
+
 def ensure_index(
     spark: SparkSession,
     path: str,
@@ -96,8 +114,16 @@ def ensure_index(
     band/shingle parquet with the correct schema, derived from
     ``like``) — lets the first micro-batch run the same code path as
     every later one."""
-    if _exists(spark, f"{path}/shingles"):
+    from bigdataproject_spark.operators.versioned import (
+        TableMissingError,
+        table_read_dir,
+    )
+
+    try:
+        table_read_dir(spark, path, "shingles")
         return
+    except TableMissingError:
+        pass
     write_minhash_index(
         like.limit(0),
         path,
@@ -152,13 +178,11 @@ def make_index_batch_writer(
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from bigdataproject_spark.operators.lease import assert_unleased
+        from bigdataproject_spark.operators.versioned import table_read_dir
 
         spark = batch_df.sparkSession
-        assert_unleased(
-            spark,
-            index_path,
-            lease_owner or spark.sparkContext.applicationId,
-        )
+        owner = lease_owner or spark.sparkContext.applicationId
+        assert_unleased(spark, index_path, owner)
         ensure_index(
             spark,
             index_path,
@@ -170,9 +194,9 @@ def make_index_batch_writer(
             hash_family=hash_family,
         )
         out_dir = f"{out_path}/batch={batch_id}"
-        stored_ids = spark.read.parquet(f"{index_path}/shingles").select(
-            F.col("id").alias(id_col)
-        )
+        stored_ids = spark.read.parquet(
+            table_read_dir(spark, index_path, "shingles")
+        ).select(F.col("id").alias(id_col))
 
         # phase 1 — decide + persist the survivor set (skip if this
         # batch's ledger already committed: a replay must not re-decide
@@ -226,6 +250,7 @@ def make_index_batch_writer(
                 bands=bands,
                 hash_family=hash_family,
                 append=True,
+                lease_owner=owner,
             )
         finally:
             # r7: the per-batch id-set checkpoint is fully consumed by
@@ -236,13 +261,27 @@ def make_index_batch_writer(
 
             release_local_checkpoint(new_ids)
 
+        # lease RE-verification (documented TOCTOU in operators/lease.py):
+        # an external compaction acquiring the lease after this batch's
+        # entry check would flip the generation out from under the rows
+        # just appended — make that loud; the two-phase replay re-appends
+        # them on the retried batch.
+        try:
+            assert_unleased(spark, index_path, owner)
+        except Exception as ex:
+            raise RuntimeError(
+                f"index batch {batch_id}: a foreign writer acquired the "
+                f"lease on {index_path} DURING this append — the appended "
+                f"signatures may be racing its compaction's generation "
+                f"flip; the retried batch re-appends them idempotently"
+            ) from ex
+
         due = (
             compact_every_n_batches is not None
             and (batch_id + 1) % compact_every_n_batches == 0
         ) or (
             compact_min_band_files is not None
-            and _n_parquet_files(spark, f"{index_path}/bands")
-            >= compact_min_band_files
+            and _n_band_files(spark, index_path) >= compact_min_band_files
         )
         if due:
             compact_index(spark, index_path, lease_owner=lease_owner)

@@ -54,16 +54,15 @@ committed ids — everything below the current batch), so the folded
 ledger is bounded at ≤3 ROWS in one file for the stream's whole
 lifetime, and the per-batch drift read stays listing-cheap forever.
 
-READER WARNING: the swap is safe against this stream's own writes, NOT
-against external readers. ``ivf_compact_index`` leaves ``{path}/cells``
-(and briefly ``{path}/stats``) nonexistent inside its rename window, so
-an external search service querying the live index during a drain can
-fail with path-not-found mid-swap. Enabling
-``compact_every_n_batches``/``compact_min_cell_files`` therefore
-requires quiescing external readers during drains — or giving readers
-a path-not-found retry, which heals in milliseconds. A reader-safe
-versioned layout (cells-v{N} + pointer file) is the upgrade path if
-neither is acceptable.
+READERS ARE SAFE during drains (r8): ``ivf_compact_index`` writes the
+compacted cells/stats into the NEXT generation directory and publishes
+it with an atomic pointer flip (operators/versioned.py) — the
+generation an external search service resolved stays on disk until the
+NEXT compaction's GC, so a search never sees a missing path
+mid-compaction. The only reader contract left is the one-generation
+grace window: a single resolved scan must not be held across two
+compaction cycles (size ``compact_every_n_batches`` accordingly for
+long-running external scans).
 """
 
 from __future__ import annotations
@@ -81,17 +80,20 @@ __all__ = ["make_ivf_batch_writer", "stream_embeddings_to_ivf"]
 
 
 def _n_cell_files(spark: SparkSession, path: str) -> int:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/cells")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
+    """Part-file count of the CURRENT cells generation (the versioned
+    layout keeps the superseded generation on disk for one grace cycle
+    — counting it too would double the number and trip the
+    ``compact_min_cell_files`` trigger every batch)."""
+    from bigdataproject_spark.operators.simsearch import _n_parquet_parts
+    from bigdataproject_spark.operators.versioned import (
+        TableMissingError,
+        table_read_dir,
+    )
+
+    try:
+        return _n_parquet_parts(spark, table_read_dir(spark, path, "cells"))
+    except TableMissingError:
         return 0
-    n = 0
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            n += 1
-    return n
 
 
 def make_ivf_batch_writer(

@@ -179,7 +179,9 @@ def test_ivf_indexed_blas_equals_native(spark, sf_dir, tmp_path):
             )
             a = [
                 (r.q_id, r.rank, r.neighbor_id, r.cosine)
-                for r in ivf_topk_indexed(spark, idx, queries, **kw).collect()
+                for r in ivf_topk_indexed(
+                    spark, idx, queries, impl="native", **kw
+                ).collect()
             ]
             b = [
                 (r.q_id, r.rank, r.neighbor_id, r.cosine)
@@ -188,6 +190,21 @@ def test_ivf_indexed_blas_equals_native(spark, sf_dir, tmp_path):
                 ).collect()
             ]
             assert a == b, (n_probe, excl)
+
+
+def test_impl_auto_resolution():
+    """The default impl='auto' picks blas in this container (numpy,
+    pandas, pyarrow all present), never raises for the three accepted
+    spellings, and rejects anything else loudly."""
+    import pytest
+
+    from bigdataproject_spark.operators.simsearch import _resolve_impl
+
+    assert _resolve_impl("auto", "t") == "blas"
+    assert _resolve_impl("native", "t") == "native"
+    assert _resolve_impl("blas", "t") == "blas"
+    with pytest.raises(ValueError, match="unknown impl"):
+        _resolve_impl("gpu", "t")
 
 
 def test_query_batch_splits_guard(spark, sf_dir):

@@ -29,6 +29,15 @@ def _parts(path: str) -> list[str]:
     return sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
 
 
+def _tdir(spark, idx: str, table: str) -> str:
+    """Current generation dir of a versioned index table (after a
+    compaction the flat {idx}/{table} path is a superseded grace copy,
+    not the live table)."""
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
+    return table_read_dir(spark, idx, table)
+
+
 def _seed_and_deltas(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     seed = emb.filter(F.col("vec_id") % 3 == 0)
@@ -70,7 +79,7 @@ def test_compaction_folds_ledger_and_preserves_drift(spark, sf_dir, tmp_path):
     stats = ivf_compact_index(spark, idx)
     assert stats["stats_files_before"] == 3
     assert stats["stats_files_after"] == 1  # the fold's whole point
-    assert len(_parts(f"{idx}/stats")) == 1
+    assert len(_parts(_tdir(spark, idx, "stats"))) == 1
     _drift_eq(before, ivf_index_drift(spark, idx))
 
     # a second fold is a fixpoint (sums of sums, markers distinct)
@@ -91,7 +100,7 @@ def test_ledger_id_survives_fold(spark, sf_dir, tmp_path):
         guard_ids=True, ledger_id="batch-0",
     )
     ivf_compact_index(spark, idx)
-    rows = spark.read.parquet(f"{idx}/cells").count()
+    rows = spark.read.parquet(_tdir(spark, idx, "cells")).count()
 
     rep2 = ivf_append_index(  # replay after the fold
         d1, idx, id_col="vec_id", vec_col="embedding",
@@ -99,7 +108,7 @@ def test_ledger_id_survives_fold(spark, sf_dir, tmp_path):
     )
     assert rep2["n_appended"] == 0
     assert rep2["n_appended_total"] == rep1["n_appended_total"] == d1.count()
-    assert spark.read.parquet(f"{idx}/cells").count() == rows
+    assert spark.read.parquet(_tdir(spark, idx, "cells")).count() == rows
 
 
 def test_stats_first_crash_window_heals_on_replay(spark, sf_dir, tmp_path):
@@ -236,11 +245,20 @@ def test_occupancy_threshold_scales_with_small_k(spark, tmp_path):
     assert rep["rebuild_recommended"] is False
 
 
-def test_stats_swap_window_heals_on_read(spark, sf_dir, tmp_path):
-    """Crash between the ledger fold's two renames: stats/ is missing
-    with a complete __compacting copy (or only the set-aside original).
-    Any later read — a drift report, an append's ledger check — must
-    heal and proceed."""
+def test_stats_swap_window_read_in_place_and_writer_heals(
+    spark, sf_dir, tmp_path
+):
+    """Pre-versioned (r7 rename-aside) crash debris: stats/ missing with
+    a complete __compacting copy (or only the set-aside original).
+
+    r8 contract: a pure READ — a drift report — resolves the recovery
+    copy IN PLACE and NEVER mutates the filesystem (the r7 heal-on-read
+    renamed from reader paths and could race a live compaction's own
+    swap: that ADVICE finding). A WRITER path (an append, a compaction
+    — both may take the lease) heals the debris by renaming it back
+    before writing."""
+    import os
+
     seed, d1, _, ctrs = _seed_and_deltas(spark, sf_dir)
     idx = str(tmp_path / "idx")
     ivf_write_index_from_centroids(
@@ -252,19 +270,136 @@ def test_stats_swap_window_heals_on_read(spark, sf_dir, tmp_path):
     )
     want = ivf_index_drift(spark, idx)
 
-    # 1: complete temp dir, live missing -> heal prefers the temp copy
+    # 1: complete temp dir, live missing -> READER reads it in place
     shutil.copytree(f"{idx}/stats", f"{idx}/stats__compacting")
     shutil.rmtree(f"{idx}/stats")
     _drift_eq(want, ivf_index_drift(spark, idx))
+    assert not os.path.isdir(f"{idx}/stats")  # reader did NOT heal
+    assert os.path.isdir(f"{idx}/stats__compacting")
+
+    # ... and a WRITER (compaction, lease-held) heals + folds it
+    ivf_compact_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/stats__compacting")
+    _drift_eq(want, ivf_index_drift(spark, idx))
+
+    # 2: live renamed aside, no temp (the other debris shape — on a
+    # fresh LEGACY index: rename-aside debris only ever arises on the
+    # pre-versioned layout): read in place, then an append (writer, no
+    # foreign lease) heals by rename
+    idx2 = str(tmp_path / "idx2")
+    ivf_write_index_from_centroids(
+        seed, idx2, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_append_index(
+        d1, idx2, id_col="vec_id", vec_col="embedding",
+        guard_ids=True, ledger_id="batch-0",
+    )
+    want2 = ivf_index_drift(spark, idx2)
+    shutil.move(f"{idx2}/stats", f"{idx2}/stats__old")
+    _drift_eq(want2, ivf_index_drift(spark, idx2))
+    assert os.path.isdir(f"{idx2}/stats__old")  # reader left it alone
+    rep = ivf_append_index(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+        idx2, id_col="vec_id", vec_col="embedding",
+        guard_ids=True, ledger_id="batch-heal",
+    )
+    assert rep["n_appended"] == 0
+    assert not os.path.isdir(f"{idx2}/stats__old")  # writer healed
+    assert os.path.isdir(f"{idx2}/stats")
+    _drift_eq(want2, ivf_index_drift(spark, idx2))
+
+
+def test_reader_never_mutates_under_foreign_lease(spark, sf_dir, tmp_path):
+    """The r7 ADVICE race, pinned shut: a drift poll that lands inside
+    ANOTHER writer's compaction (foreign lease held, stats debris on
+    disk) must read the recovery copy in place and leave every path
+    untouched — renaming here could beat the compactor to its own swap
+    and break its rollback."""
     import os
 
-    assert os.path.isdir(f"{idx}/stats")
-    assert not os.path.isdir(f"{idx}/stats__compacting")
+    seed, d1, _, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_append_index(
+        d1, idx, id_col="vec_id", vec_col="embedding",
+        guard_ids=True, ledger_id="batch-0",
+    )
+    want = ivf_index_drift(spark, idx)
+    shutil.copytree(f"{idx}/stats", f"{idx}/stats__compacting")
+    shutil.rmtree(f"{idx}/stats")
+    with open(f"{idx}/_writer.lock", "w") as fh:
+        fh.write("somebody-else")  # a foreign compaction is live
 
-    # 2: live renamed aside, no temp -> heal restores the original
-    shutil.move(f"{idx}/stats", f"{idx}/stats__old")
-    _drift_eq(want, ivf_index_drift(spark, idx))
-    assert not os.path.isdir(f"{idx}/stats__old")
+    before = sorted(
+        os.path.join(r, n)
+        for r, _, files in os.walk(idx)
+        for n in files
+    )
+    _drift_eq(want, ivf_index_drift(spark, idx))  # read succeeds...
+    after = sorted(
+        os.path.join(r, n)
+        for r, _, files in os.walk(idx)
+        for n in files
+    )
+    assert before == after  # ...and the filesystem is untouched
+
+    # a WRITER hitting the same debris under the foreign lease refuses
+    from bigdataproject_spark.operators.lease import LeaseHeldError
+
+    with pytest.raises((LeaseHeldError, RuntimeError)):
+        ivf_append_index(
+            d1, idx, id_col="vec_id", vec_col="embedding",
+            guard_ids=True, ledger_id="batch-1",
+        )
+    os.remove(f"{idx}/_writer.lock")
+
+
+def test_append_after_fold_crash_heals_instead_of_rebuilding(
+    spark, sf_dir, tmp_path
+):
+    """The r7-end driver ADVICE (medium): an append landing inside a
+    crashed ledger-fold's swap window found exists({idx}/stats) false
+    and silently REBUILT the ledger from the cells table — the build
+    baseline absorbed every appended row, the append history zeroed,
+    and the at-most-once markers vanished (reproduced: build 167->334,
+    n_appended_total 333->166). The append must instead HEAL the
+    set-aside ledger and carry on."""
+    seed, d1, d2, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_append_index(
+        d1, idx, id_col="vec_id", vec_col="embedding",
+        guard_ids=True, ledger_id="batch-0",
+    )
+    want_build = ivf_index_drift(spark, idx)["n_indexed_at_build"]
+    assert want_build == seed.count()
+
+    # crash inside the fold's swap window: live missing, complete copy
+    # aside (both debris shapes)
+    for debris in ("stats__compacting", "stats__old"):
+        shutil.copytree(f"{idx}/stats", f"{idx}/{debris}")
+        shutil.rmtree(f"{idx}/stats")
+        rep = ivf_append_index(
+            d2, idx, id_col="vec_id", vec_col="embedding",
+            guard_ids=True, ledger_id="batch-1",
+        )
+        # the ledger was healed, not reconstructed from cells:
+        assert rep["n_indexed_at_build"] == want_build
+        assert rep["n_appended_total"] == d1.count() + d2.count()
+        # the healed ledger still carries batch-0's at-most-once marker
+        replay = ivf_append_index(
+            d1, idx, id_col="vec_id", vec_col="embedding",
+            guard_ids=True, ledger_id="batch-0",
+        )
+        assert replay["n_appended"] == 0
+        assert replay["n_appended_total"] == d1.count() + d2.count()
+        # reset for the second debris shape: drop batch-1's rows is not
+        # needed — d2 is already indexed, the second pass appends 0 and
+        # the assertions above stay exact.
 
 
 def test_occupancy_scan_reads_zero_data_columns(spark, sf_dir, tmp_path):
@@ -306,7 +441,7 @@ def test_fold_prunes_markers_to_keep_set(spark, sf_dir, tmp_path):
     # prune to the "still replayable" set {batch-1} — the streaming
     # flow's shape inside foreachBatch of batch 1
     ivf_compact_index(spark, idx, keep_marker_ids={"batch-1"})
-    sdf = spark.read.parquet(f"{idx}/stats")
+    sdf = spark.read.parquet(_tdir(spark, idx, "stats"))
     assert sdf.count() == 3  # build sum + append sum + one marker
     assert [r["ledger_id"] for r in sdf.where("ledger_id is not null").collect()] == ["batch-1"]
     _drift_eq(before, ivf_index_drift(spark, idx))

@@ -156,8 +156,10 @@ def test_in_stream_compaction_policy(spark, sf_dir, tmp_path):
         compact_every_n_batches=1,
     )
     q.awaitTermination(120)
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
     n_files = len(
-        glob.glob(f"{idx}/cells/cell=*/*.parquet")
+        glob.glob(f"{table_read_dir(spark, idx, 'cells')}/cell=*/*.parquet")
     )
     n_cells = spark.read.parquet(f"{idx}/centroids").count()
     assert n_files <= n_cells  # files_per_cell resolves to 1 at this size
@@ -210,38 +212,47 @@ def test_compact_is_rerunnable(spark, sf_dir, tmp_path):
 
 
 def test_compact_heals_interrupted_swap(spark, sf_dir, tmp_path):
-    """Crash window: cells deleted after the compacted temp dir
-    completed — a re-run must heal from the temp dir; and the variant
-    where live was renamed aside but the temp is incomplete must
-    restore the set-aside original."""
+    """PRE-versioned (r7 rename-aside) crash debris on a legacy-layout
+    index: cells deleted with a complete __compacting copy, or renamed
+    aside with an incomplete temp. A compaction (writer, lease-held)
+    must heal the debris and proceed; searches keep working against
+    the debris IN PLACE even before the heal (reader resolution)."""
     import os
 
     seed, d1, _, queries, ctrs = _seed_and_deltas(spark, sf_dir)
-    idx = str(tmp_path / "idx")
-    ivf_write_index_from_centroids(
-        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
-    )
-    ivf_append_index(
-        d1, idx, id_col="vec_id", vec_col="embedding", guard_ids=True
-    )
-    want = _search(spark, idx, queries)
+
+    def _legacy_index(name):
+        p = str(tmp_path / name)
+        ivf_write_index_from_centroids(
+            seed, p, ctrs, id_col="vec_id", vec_col="embedding"
+        )
+        ivf_append_index(
+            d1, p, id_col="vec_id", vec_col="embedding", guard_ids=True
+        )
+        return p
 
     # 1: finished temp dir, live deleted (crash between the renames)
-    ivf_compact_index(spark, idx)  # leaves a compact live store
+    idx = _legacy_index("idx")
+    want = _search(spark, idx, queries)
     shutil.copytree(f"{idx}/cells", f"{idx}/cells__compacting")
     shutil.rmtree(f"{idx}/cells")
+    assert _search(spark, idx, queries) == want  # reader: in place
+    assert not os.path.exists(f"{idx}/cells")  # ...and never mutates
     stats = ivf_compact_index(spark, idx)
     assert stats["rows"] == seed.count() + d1.count()
+    assert not os.path.exists(f"{idx}/cells__compacting")
     assert _search(spark, idx, queries) == want
 
     # 2: live renamed aside, temp incomplete (no _SUCCESS)
-    shutil.move(f"{idx}/cells", f"{idx}/cells__old")
-    os.mkdir(f"{idx}/cells__compacting")
-    stats = ivf_compact_index(spark, idx)
+    idx2 = _legacy_index("idx2")
+    shutil.move(f"{idx2}/cells", f"{idx2}/cells__old")
+    os.mkdir(f"{idx2}/cells__compacting")
+    assert _search(spark, idx2, queries) == want  # reader: __old in place
+    stats = ivf_compact_index(spark, idx2)
     assert stats["rows"] == seed.count() + d1.count()
-    assert _search(spark, idx, queries) == want
-    assert not os.path.exists(f"{idx}/cells__old")
-    assert not os.path.exists(f"{idx}/cells__compacting")
+    assert _search(spark, idx2, queries) == want
+    assert not os.path.exists(f"{idx2}/cells__old")
+    assert not os.path.exists(f"{idx2}/cells__compacting")
 
 
 def test_stream_stats_ledger_stays_bounded(spark, sf_dir, tmp_path):
@@ -272,12 +283,15 @@ def test_stream_stats_ledger_stays_bounded(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(reports) == [0, 1]
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
+    stats_dir = table_read_dir(spark, idx, "stats")
     # every batch compacted -> the ledger is ONE folded file, not
     # one-per-batch
-    assert len(glob.glob(f"{idx}/stats/*.parquet")) == 1
+    assert len(glob.glob(f"{stats_dir}/*.parquet")) == 1
     # ... and the in-stream marker prune bounds it to <= 3 ROWS
     # (build sum + append sum + the one still-replayable batch marker)
-    assert spark.read.parquet(f"{idx}/stats").count() <= 3
+    assert spark.read.parquet(stats_dir).count() <= 3
     # totals survive the folds exactly
     from bigdataproject_spark.operators.simsearch import ivf_index_drift
 

@@ -50,6 +50,19 @@ def _out_ids(spark, out):
     }
 
 
+def _read_idx(spark, idx, table):
+    """Read an index table through the versioned-layout resolver — after
+    a compaction the live generation is ``{table}-v{N}`` named by the
+    pointer file, not the flat legacy dir (operators/versioned.py)."""
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
+    return spark.read.parquet(table_read_dir(spark, idx, table))
+
+
+def _stored_ids(spark, idx):
+    return {r["id"] for r in _read_idx(spark, idx, "shingles").collect()}
+
+
 def test_stream_drains_through_index(spark, tmp_path):
     """Two files → two micro-batches (maxFilesPerTrigger=1) → survivors
     on disk equal the sequential accept_batch semantics: 11 dropped
@@ -92,9 +105,7 @@ def test_stream_drains_through_index(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _out_ids(spark, out) == {1, 2, 12}
-    stored = {
-        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
-    }
+    stored = _stored_ids(spark, idx)
     assert stored == {1, 2, 12}
     # the survivor output carries the original columns, not signatures
     assert "shingles" not in spark.read.parquet(f"{out}/batch=*").columns
@@ -112,13 +123,13 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     writer(_docs(spark, B1), 0)
     writer(_docs(spark, B2), 1)
     first_out = _out_ids(spark, out)
-    n_store = spark.read.parquet(f"{idx}/shingles").count()
-    n_bands = spark.read.parquet(f"{idx}/bands").count()
+    n_store = _read_idx(spark, idx, "shingles").count()
+    n_bands = _read_idx(spark, idx, "bands").count()
 
     writer(_docs(spark, B2), 1)  # replay the last micro-batch
     assert _out_ids(spark, out) == first_out == {1, 2, 12}
-    assert spark.read.parquet(f"{idx}/shingles").count() == n_store
-    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+    assert _read_idx(spark, idx, "shingles").count() == n_store
+    assert _read_idx(spark, idx, "bands").count() == n_bands
     # survivors of the replayed batch are still present (not lost to
     # the decide-phase being skipped on replay)
     b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
@@ -145,9 +156,7 @@ def test_cross_batch_duplicate_id_not_reemitted(spark, tmp_path):
     b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
     assert b1 == {99}
     assert _out_ids(spark, out) == {1, 2, 99}
-    stored = {
-        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
-    }
+    stored = _stored_ids(spark, idx)
     assert stored == {1, 2, 99}
 
 
@@ -169,14 +178,10 @@ def test_crash_between_ledger_and_append(spark, tmp_path):
     writer(_docs(spark, B2), 1)
     shutil.rmtree(idx)
     shutil.copytree(str(tmp_path / "idx_snapshot"), idx)
-    assert {
-        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
-    } == {1, 2}
+    assert _stored_ids(spark, idx) == {1, 2}
 
     writer(_docs(spark, B2), 1)  # replay heals the append
-    stored = {
-        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
-    }
+    stored = _stored_ids(spark, idx)
     assert stored == {1, 2, 12}
     b1 = {r["doc_id"] for r in spark.read.parquet(f"{out}/batch=1").collect()}
     assert b1 == {12}
@@ -237,9 +242,7 @@ def test_full_lambda_flow_clean_then_index(spark, tmp_path):
     }
     assert set(surv) == {1, 4}
     assert "<email>" in surv[4] and "sam@example.com" not in surv[4]
-    stored = {
-        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
-    }
+    stored = _stored_ids(spark, idx)
     assert stored == {1, 4}
 
 
@@ -284,7 +287,7 @@ def test_compaction_between_stream_batches(spark, tmp_path):
         )
         results[mode] = (
             _out_ids(spark, out),
-            {r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()},
+            _stored_ids(spark, idx),
             pairs,
         )
     assert results["plain"] == results["compacted"]
@@ -308,10 +311,8 @@ def test_crash_mid_compaction_heals_then_stream_replays(spark, tmp_path):
     )
     writer(_docs(spark, B1), 0)
     writer(_docs(spark, B2), 1)
-    stored_before = {
-        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
-    }
-    n_bands = spark.read.parquet(f"{idx}/bands").count()
+    stored_before = _stored_ids(spark, idx)
+    n_bands = _read_idx(spark, idx, "bands").count()
 
     # simulate the mid-swap crash exactly as compact_index sequences it:
     # a COMPLETED compacted temp dir exists (Spark write → _SUCCESS),
@@ -329,14 +330,12 @@ def test_crash_mid_compaction_heals_then_stream_replays(spark, tmp_path):
 
     stats = compact_index(spark, idx)  # heals from the completed tmp
     assert stats["bands"]["rows"] == n_bands
-    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+    assert _read_idx(spark, idx, "bands").count() == n_bands
 
     writer(_docs(spark, B2), 1)  # stream replay after the healed swap
     assert _out_ids(spark, out) == {1, 2, 12}
-    assert {
-        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
-    } == stored_before
-    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+    assert _stored_ids(spark, idx) == stored_before
+    assert _read_idx(spark, idx, "bands").count() == n_bands
 
 
 def test_compaction_drops_crash_duplicate_band_rows(spark, tmp_path):
@@ -360,7 +359,7 @@ def test_compaction_drops_crash_duplicate_band_rows(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/bands").count() > n_unique
 
     compact_index(spark, idx)
-    after = spark.read.parquet(f"{idx}/bands")
+    after = _read_idx(spark, idx, "bands")
     assert after.count() == n_unique
     assert after.dropDuplicates(["id", "band_id", "band_hash"]).count() == n_unique
 
@@ -421,7 +420,7 @@ def test_auto_compaction_policy_triggers_in_stream(spark, tmp_path):
     from bigdataproject_spark.operators.dedup_index import (
         incremental_minhash_pairs,
     )
-    from bigdataproject_spark.streaming.index_stream import _n_parquet_files
+    from bigdataproject_spark.streaming.index_stream import _n_band_files
 
     PROBE = [
         (21, BASE + " tomorrow"),
@@ -455,10 +454,10 @@ def test_auto_compaction_policy_triggers_in_stream(spark, tmp_path):
         )
         results[mode] = (
             _out_ids(spark, out),
-            {r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()},
+            _stored_ids(spark, idx),
             pairs,
         )
-        band_files[mode] = _n_parquet_files(spark, f"{idx}/bands")
+        band_files[mode] = _n_band_files(spark, idx)
     assert results["plain"] == results["every1"] == results["minfiles"]
     assert results["plain"][0] == {1, 2, 12}
     assert results["plain"][2]
@@ -478,11 +477,9 @@ def test_auto_compaction_replay_idempotent(spark, tmp_path):
     )
     writer(_docs(spark, B1), 0)
     writer(_docs(spark, B2), 1)
-    stored = {r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()}
-    n_bands = spark.read.parquet(f"{idx}/bands").count()
+    stored = _stored_ids(spark, idx)
+    n_bands = _read_idx(spark, idx, "bands").count()
     writer(_docs(spark, B2), 1)  # replay
     assert _out_ids(spark, out) == {1, 2, 12}
-    assert {
-        r["id"] for r in spark.read.parquet(f"{idx}/shingles").collect()
-    } == stored
-    assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+    assert _stored_ids(spark, idx) == stored
+    assert _read_idx(spark, idx, "bands").count() == n_bands
