@@ -131,6 +131,89 @@ LIMIT 500
 """
 
 
+# Five fixed CJK phrases, keyed by doc_id % 5, whose forward-maximum-
+# matching segmentations under the vendored dictionary
+# (functions/cjk_dict.py DEFAULT_CJK_WORDS) are verified facts of the
+# segmenter (asserted in tests/test_cjk_tokenize.py): between them they
+# exercise greedy longest-match ("前方高能" beats its substring "高能"),
+# multi-word runs, and the OOV-single-char fallback that the min_len>=2
+# post-filter drops ("看", the fourth "哈", "了") — the reference's
+# len<=1 rule (hot/preprocess_high_energy.py:59)."""
+_CJK_PHRASES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("我们喜欢看动画", ("我们", "喜欢", "动画")),
+    ("前方高能名场面", ("前方高能", "名场面")),
+    ("哈哈哈哈", ("哈哈哈",)),
+    ("这个故事真的有趣", ("这个", "故事", "真的", "有趣")),
+    ("弹幕泪目了", ("弹幕", "泪目")),
+)
+
+
+def q_cjk_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 in DICTIONARY mode: the same tokenize → explode → count →
+    top-500 shape as ``word_count``, but through the seam's
+    ``backend="cjk-dict"`` FMM segmenter (functions/cjk_dict.py — the
+    in-container stand-in for the reference's jieba dictionary phase,
+    hot/preprocess_high_energy.py:40-58). The corpus is ``documents``
+    with a deterministic CJK phrase (doc_id % 5) prefixed onto each
+    text, so the Arrow pandas_udf segments REAL mixed Han/latin input
+    and the dictionary phase decides real outputs — while the DuckDB
+    oracle stays exact: the phrases' segmentations are fixed, verified
+    facts (see ``_CJK_PHRASES``), so the oracle contributes them as
+    literal arrays and handles the latin half with the same regex
+    pipeline as ``ORACLE_WORD_COUNT``."""
+    from bigdataproject_spark.functions.tokenize import get_tokenizer
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    phrase = F.element_at(
+        F.array(*[F.lit(p) for p, _ in _CJK_PHRASES]),
+        (F.col("doc_id") % len(_CJK_PHRASES) + 1).cast("int"),
+    )
+    mixed = F.concat_ws(" ", phrase, F.col("text"))
+    tok = get_tokenizer(
+        "cjk-dict",
+        stopwords=DEFAULT_STOPWORDS,
+        min_len=2,
+        drop_numeric=True,
+    )
+    tokens = docs.select(F.explode(tok(mixed)).alias("word"))
+    return (
+        tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .orderBy(F.desc("frequency"), F.asc("word"))
+        .limit(500)
+    )
+
+
+def _sql_cjk_case() -> str:
+    whens = "\n    ".join(
+        f"WHEN {i} THEN [{', '.join(repr(w) for w in seg)}]"
+        for i, (_, seg) in enumerate(_CJK_PHRASES)
+    )
+    return f"CASE CAST(doc_id % {len(_CJK_PHRASES)} AS INT)\n    {whens}\n    END"
+
+
+ORACLE_CJK_WORD_COUNT = f"""
+WITH eng AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents
+), engf AS (
+  SELECT word FROM eng
+  WHERE length(word) >= 2 AND word NOT IN ({_SW})
+    AND NOT regexp_matches(word, '^[0-9]+$')
+), cjk AS (
+  SELECT unnest({_sql_cjk_case()}) AS word
+  FROM documents
+), toks AS (
+  SELECT word FROM engf UNION ALL SELECT word FROM cjk
+)
+SELECT word, count(*) AS frequency
+FROM toks
+GROUP BY word
+ORDER BY frequency DESC, word ASC
+LIMIT 500
+"""
+
+
 def _doc_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type baskets — the testdata analogue of the
     reference's tag transactions (tag/main.py:55: split tag string →
@@ -321,6 +404,7 @@ REFERENCE_QUERIES = {
     "energy_timeline": _q(q_energy_timeline, ORACLE_ENERGY_TIMELINE),
     "tiered_score": _q(q_tiered_score, ORACLE_TIERED_SCORE),
     "word_count": _q(q_word_count, ORACLE_WORD_COUNT),
+    "cjk_word_count": _q(q_cjk_word_count, ORACLE_CJK_WORD_COUNT),
     "tag_etl_transactions": _q(q_tag_etl, ORACLE_TAG_ETL),
     "freq_itemsets": _q(q_freq_itemsets, ORACLE_FREQ_ITEMSETS),
     "assoc_rules": _q(q_assoc_rules, ORACLE_ASSOC_RULES),

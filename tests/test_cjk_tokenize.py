@@ -154,3 +154,27 @@ def test_danmaku_word_count_shape(spark):
     )
     assert len(top) == 50 and top[0]["count"] > 100
     assert any(r.w == "上岸" for r in top)  # the episode's dominant meme
+
+
+def test_registry_cjk_phrases_segment_as_documented():
+    """The cjk_word_count registry query's DuckDB oracle contributes
+    the CJK phrases as LITERAL word arrays — valid only while the FMM
+    segmenter actually produces those words. Pin the fact here: each
+    phrase's post-filtered segmentation equals the literal the oracle
+    uses (min_len>=2 drops the OOV single chars exactly as the
+    reference's len<=1 rule)."""
+    from bigdataproject_spark.functions.cjk_dict import (
+        DEFAULT_CJK_WORDS,
+        segment_text,
+    )
+    from bigdataproject_spark.queries_reference import _CJK_PHRASES
+
+    words = frozenset(w for w in DEFAULT_CJK_WORDS if len(w) >= 2)
+    max_len = max(len(w) for w in words)
+    for phrase, expected in _CJK_PHRASES:
+        got = [
+            t
+            for t in segment_text(phrase, words, max_len)
+            if len(t) >= 2
+        ]
+        assert got == list(expected), phrase
