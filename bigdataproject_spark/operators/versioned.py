@@ -111,15 +111,18 @@ def _read_small(fs, p) -> str:
 
 def pointer_version(spark, path: str, table: str) -> int | None:
     """The generation the pointer file names, or None (no pointer /
-    unparseable content — treated as absent so resolution falls through
-    to the newest-complete rule rather than erroring)."""
+    unparseable content / unreadable file — all treated as absent so
+    resolution falls through to the newest-complete rule rather than
+    erroring: the pointer is a hint resolution must never DEPEND on,
+    and a torn write on a non-atomic filesystem, or a checksum failure
+    on a half-replaced local file, must degrade to the fallback)."""
     fs, _, jvm = _fs(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(_pointer_path(path, table))
     if not fs.exists(p):
         return None
     try:
         return int(_read_small(fs, p).strip())
-    except ValueError:
+    except Exception:
         return None
 
 

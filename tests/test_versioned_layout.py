@@ -1,0 +1,102 @@
+"""Unit coverage of the versioned-table primitives themselves
+(operators/versioned.py) — the crash shapes the integration tests
+don't isolate: orphan (complete-but-unpublished) generations, corrupt
+or dangling pointer files, and publish-time GC's keep set."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from bigdataproject_spark.operators.versioned import (
+    TableMissingError,
+    complete_versions,
+    pointer_version,
+    publish_version,
+    table_overwrite_target,
+    table_read_dir,
+    versioned_dir,
+)
+
+
+@pytest.fixture()
+def root(spark, tmp_path):
+    """An index root with a legacy table plus helpers to mint complete
+    generation dirs from the same 3-row frame."""
+    p = str(tmp_path / "idx")
+    df = spark.range(3).toDF("id")
+    df.write.parquet(f"{p}/t")
+
+    def gen(v: int, publish: bool = False, prev: str | None = None):
+        df.write.mode("overwrite").parquet(versioned_dir(p, "t", v))
+        if publish:
+            publish_version(spark, p, "t", v, prev)
+
+    return p, gen
+
+
+def test_orphan_generation_is_skipped_not_served(spark, root):
+    """Crash after the next generation's write but BEFORE publish: the
+    pointer still names the old state, readers must keep resolving it
+    (the orphan was never announced), and the next rewrite must target
+    the generation AFTER the orphan (a pointer-less reader could be
+    mid-resolve on it — never overwrite)."""
+    p, gen = root
+    gen(1, publish=True, prev=f"{p}/t")
+    gen(2)  # orphan: complete on disk, never published
+    assert pointer_version(spark, p, "t") == 1
+    assert complete_versions(spark, p, "t") == [1, 2]
+    assert table_read_dir(spark, p, "t") == versioned_dir(p, "t", 1)
+    tgt, ver = table_overwrite_target(spark, p, "t")
+    assert (tgt, ver) == (versioned_dir(p, "t", 3), 3)
+
+
+def test_corrupt_pointer_falls_to_newest_complete(spark, root):
+    p, gen = root
+    gen(1, publish=True, prev=f"{p}/t")
+    with open(f"{p}/t.version", "w") as f:
+        f.write("not-a-number")
+    assert pointer_version(spark, p, "t") is None
+    assert table_read_dir(spark, p, "t") == versioned_dir(p, "t", 1)
+
+
+def test_dangling_pointer_falls_to_newest_complete(spark, root):
+    """The pointer names a generation whose directory is gone (e.g. a
+    manual cleanup): resolution must not error on the dangling name."""
+    p, gen = root
+    gen(1, publish=True, prev=f"{p}/t")
+    gen(2, publish=True, prev=versioned_dir(p, "t", 1))
+    shutil.rmtree(versioned_dir(p, "t", 2))
+    assert pointer_version(spark, p, "t") == 2
+    assert table_read_dir(spark, p, "t") == versioned_dir(p, "t", 1)
+
+
+def test_incomplete_generation_never_resolves(spark, root):
+    """A generation dir without _SUCCESS is a crashed write — invisible
+    to readers and to the newest-complete fallback."""
+    p, gen = root
+    os.makedirs(versioned_dir(p, "t", 1))  # no _SUCCESS
+    assert complete_versions(spark, p, "t") == []
+    assert table_read_dir(spark, p, "t") == f"{p}/t"  # legacy wins
+
+
+def test_publish_gc_keeps_exactly_new_and_grace(spark, tmp_path):
+    p2 = str(tmp_path / "idx")
+    df = spark.range(3).toDF("id")
+    df.write.parquet(f"{p2}/t")
+    df.write.parquet(versioned_dir(p2, "t", 1))
+    publish_version(spark, p2, "t", 1, f"{p2}/t")
+    assert os.path.isdir(f"{p2}/t")  # grace copy survives this cycle
+    df.write.parquet(versioned_dir(p2, "t", 2))
+    publish_version(spark, p2, "t", 2, versioned_dir(p2, "t", 1))
+    assert not os.path.isdir(f"{p2}/t")  # GC'd on the NEXT cycle
+    assert os.path.isdir(versioned_dir(p2, "t", 1))  # new grace copy
+    assert os.path.isdir(versioned_dir(p2, "t", 2))
+    assert pointer_version(spark, p2, "t") == 2
+
+
+def test_missing_table_raises(spark, tmp_path):
+    with pytest.raises(TableMissingError):
+        table_read_dir(spark, str(tmp_path / "nothing"), "t")
