@@ -64,6 +64,7 @@ from bigdataproject_spark.operators.lease import LeaseHeldError, lease_owner
 __all__ = [
     "TableMissingError",
     "complete_versions",
+    "n_parquet_files",
     "pointer_version",
     "publish_version",
     "table_live_dir",
@@ -81,6 +82,31 @@ class TableMissingError(IOError):
 
 def versioned_dir(path: str, table: str, version: int) -> str:
     return f"{path}/{table}-v{int(version)}"
+
+
+def n_parquet_files(spark, dirpath: str) -> int:
+    """Recursive ``.parquet`` part-file count under one directory,
+    skipping files inside hidden (``_``/``.``-prefixed) subdirectories
+    — i.e. what a Spark scan of the directory would actually read (the
+    IVF index's paired ``_centroids`` copy lives in such a subdir).
+    The ONE counting helper for every maintenance policy and
+    compaction statistic (previously triplicated across the index
+    modules)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dirpath)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        fp = it.next().getPath()
+        if not fp.getName().endswith(".parquet"):
+            continue
+        if fp.getParent().getName().startswith(("_", ".")):
+            continue
+        n += 1
+    return n
 
 
 def _pointer_path(path: str, table: str) -> str:
@@ -250,10 +276,12 @@ def publish_version(
     """Flip the pointer to ``version`` (atomic ``FileContext.rename``
     with OVERWRITE where available; delete-then-rename fallback — the
     pointer-less window is covered by read resolution's
-    newest-complete rule), then GC every generation except the new one
-    and ``prev_live`` (the one-generation grace window readers get —
-    see module docstring). ``prev_live`` may be the legacy dir, a
-    versioned dir, or None (fresh table)."""
+    newest-complete rule), then GC every generation except the new
+    one, ``prev_live`` (the one-generation grace window readers get —
+    see module docstring), and any COMPLETE orphan generation between
+    them (same grace: a pointer-less reader may be resolving it).
+    ``prev_live`` may be the legacy dir, a versioned dir, or None
+    (fresh table)."""
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     ptr = _pointer_path(path, table)
@@ -279,10 +307,26 @@ def publish_version(
             )
     # GC: everything but the new generation and the grace copy. All
     # generation dirs are direct children of the index root, so keep
-    # membership is by basename.
+    # membership is by basename. A COMPLETE generation newer than
+    # prev_live — a crash's complete-but-unpublished orphan — also
+    # gets one grace cycle: table_overwrite_target skips orphans
+    # because a pointer-less reader's newest-complete fallback may be
+    # resolving one right now, and deleting it here with zero grace
+    # would break exactly that reader (it falls out of the newer-than
+    # window at the NEXT publish, so orphans never accumulate past one
+    # cycle). Incomplete dirs (crashed writes, never read targets) are
+    # deleted regardless.
     keep = {versioned_dir(path, table, version).rsplit("/", 1)[-1]}
+    prev_ver = 0
     if prev_live is not None:
-        keep.add(prev_live.rstrip("/").rsplit("/", 1)[-1])
+        prev_name = prev_live.rstrip("/").rsplit("/", 1)[-1]
+        keep.add(prev_name)
+        m = re.match(re.escape(table) + r"-v(\d+)$", prev_name)
+        if m:
+            prev_ver = int(m.group(1))
+    for v in complete_versions(spark, path, table):
+        if prev_ver < v < int(version):
+            keep.add(versioned_dir(path, table, v).rsplit("/", 1)[-1])
     pat = re.compile(re.escape(table) + r"-v(\d+)$")
     for st in fs.listStatus(Path(path)):
         if not st.isDirectory():

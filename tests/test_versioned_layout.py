@@ -100,3 +100,35 @@ def test_publish_gc_keeps_exactly_new_and_grace(spark, tmp_path):
 def test_missing_table_raises(spark, tmp_path):
     with pytest.raises(TableMissingError):
         table_read_dir(spark, str(tmp_path / "nothing"), "t")
+
+
+def test_orphan_gets_one_grace_cycle_then_dies(spark, root):
+    """A complete-but-unpublished orphan (crash between write and
+    publish) must survive the NEXT publish's GC — a pointer-less
+    reader's newest-complete fallback could be resolving it — and be
+    collected one cycle later, so orphans never accumulate."""
+    p, gen = root
+    gen(1, publish=True, prev=f"{p}/t")
+    gen(2)  # the orphan
+    gen(3, publish=True, prev=versioned_dir(p, "t", 1))
+    assert os.path.isdir(versioned_dir(p, "t", 2))  # grace granted
+    assert not os.path.isdir(f"{p}/t")  # older-than-prev still GC'd
+    gen(4, publish=True, prev=versioned_dir(p, "t", 3))
+    assert not os.path.isdir(versioned_dir(p, "t", 2))  # one cycle only
+    assert not os.path.isdir(versioned_dir(p, "t", 1))
+    assert os.path.isdir(versioned_dir(p, "t", 3))
+
+
+def test_impl_auto_degrades_for_unsupported_id_types():
+    """impl='auto' must pick native when the caller's id type is not
+    Arrow-carriable — a user with an exotic id column gets the working
+    plan, not a mid-query serialization error; explicit impl='blas'
+    keeps raising its loud TypeError instead."""
+    from bigdataproject_spark.operators.simsearch import _resolve_impl
+
+    assert _resolve_impl("auto", "t", id_types=("bigint", "string")) == "blas"
+    assert (
+        _resolve_impl("auto", "t", id_types=("struct<a:int>", "bigint"))
+        == "native"
+    )
+    assert _resolve_impl("auto", "t", id_types=("decimal(38,0)",)) == "native"
