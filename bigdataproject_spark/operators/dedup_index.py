@@ -102,15 +102,26 @@ def write_minhash_index(
             table_live_dir(spark, path, "shingles", owner)
         )
         return
-    for table, frame in (("bands", band_df), ("shingles", prep)):
-        try:
-            prev = table_read_dir(spark, path, table)
-        except TableMissingError:
-            prev = None
-        tgt, ver = table_overwrite_target(spark, path, table)
-        frame.write.mode("overwrite").parquet(tgt)
-        if ver is not None:
-            publish_version(spark, path, table, ver, prev)
+    # full REBUILD: runs under the writer lease — a rebuild racing a
+    # lease-holding compaction would compute the same next generation
+    # number and the two writers would tear each other's files (the
+    # append path stays lease-CHECKED, not lease-holding, as
+    # documented in operators/lease.py).
+    from bigdataproject_spark.operators.lease import acquire_lease, release_lease
+
+    acquire_lease(spark, path, owner)
+    try:
+        for table, frame in (("bands", band_df), ("shingles", prep)):
+            try:
+                prev = table_read_dir(spark, path, table)
+            except TableMissingError:
+                prev = None
+            tgt, ver = table_overwrite_target(spark, path, table)
+            frame.write.mode("overwrite").parquet(tgt)
+            if ver is not None:
+                publish_version(spark, path, table, ver, prev)
+    finally:
+        release_lease(spark, path, owner)
 
 
 def incremental_minhash_pairs(
@@ -396,6 +407,7 @@ def _compact_index_leased(
 ) -> dict[str, dict[str, int]]:
     """:func:`compact_index` body, lease already held."""
     from bigdataproject_spark.operators.versioned import (
+        n_parquet_files,
         publish_version,
         table_live_dir,
         table_overwrite_target,
@@ -405,8 +417,22 @@ def _compact_index_leased(
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
 
+    # ORDER MATTERS, and it is the REVERSE of the append order: appends
+    # write bands THEN shingles (shingles = the membership commit), so a
+    # compaction racing a not-yet-detected append (the documented lease
+    # TOCTOU) must snapshot shingles FIRST. Then the only losable rows
+    # are shingles written after this snapshot — the racing append's ids
+    # stay NON-members, its already-snapshotted band rows are harmless
+    # orphans (verify joins drop them; duplicates die at the next
+    # compaction), and the prescribed re-run re-appends both tables.
+    # Snapshotting bands first would invert that: an append could lose
+    # its band rows while its shingle membership survives — ids the
+    # store claims but can never again generate candidates for, a
+    # silent recall hole no re-run heals (the re-run's anti-join sees
+    # them as stored). Same self-healing-order argument as the IVF
+    # stats-before-cells append protocol.
     stats: dict[str, dict[str, int]] = {}
-    for table, keys in (("bands", ["band_hash"]), ("shingles", ["id"])):
+    for table, keys in (("shingles", ["id"]), ("bands", ["band_hash"])):
         # table_live_dir heals pre-versioned (rename-aside) crash
         # debris under the held lease; remaining __compacting/__old
         # leftovers are stale (incomplete write, or already-recovered
@@ -438,19 +464,12 @@ def _compact_index_leased(
             .parquet(tgt)
         )
 
-        def _parts(p: str) -> int:
-            return sum(
-                1
-                for st in fs.listStatus(Path(p))
-                if st.getPath().getName().endswith(".parquet")
-            )
-
-        before = _parts(prev)
+        before = n_parquet_files(spark, prev)
         rows = spark.read.parquet(tgt).count()
         publish_version(spark, path, table, ver, prev)
         stats[table] = {
             "files_before": before,
-            "files_after": _parts(tgt),
+            "files_after": n_parquet_files(spark, tgt),
             "rows": rows,
         }
     return stats

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.functions.vectors import cosine_from_norms, l2_norm
+from bigdataproject_spark.operators.versioned import n_parquet_files
 
 # Budget for the query-side probe plan that every search path
 # materializes driver-side (the native paths broadcast it; the blas
@@ -61,17 +62,23 @@ _QUERY_STATS_CACHE: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
 _QUERY_STATS_CACHE_MAX = 256
 
 
-def _resolve_impl(impl: str, fn: str) -> str:
+def _resolve_impl(impl: str, fn: str, *, id_types: tuple = ()) -> str:
     """Resolve an ``impl`` argument to a concrete backend. ``'auto'``
     picks the Arrow/numpy matmul path when its dependencies import
     (numpy + pandas + pyarrow — all three ship with any pyspark[sql]
-    install, but a minimal JVM-only deployment may lack them) and falls
-    back to the pure-DataFrame native path otherwise. The blas path is
-    equality-tested against native and measured 14–70× faster once the
-    candidate set reaches millions of pairs (sf100: 946 s native vs
-    13.5 s blas for the same 2000-query indexed batch) — a default a
-    user should not have to know to flip. Pass ``impl='native'`` or
-    ``'blas'`` explicitly to override the probe."""
+    install, but a minimal JVM-only deployment may lack them) AND every
+    id type in ``id_types`` (Spark ``simpleString`` names, supplied by
+    the caller from its actual schemas) is one the Arrow path carries —
+    otherwise it falls back to the pure-DataFrame native path, so a
+    caller with an exotic id column gets the working plan instead of a
+    mid-query serialization error from a default they never chose. The
+    blas path is equality-tested against native and measured 14–70×
+    faster once the candidate set reaches millions of pairs (sf100:
+    946 s native vs 13.5 s blas for the same 2000-query indexed batch)
+    — a default a user should not have to know to flip. Pass
+    ``impl='native'`` or ``'blas'`` explicitly to override the probe
+    (explicit ``'blas'`` with an unsupported id type still raises its
+    loud TypeError rather than silently degrading)."""
     if impl == "auto":
         try:
             import numpy  # noqa: F401
@@ -79,6 +86,13 @@ def _resolve_impl(impl: str, fn: str) -> str:
             import pyarrow  # noqa: F401
         except ImportError:
             return "native"
+        if id_types:
+            from bigdataproject_spark.operators.dedup import (
+                _BLAS_ID_PANDAS_DTYPES,
+            )
+
+            if any(t not in _BLAS_ID_PANDAS_DTYPES for t in id_types):
+                return "native"
         return "blas"
     if impl not in ("native", "blas"):
         raise ValueError(f"{fn}: unknown impl {impl!r}")
@@ -297,8 +311,15 @@ def brute_force_topk(
     :func:`ivf_topk_indexed`); the interpreted per-pair cosine is the
     cost center once |queries| × |corpus| reaches millions of pairs.
     ``impl='auto'`` resolves to blas when numpy/pandas/pyarrow import
-    (see :func:`_resolve_impl`)."""
-    impl = _resolve_impl(impl, "brute_force_topk")
+    and the id type is Arrow-carriable (see :func:`_resolve_impl`)."""
+    impl = _resolve_impl(
+        impl,
+        "brute_force_topk",
+        id_types=(
+            corpus.schema[id_col].dataType.simpleString(),
+            queries.schema[id_col].dataType.simpleString(),
+        ),
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -352,9 +373,16 @@ def lsh_bucket_topk(
     vectors: the native path's bucket expression yields a NULL bucket,
     which joins nothing — the blas path reproduces that by keying bad
     rows under the unmatchable NULL bucket too. ``impl='auto'``
-    resolves to blas when numpy/pandas/pyarrow import (see
-    :func:`_resolve_impl`)."""
-    impl = _resolve_impl(impl, "lsh_bucket_topk")
+    resolves to blas when numpy/pandas/pyarrow import and the id type
+    is Arrow-carriable (see :func:`_resolve_impl`)."""
+    impl = _resolve_impl(
+        impl,
+        "lsh_bucket_topk",
+        id_types=(
+            corpus.schema[id_col].dataType.simpleString(),
+            queries.schema[id_col].dataType.simpleString(),
+        ),
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -698,6 +726,7 @@ def ivf_write_index(
     n_centroids: int = 16,
     seed: int = 42,
     max_iter: int = 8,
+    lease_owner: str | None = None,
 ) -> None:
     """Materialize the IVF index: corpus written Hive-partitioned by cell
     plus a centroid table — the train-once/search-many storage layout
@@ -707,16 +736,21 @@ def ivf_write_index(
     At 100 TB this is the shape that matters: a probe then prunes file
     I/O (``PartitionFilters`` on ``cell=``), not just the join, so a
     query reads n_probe/n_centroids of the corpus bytes. Writes the
-    ``cells`` table (neighbor_id, cv, cn, cell), ``{path}/centroids``
-    (cell, ctr), and the ``stats`` ledger (kind, n_rows, sum_d2 — the
-    build-time quantization cost :func:`ivf_append_index` measures its
-    drift against). ``cells`` and ``stats`` live in the versioned
-    layout of operators/versioned.py: flat ``{path}/cells`` on a fresh
-    path, ``{path}/cells-v{N}`` + pointer once compaction has
-    versioned the table (a rebuild then publishes a new generation
-    without disturbing concurrent readers); resolve through
-    ``table_read_dir``, never hardcode the flat path. Raises on an
-    empty corpus — an index of nothing is unreadable parquet, so fail
+    ``cells`` table (neighbor_id, cv, cn, cell) with the centroid
+    table (cell, ctr) PAIRED inside it (``_centroids`` — readers
+    resolve quantizer and partitioning from one generation dir; a flat
+    ``{path}/centroids`` legacy/introspection copy is also refreshed),
+    and the ``stats`` ledger (kind, n_rows, sum_d2 — the build-time
+    quantization cost :func:`ivf_append_index` measures its drift
+    against). ``cells`` and ``stats`` live in the versioned layout of
+    operators/versioned.py: flat ``{path}/cells`` on a fresh path,
+    ``{path}/cells-v{N}`` + pointer once compaction has versioned the
+    table (a rebuild then publishes a new generation without
+    disturbing concurrent readers); resolve through ``table_read_dir``,
+    never hardcode the flat path. The rewrite runs under the writer
+    lease (``lease_owner`` defaults to this applicationId) — a rebuild
+    may not race a compaction of the same index. Raises on an empty
+    corpus — an index of nothing is unreadable parquet, so fail
     loudly at build time instead of at first search."""
     fitted = _fit_quantizer(
         corpus,
@@ -733,21 +767,36 @@ def ivf_write_index(
     _overwrite_cells_and_stats(
         spark, path,
         write_cells=lambda d: _write_cells(assigned, d, mode="overwrite"),
+        centroids_df=ctr_df,
         stats=(n_rows, sum_d2),
+        lease_owner=lease_owner,
     )
-    ctr_df.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
-def _overwrite_cells_and_stats(spark, path: str, *, write_cells, stats) -> None:
+def _overwrite_cells_and_stats(
+    spark, path: str, *, write_cells, centroids_df, stats, lease_owner=None
+) -> None:
     """Full-rebuild writer for the versioned layout
-    (operators/versioned.py): the cells table, then a FRESH build stats
-    row, each written to its overwrite target and published when the
-    table is already versioned — so a rebuild over a compacted index
-    never disturbs the generation an external searcher is reading (a
-    never-compacted index keeps the flat legacy layout). ``write_cells``
-    is called with the concrete target dir; ``stats`` is ``(n, sum_d2)``
-    or a callable evaluated AFTER the cells write (the observe
-    piggyback needs the write to have run)."""
+    (operators/versioned.py): the cells table WITH its paired
+    in-generation centroid copy (see :data:`_CENTROIDS_SUBDIR` — written
+    into the target dir BEFORE the generation publishes, so readers
+    resolve quantizer and partitioning together), then a FRESH build
+    stats row, each written to its overwrite target and published when
+    the table is already versioned — so a rebuild over a compacted
+    index never disturbs the generation an external searcher is
+    reading (a never-compacted index keeps the flat legacy layout).
+    The whole rewrite runs under the writer LEASE: a rebuild racing a
+    lease-holding compaction would compute the same next generation
+    number and the two writers would tear each other's files (r8
+    review finding) — same single-writer rule every other mutation of
+    the index already follows. ``write_cells`` is called with the
+    concrete target dir; ``stats`` is ``(n, sum_d2)`` or a callable
+    evaluated AFTER the cells write (the observe piggyback needs the
+    write to have run). After the versioned publishes, the flat
+    ``{path}/centroids`` legacy/introspection copy is refreshed —
+    outside the paired-read path, so its overwrite window only affects
+    pre-r8 readers."""
+    from bigdataproject_spark.operators.lease import acquire_lease, release_lease
     from bigdataproject_spark.operators.versioned import (
         TableMissingError,
         publish_version,
@@ -755,23 +804,35 @@ def _overwrite_cells_and_stats(spark, path: str, *, write_cells, stats) -> None:
         table_read_dir,
     )
 
-    def _prev(table: str) -> str | None:
-        try:
-            return table_read_dir(spark, path, table)
-        except TableMissingError:
-            return None
+    owner = lease_owner or spark.sparkContext.applicationId
+    acquire_lease(spark, path, owner)
+    try:
 
-    c_prev = _prev("cells")
-    c_tgt, c_ver = table_overwrite_target(spark, path, "cells")
-    write_cells(c_tgt)
-    if c_ver is not None:
-        publish_version(spark, path, "cells", c_ver, c_prev)
-    n, sum_d2 = stats() if callable(stats) else stats
-    s_prev = _prev("stats")
-    s_tgt, s_ver = table_overwrite_target(spark, path, "stats")
-    _write_index_stats(spark, s_tgt, kind="build", n_rows=n, sum_d2=sum_d2)
-    if s_ver is not None:
-        publish_version(spark, path, "stats", s_ver, s_prev)
+        def _prev(table: str) -> str | None:
+            try:
+                return table_read_dir(spark, path, table)
+            except TableMissingError:
+                return None
+
+        c_prev = _prev("cells")
+        c_tgt, c_ver = table_overwrite_target(spark, path, "cells")
+        write_cells(c_tgt)
+        centroids_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{c_tgt}/{_CENTROIDS_SUBDIR}"
+        )
+        if c_ver is not None:
+            publish_version(spark, path, "cells", c_ver, c_prev)
+        n, sum_d2 = stats() if callable(stats) else stats
+        s_prev = _prev("stats")
+        s_tgt, s_ver = table_overwrite_target(spark, path, "stats")
+        _write_index_stats(spark, s_tgt, kind="build", n_rows=n, sum_d2=sum_d2)
+        if s_ver is not None:
+            publish_version(spark, path, "stats", s_ver, s_prev)
+        centroids_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+    finally:
+        release_lease(spark, path, owner)
 
 
 def _obs_stats(obs) -> tuple[int, float]:
@@ -877,12 +938,42 @@ def _ledger_id_recorded(spark, path: str, ledger_id: str) -> bool:
     )
 
 
-def _collect_index_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
-    """The index's centroid table as the literal list
+# In-generation centroid copy: written INSIDE each cells generation dir
+# (the underscore prefix makes it invisible to the cells parquet scan),
+# so the quantizer a reader resolves is ATOMICALLY PAIRED with the cell
+# partitioning it produced — a rebuild publishing mid-search can never
+# make a searcher assign probes with one generation's centroids against
+# another generation's cells (r8 review finding). The flat
+# ``{path}/centroids`` table is still written by every rebuild (legacy
+# readers, introspection, pre-r8 indexes) and is the fallback when the
+# resolved generation predates the paired copy.
+_CENTROIDS_SUBDIR = "_centroids"
+
+
+def _centroids_dir(spark, path: str, cells_dir: str) -> str:
+    """The centroid table paired with ONE concrete cells generation:
+    ``{cells_dir}/_centroids`` when present, else the flat legacy
+    ``{path}/centroids``."""
+    jvm = spark._jvm
+    paired = f"{cells_dir}/{_CENTROIDS_SUBDIR}"
+    p = jvm.org.apache.hadoop.fs.Path(paired)
+    if p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p):
+        return paired
+    return f"{path}/centroids"
+
+
+def _collect_index_centroids(
+    spark, path: str, cells_dir: str
+) -> list[tuple[int, list[float]]]:
+    """The centroid table paired with ``cells_dir`` as the literal list
     :func:`assign_cell_struct_expr` consumes — a bounded collect
     (≤ n_centroids rows), sorted by cell so the fold's tie-break is
     deterministic across calls."""
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    rows = (
+        spark.read.parquet(_centroids_dir(spark, path, cells_dir))
+        .orderBy("cell")
+        .collect()
+    )
     return [(int(r["cell"]), [float(x) for x in r["ctr"]]) for r in rows]
 
 
@@ -893,6 +984,7 @@ def ivf_write_index_from_centroids(
     *,
     id_col: str,
     vec_col: str,
+    lease_owner: str | None = None,
 ) -> None:
     """Build the :func:`ivf_write_index` layout from PRE-FIT centroids —
     the 100 TB build shape: fit the coarse quantizer on a driver-sized
@@ -933,11 +1025,12 @@ def ivf_write_index_from_centroids(
         write_cells=lambda d: _write_cells(
             assigned.drop("_d2"), d, mode="overwrite"
         ),
+        centroids_df=spark.createDataFrame(
+            centroids, "cell int, ctr array<double>"
+        ),
         stats=lambda: _obs_stats(obs),
+        lease_owner=lease_owner,
     )
-    spark.createDataFrame(
-        centroids, "cell int, ctr array<double>"
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_append_index(
@@ -1030,20 +1123,24 @@ def ivf_append_index(
         )
     owner = lease_owner or spark.sparkContext.applicationId
     assert_unleased(spark, path, owner)
-    centroids = _collect_index_centroids(spark, path)
-    if not centroids:
-        raise ValueError(f"ivf_append_index: no centroids at {path}")
     # WRITER-path resolution (operators/versioned.py): a pre-versioned
     # crash's set-aside stats/cells copy is healed back into place
     # BEFORE any write — appending into a fresh empty dir while the
     # real table sits in debris would fork the table (and, for stats,
     # silently reset the drift baseline + lose the at-most-once ledger
-    # markers: the r7-ADVICE append-after-swap-crash bug).
+    # markers: the r7-ADVICE append-after-swap-crash bug). Cells are
+    # resolved FIRST so the centroids this batch assigns against are
+    # the ones PAIRED with the generation it appends into
+    # (:func:`_centroids_dir`).
     from bigdataproject_spark.operators.versioned import (
         TableMissingError,
         table_live_dir,
     )
 
+    cells_live = table_live_dir(spark, path, "cells", owner)
+    centroids = _collect_index_centroids(spark, path, cells_live)
+    if not centroids:
+        raise ValueError(f"ivf_append_index: no centroids at {path}")
     try:
         stats_live = table_live_dir(spark, path, "stats", owner)
     except TableMissingError:
@@ -1051,7 +1148,6 @@ def ivf_append_index(
         # anywhere): reconstruct the build baseline from the cells
         _reconstruct_build_stats(spark, path, centroids, owner)
         stats_live = table_live_dir(spark, path, "stats", owner)
-    cells_live = table_live_dir(spark, path, "cells", owner)
 
     assigned = (
         new_vecs.select(
@@ -1247,8 +1343,13 @@ def ivf_index_drift(
         # small-k guard (r8 ADVICE): a flat threshold fires permanently
         # when the uniform share itself is large — scale it so only a
         # cell >= 3x uniform occupancy can flag. Centroid count is a
-        # <=n_centroids-row read, trivial next to the occupancy scan.
-        n_cells = spark.read.parquet(f"{path}/centroids").count()
+        # <=n_centroids-row read (paired with the resolved cells
+        # generation), trivial next to the occupancy scan.
+        from bigdataproject_spark.operators.versioned import table_read_dir
+
+        n_cells = spark.read.parquet(
+            _centroids_dir(spark, path, table_read_dir(spark, path, "cells"))
+        ).count()
         eff_threshold = max(
             float(max_cell_share_threshold), 3.0 / max(int(n_cells), 1)
         )
@@ -1256,8 +1357,6 @@ def ivf_index_drift(
         # ledger: unguarded-replay duplicates die at compaction, so the
         # ledger can over-count the live cells table). struct-max keeps
         # the hot-cell tie-break deterministic (largest n, smallest id).
-        from bigdataproject_spark.operators.versioned import table_read_dir
-
         occ = (
             spark.read.parquet(table_read_dir(spark, path, "cells"))
             .groupBy("cell")
@@ -1371,19 +1470,7 @@ def ivf_compact_index(
         release_lease(spark, path, owner)
 
 
-def _n_parquet_parts(spark, dirpath: str) -> int:
-    """Recursive .parquet part-file count under one directory."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(dirpath)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return 0
-    n = 0
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            n += 1
-    return n
+
 
 
 def _compact_index_leased(
@@ -1411,7 +1498,8 @@ def _compact_index_leased(
     df = spark.read.parquet(cells_prev)
     rows_before = df.count()
     deduped = df.dropDuplicates(["neighbor_id", "cell"])
-    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    ctr_prev = _centroids_dir(spark, path, cells_prev)
+    n_cells = spark.read.parquet(ctr_prev).count()
     if files_per_cell is None:
         from bigdataproject_spark.operators.dedup import _plan_size_bytes
 
@@ -1431,7 +1519,13 @@ def _compact_index_leased(
         .partitionBy("cell")
         .parquet(tgt)
     )
-    before = _n_parquet_parts(spark, cells_prev)
+    # carry the PAIRED centroid copy into the new generation before it
+    # publishes (reads resolve quantizer + partitioning from one dir —
+    # :func:`_centroids_dir`); compaction never changes the quantizer.
+    spark.read.parquet(ctr_prev).coalesce(1).write.mode("overwrite").parquet(
+        f"{tgt}/{_CENTROIDS_SUBDIR}"
+    )
+    before = n_parquet_files(spark, cells_prev)
     rows_after = spark.read.parquet(tgt).count()
     publish_version(spark, path, "cells", ver, cells_prev)
 
@@ -1461,7 +1555,7 @@ def _compact_index_leased(
             if keep
             else markers.limit(0)
         )
-    stats_before = _n_parquet_parts(spark, stats_prev)
+    stats_before = n_parquet_files(spark, stats_prev)
     s_tgt, s_ver = table_overwrite_target(
         spark, path, "stats", force_version=True
     )
@@ -1470,11 +1564,11 @@ def _compact_index_leased(
 
     return {
         "files_before": before,
-        "files_after": _n_parquet_parts(spark, tgt),
+        "files_after": n_parquet_files(spark, tgt),
         "rows": rows_after,
         "dup_rows_dropped": rows_before - rows_after,
         "stats_files_before": stats_before,
-        "stats_files_after": _n_parquet_parts(spark, s_tgt),
+        "stats_files_after": n_parquet_files(spark, s_tgt),
     }
 
 
@@ -1538,9 +1632,29 @@ def ivf_topk_indexed(
     search measured 946 s native vs 13.5 s blas for the same sf100
     2000-query batch, a 70× footgun no caller should hit by omission.
     Pass ``impl='native'`` explicitly to pin the pure-DataFrame plan
-    (e.g. for an id type the Arrow path does not carry)."""
-    impl = _resolve_impl(impl, "ivf_topk_indexed")
-    ctr_df = spark.read.parquet(f"{path}/centroids")
+    (``'auto'`` already degrades to native for an id type the Arrow
+    path does not carry).
+
+    Generation binding: the cells directory is resolved ONCE here
+    (operators/versioned.py) and the centroids are read from the copy
+    PAIRED with that generation (:func:`_centroids_dir`), so the whole
+    search — every query batch — runs against one consistent
+    (quantizer, partitioning) snapshot even if a compaction or rebuild
+    publishes mid-search; the superseded generation survives one full
+    grace cycle."""
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
+    cells_dir = table_read_dir(spark, path, "cells")
+    corpus_base = spark.read.parquet(cells_dir)
+    ctr_df = spark.read.parquet(_centroids_dir(spark, path, cells_dir))
+    impl = _resolve_impl(
+        impl,
+        "ivf_topk_indexed",
+        id_types=(
+            queries.schema[id_col].dataType.simpleString(),
+            corpus_base.schema["neighbor_id"].dataType.simpleString(),
+        ),
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("qv"),
@@ -1555,7 +1669,7 @@ def ivf_topk_indexed(
     est_probe = min(max(n_probe, 1), max(ctr_df.count(), 1))
     return _batched_over_queries(
         lambda qb: _ivf_indexed_search(
-            spark, path, ctr_df, qb,
+            spark, corpus_base, ctr_df, qb,
             k=k, n_probe=n_probe, exclude_self=exclude_self, impl=impl,
         ),
         q,
@@ -1566,7 +1680,7 @@ def ivf_topk_indexed(
 
 def _ivf_indexed_search(
     spark,
-    path: str,
+    corpus_base: DataFrame,
     ctr_df: DataFrame,
     q: DataFrame,
     *,
@@ -1577,7 +1691,10 @@ def _ivf_indexed_search(
 ) -> DataFrame:
     """One budget-sized batch of :func:`ivf_topk_indexed` (q already
     projected to (q_id, qv, qn) and guaranteed within the broadcast
-    budget by the caller's :func:`_query_batch_splits` split)."""
+    budget by the caller's :func:`_query_batch_splits` split).
+    ``corpus_base`` is the cells scan the caller bound to ONE resolved
+    generation — every batch filters the same snapshot, and ``ctr_df``
+    is that generation's paired quantizer."""
     sq_dist = F.aggregate(
         F.zip_with(
             F.col("qv").cast("array<double>"), "ctr", lambda a, b: (a - b) * (a - b)
@@ -1598,15 +1715,7 @@ def _ivf_indexed_search(
     # assignment never leaves the executors — with a large query table a
     # row collect here would be a driver OOM.
     cells = sorted(r["cell"] for r in probe_plan.select("cell").distinct().collect())
-    # versioned-layout resolution (operators/versioned.py): the scan
-    # binds to the CURRENT generation directory, so a compaction
-    # publishing mid-search cannot yank the files out from under this
-    # plan — the superseded generation survives one full cycle (grace).
-    from bigdataproject_spark.operators.versioned import table_read_dir
-
-    corpus = spark.read.parquet(
-        table_read_dir(spark, path, "cells")
-    ).filter(F.col("cell").isin(cells))
+    corpus = corpus_base.filter(F.col("cell").isin(cells))
     if impl == "blas":
         return _ivf_blas_topk(
             corpus, probe_plan, k=k, exclude_self=exclude_self

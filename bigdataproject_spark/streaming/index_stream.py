@@ -68,19 +68,6 @@ def _touch(spark: SparkSession, path: str) -> None:
     fs.create(p, True).close()
 
 
-def _n_parquet_files(spark: SparkSession, path: str) -> int:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return 0
-    return sum(
-        1
-        for st in fs.listStatus(p)
-        if st.getPath().getName().endswith(".parquet")
-    )
-
-
 def _n_band_files(spark: SparkSession, index_path: str) -> int:
     """Part-file count of the CURRENT bands generation (the versioned
     layout keeps the superseded generation for one grace cycle;
@@ -88,11 +75,12 @@ def _n_band_files(spark: SparkSession, index_path: str) -> int:
     batch)."""
     from bigdataproject_spark.operators.versioned import (
         TableMissingError,
+        n_parquet_files,
         table_read_dir,
     )
 
     try:
-        return _n_parquet_files(
+        return n_parquet_files(
             spark, table_read_dir(spark, index_path, "bands")
         )
     except TableMissingError:
@@ -109,6 +97,7 @@ def ensure_index(
     num_hashes: int = 32,
     bands: int = 8,
     hash_family: str = "murmur3",
+    lease_owner: str | None = None,
 ) -> None:
     """Bootstrap an EMPTY index at ``path`` if none exists (zero-row
     band/shingle parquet with the correct schema, derived from
@@ -132,6 +121,7 @@ def ensure_index(
         num_hashes=num_hashes,
         bands=bands,
         hash_family=hash_family,
+        lease_owner=lease_owner,
     )
 
 
@@ -192,6 +182,7 @@ def make_index_batch_writer(
             num_hashes=num_hashes,
             bands=bands,
             hash_family=hash_family,
+            lease_owner=owner,
         )
         out_dir = f"{out_path}/batch={batch_id}"
         stored_ids = spark.read.parquet(

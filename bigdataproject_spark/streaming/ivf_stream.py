@@ -84,14 +84,14 @@ def _n_cell_files(spark: SparkSession, path: str) -> int:
     layout keeps the superseded generation on disk for one grace cycle
     — counting it too would double the number and trip the
     ``compact_min_cell_files`` trigger every batch)."""
-    from bigdataproject_spark.operators.simsearch import _n_parquet_parts
     from bigdataproject_spark.operators.versioned import (
         TableMissingError,
+        n_parquet_files,
         table_read_dir,
     )
 
     try:
-        return _n_parquet_parts(spark, table_read_dir(spark, path, "cells"))
+        return n_parquet_files(spark, table_read_dir(spark, path, "cells"))
     except TableMissingError:
         return 0
 

@@ -194,6 +194,157 @@ def test_dedup_probe_inside_compaction_swap_never_errors(
         versioned, "publish_version", _hooked_publish(reader_assert, seen)
     )
     compact_index(spark, idx)
-    assert seen == ["bands", "shingles"]
+    # shingles snapshots/publishes FIRST (the membership table must be
+    # the one that can lose a racing append's rows — see the ordering
+    # argument in dedup_index._compact_index_leased)
+    assert seen == ["shingles", "bands"]
     monkeypatch.undo()
     assert _pairs() == expected
+
+
+def test_rebuild_pairs_centroids_with_generation(spark, sf_dir, tmp_path):
+    """The r8 pairing contract: once a generation carries its
+    ``_centroids`` copy, searches, appends, drift, and compaction all
+    resolve the quantizer from the SAME directory as the cells — the
+    flat {path}/centroids table is a legacy/introspection copy only.
+    Proof: delete the flat copy and everything still works."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 1)
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+    ctrs = sample_centroids(
+        seed, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    cells_dir = table_read_dir(spark, idx, "cells")
+    assert os.path.isdir(f"{cells_dir}/_centroids")  # paired copy exists
+    # ... and is INVISIBLE to the cells scan (underscore prefix)
+    assert "ctr" not in spark.read.parquet(cells_dir).columns
+
+    def _search():
+        return [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_topk_indexed(
+                spark, idx, queries, id_col="vec_id", vec_col="embedding",
+                k=5, n_probe=8,
+            ).collect()
+        ]
+
+    expected = _search()
+    shutil.rmtree(f"{idx}/centroids")  # flat copy gone
+    assert _search() == expected
+    rep = ivf_append_index(
+        delta, idx, id_col="vec_id", vec_col="embedding", guard_ids=True
+    )
+    assert rep["n_appended"] == delta.count()
+    ivf_compact_index(spark, idx)  # carries _centroids to the new gen
+    new_dir = table_read_dir(spark, idx, "cells")
+    assert new_dir != cells_dir
+    assert os.path.isdir(f"{new_dir}/_centroids")
+    assert ivf_index_drift(spark, idx)["n_appended_total"] == delta.count()
+
+
+def test_search_inside_rebuild_swap_never_errors_or_mixes(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A REBUILD (new quantizer!) publishing mid-search: a reader at
+    any swap instant must see either the complete OLD index or the
+    complete NEW one — never old cells with new centroids or a missing
+    path. The search binds (quantizer, partitioning) from one resolved
+    generation (simsearch._centroids_dir), so every in-window read
+    equals one of the two consistent results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    grown = emb.filter(F.col("vec_id") % 3 != 2)
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+    ctrs_old = sample_centroids(
+        seed, id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+    ctrs_new = sample_centroids(
+        grown, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs_old, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_compact_index(spark, idx)  # versioned layout from here on
+
+    def _search():
+        return [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_topk_indexed(
+                spark, idx, queries, id_col="vec_id", vec_col="embedding",
+                k=5, n_probe=99,  # full probe: quantizer-independent rank
+            ).collect()
+        ]
+
+    old = _search()
+    # the rebuilt index's expected full-probe results, from a twin
+    twin = str(tmp_path / "twin")
+    ivf_write_index_from_centroids(
+        grown, twin, ctrs_new, id_col="vec_id", vec_col="embedding"
+    )
+    new = [
+        (r.q_id, r.rank, r.neighbor_id, r.cosine)
+        for r in ivf_topk_indexed(
+            spark, twin, queries, id_col="vec_id", vec_col="embedding",
+            k=5, n_probe=99,
+        ).collect()
+    ]
+
+    def reader_assert(where):
+        got = _search()
+        assert got in (old, new), where  # consistent snapshot, no mix
+
+    seen: list[str] = []
+    monkeypatch.setattr(
+        versioned, "publish_version", _hooked_publish(reader_assert, seen)
+    )
+    ivf_write_index_from_centroids(
+        grown, idx, ctrs_new, id_col="vec_id", vec_col="embedding"
+    )
+    assert "cells" in seen
+    monkeypatch.undo()
+    assert _search() == new
+
+
+def test_rebuild_refuses_foreign_lease(spark, sf_dir, tmp_path):
+    """Rebuilds are full rewrites and must respect the single-writer
+    lease: a rebuild racing a lease-holding compaction would target the
+    same next generation and tear its files."""
+    import pytest
+
+    from bigdataproject_spark.operators.lease import LeaseHeldError
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    ctrs = sample_centroids(
+        seed, id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    with open(f"{idx}/_writer.lock", "w") as fh:
+        fh.write("somebody-else")
+    with pytest.raises(LeaseHeldError):
+        ivf_write_index_from_centroids(
+            seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+        )
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", "c"])], "doc_id long, shingles array<string>"
+    )
+    didx = str(tmp_path / "didx")
+    write_minhash_index(docs, didx, id_col="doc_id", shingles_col="shingles")
+    with open(f"{didx}/_writer.lock", "w") as fh:
+        fh.write("somebody-else")
+    with pytest.raises(LeaseHeldError):
+        write_minhash_index(
+            docs, didx, id_col="doc_id", shingles_col="shingles"
+        )
