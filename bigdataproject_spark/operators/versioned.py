@@ -23,8 +23,11 @@ exactly one of
 
 Compaction writes the full rewrite to generation ``N+1`` (the live data
 is never touched), then atomically replaces the pointer, then GARBAGE
-COLLECTS every generation other than the new one and the one that was
-live immediately before the flip. That one-generation GRACE WINDOW is
+COLLECTS every generation other than the new one, the one that was
+live immediately before the flip, and any complete orphan newer than
+it (a crash's written-but-unpublished generation — a pointer-less
+reader's newest-complete fallback may be resolving it, so it gets the
+same one-cycle grace). That one-generation GRACE WINDOW is
 the reader contract: a reader that resolved the table just before a
 flip can finish its scan against the old generation; only a reader
 still holding a resolution TWO compactions old can lose its files
