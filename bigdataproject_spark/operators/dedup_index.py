@@ -420,17 +420,28 @@ def _compact_index_leased(
     # ORDER MATTERS, and it is the REVERSE of the append order: appends
     # write bands THEN shingles (shingles = the membership commit), so a
     # compaction racing a not-yet-detected append (the documented lease
-    # TOCTOU) must snapshot shingles FIRST. Then the only losable rows
-    # are shingles written after this snapshot — the racing append's ids
-    # stay NON-members, its already-snapshotted band rows are harmless
-    # orphans (verify joins drop them; duplicates die at the next
-    # compaction), and the prescribed re-run re-appends both tables.
-    # Snapshotting bands first would invert that: an append could lose
-    # its band rows while its shingle membership survives — ids the
-    # store claims but can never again generate candidates for, a
-    # silent recall hole no re-run heals (the re-run's anti-join sees
-    # them as stored). Same self-healing-order argument as the IVF
-    # stats-before-cells append protocol.
+    # TOCTOU) snapshots shingles FIRST — a lost late shingle row leaves
+    # the id a NON-member and the prescribed re-run re-appends both
+    # tables (self-healing), where a lost band row with surviving
+    # membership would be a silent recall hole no re-run heals (the
+    # re-run's anti-join sees the id as stored). Ordering alone cannot
+    # cover an append whose WHOLE write sequence lands after the bands
+    # snapshot, so the bands rewrite additionally runs a LATE-FILE
+    # SWEEP: the snapshot is an explicit file list, and any part file
+    # that appeared in the superseded live dir after it is folded into
+    # the new generation before the publish (loop until the listing is
+    # stable; a racing append also trips its own post-write lease
+    # check, so the sweep converges). The vanishing remainder — a file
+    # landing between the final listing and the pointer rename — is
+    # exactly the append the loud lease re-check on the other side
+    # names.
+    def _part_files(d: str) -> list[str]:
+        return sorted(
+            st.getPath().toString()
+            for st in fs.listStatus(Path(d))
+            if st.getPath().getName().endswith(".parquet")
+        )
+
     stats: dict[str, dict[str, int]] = {}
     for table, keys in (("shingles", ["id"]), ("bands", ["band_hash"])):
         # table_live_dir heals pre-versioned (rename-aside) crash
@@ -441,7 +452,11 @@ def _compact_index_leased(
         fs.delete(Path(f"{path}/{table}__compacting"), True)
         fs.delete(Path(f"{path}/{table}__old"), True)
 
-        df = spark.read.parquet(prev)
+        snap = _part_files(prev)
+        # an empty-but-valid table (ensure_index bootstraps 0-row
+        # frames) can have no part files at all — read the dir so the
+        # schema still resolves from the directory footer behavior
+        df = spark.read.parquet(*snap) if snap else spark.read.parquet(prev)
         if table == "bands":
             # a crash between a replayed append's bands write and its
             # shingles write leaves duplicate band rows (idempotence is
@@ -463,6 +478,23 @@ def _compact_index_leased(
             .write.mode("overwrite")
             .parquet(tgt)
         )
+        if table == "bands":
+            seen = set(snap)
+            for _ in range(5):
+                late = [f for f in _part_files(prev) if f not in seen]
+                if not late:
+                    break
+                # raw append of the straggler rows (unsorted, possibly
+                # duplicate — both die at the next compaction); what
+                # matters is the rows reach the published generation.
+                spark.read.parquet(*late).write.mode("append").parquet(tgt)
+                seen.update(late)
+            else:
+                raise RuntimeError(
+                    f"compact_index: {prev} kept growing through 5 "
+                    f"late-file sweeps — an un-leased writer is "
+                    f"appending continuously; stop it and re-run"
+                )
 
         before = n_parquet_files(spark, prev)
         rows = spark.read.parquet(tgt).count()

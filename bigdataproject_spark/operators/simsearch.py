@@ -766,7 +766,9 @@ def ivf_write_index(
     spark = corpus.sparkSession
     _overwrite_cells_and_stats(
         spark, path,
-        write_cells=lambda d: _write_cells(assigned, d, mode="overwrite"),
+        write_cells=lambda d: _write_cells(
+            assigned, d, mode="overwrite", defer_success=True
+        ),
         centroids_df=ctr_df,
         stats=(n_rows, sum_d2),
         lease_owner=lease_owner,
@@ -820,6 +822,12 @@ def _overwrite_cells_and_stats(
         centroids_df.coalesce(1).write.mode("overwrite").parquet(
             f"{c_tgt}/{_CENTROIDS_SUBDIR}"
         )
+        # the generation's completeness marker, created only AFTER the
+        # paired quantizer is on disk (write_cells deferred it): a
+        # complete generation always carries its _centroids, so the
+        # newest-complete fallback can never pair fresh cells with the
+        # stale flat copy (r8 review finding).
+        _touch_success(spark, c_tgt)
         if c_ver is not None:
             publish_version(spark, path, "cells", c_ver, c_prev)
         n, sum_d2 = stats() if callable(stats) else stats
@@ -861,7 +869,9 @@ def _obs_stats(obs) -> tuple[int, float]:
 _IVF_FILES_PER_CELL = 4
 
 
-def _write_cells(assigned: DataFrame, cells_dir: str, *, mode: str) -> None:
+def _write_cells(
+    assigned: DataFrame, cells_dir: str, *, mode: str, defer_success: bool = False
+) -> None:
     """The one cells-table writer: CLUSTER by (cell, salt) before the
     partitioned write. Without the repartition every upstream task
     writes a file into every cell dir it touches — tasks × n_centroids
@@ -872,16 +882,24 @@ def _write_cells(assigned: DataFrame, cells_dir: str, *, mode: str) -> None:
     a write emits ≤ ``_IVF_FILES_PER_CELL`` files per cell.
     ``cells_dir`` is the CONCRETE generation directory (callers resolve
     it through operators/versioned.py — the cells table is versioned by
-    compaction, see :func:`ivf_compact_index`)."""
+    compaction, see :func:`ivf_compact_index`). ``defer_success=True``
+    suppresses the job's ``_SUCCESS`` marker (full-rewrite callers
+    write the paired ``_centroids`` copy NEXT and create the marker
+    themselves, so a generation can never look complete without its
+    quantizer — a crash between the two writes leaves an incomplete
+    dir resolution ignores, not an orphan that pairs new cells with
+    the stale flat centroids)."""
     salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(_IVF_FILES_PER_CELL))
-    (
+    w = (
         assigned.withColumn("_salt", salt)
         .repartition(F.col("cell"), F.col("_salt"))
         .drop("_salt")
         .write.mode(mode)
         .partitionBy("cell")
-        .parquet(cells_dir)
     )
+    if defer_success:
+        w = w.option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    w.parquet(cells_dir)
 
 
 # ``ledger_id`` (nullable; new in r7 — pre-r7 stats files simply read
@@ -950,13 +968,21 @@ def _ledger_id_recorded(spark, path: str, ledger_id: str) -> bool:
 _CENTROIDS_SUBDIR = "_centroids"
 
 
+def _touch_success(spark, dirpath: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{dirpath}/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
+
+
 def _centroids_dir(spark, path: str, cells_dir: str) -> str:
     """The centroid table paired with ONE concrete cells generation:
-    ``{cells_dir}/_centroids`` when present, else the flat legacy
-    ``{path}/centroids``."""
+    ``{cells_dir}/_centroids`` when COMPLETE (its own ``_SUCCESS`` — a
+    torn paired write must fall through, not error the search), else
+    the flat legacy ``{path}/centroids``."""
     jvm = spark._jvm
     paired = f"{cells_dir}/{_CENTROIDS_SUBDIR}"
-    p = jvm.org.apache.hadoop.fs.Path(paired)
+    p = jvm.org.apache.hadoop.fs.Path(f"{paired}/_SUCCESS")
     if p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p):
         return paired
     return f"{path}/centroids"
@@ -1023,7 +1049,7 @@ def ivf_write_index_from_centroids(
     _overwrite_cells_and_stats(
         spark, path,
         write_cells=lambda d: _write_cells(
-            assigned.drop("_d2"), d, mode="overwrite"
+            assigned.drop("_d2"), d, mode="overwrite", defer_success=True
         ),
         centroids_df=spark.createDataFrame(
             centroids, "cell int, ctr array<double>"
@@ -1343,12 +1369,16 @@ def ivf_index_drift(
         # small-k guard (r8 ADVICE): a flat threshold fires permanently
         # when the uniform share itself is large — scale it so only a
         # cell >= 3x uniform occupancy can flag. Centroid count is a
-        # <=n_centroids-row read (paired with the resolved cells
-        # generation), trivial next to the occupancy scan.
+        # <=n_centroids-row read, trivial next to the occupancy scan.
+        # ONE generation binding for both reads (the same pattern as
+        # ivf_topk_indexed): resolving twice could straddle a
+        # concurrent publish and pair one generation's centroid count
+        # with another's occupancy.
         from bigdataproject_spark.operators.versioned import table_read_dir
 
+        cells_dir = table_read_dir(spark, path, "cells")
         n_cells = spark.read.parquet(
-            _centroids_dir(spark, path, table_read_dir(spark, path, "cells"))
+            _centroids_dir(spark, path, cells_dir)
         ).count()
         eff_threshold = max(
             float(max_cell_share_threshold), 3.0 / max(int(n_cells), 1)
@@ -1358,7 +1388,7 @@ def ivf_index_drift(
         # ledger can over-count the live cells table). struct-max keeps
         # the hot-cell tie-break deterministic (largest n, smallest id).
         occ = (
-            spark.read.parquet(table_read_dir(spark, path, "cells"))
+            spark.read.parquet(cells_dir)
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(
@@ -1516,15 +1546,19 @@ def _compact_index_leased(
         .repartition(F.col("cell"), F.col("_salt"))
         .drop("_salt")
         .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .partitionBy("cell")
         .parquet(tgt)
     )
-    # carry the PAIRED centroid copy into the new generation before it
-    # publishes (reads resolve quantizer + partitioning from one dir —
-    # :func:`_centroids_dir`); compaction never changes the quantizer.
+    # carry the PAIRED centroid copy into the new generation, then mark
+    # the generation complete — in that order, so a crash can only
+    # leave an incomplete dir resolution ignores, never a
+    # complete-looking generation without its quantizer
+    # (:func:`_centroids_dir`); compaction never changes the quantizer.
     spark.read.parquet(ctr_prev).coalesce(1).write.mode("overwrite").parquet(
         f"{tgt}/{_CENTROIDS_SUBDIR}"
     )
+    _touch_success(spark, tgt)
     before = n_parquet_files(spark, cells_prev)
     rows_after = spark.read.parquet(tgt).count()
     publish_version(spark, path, "cells", ver, cells_prev)

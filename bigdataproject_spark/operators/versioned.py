@@ -33,9 +33,12 @@ flip can finish its scan against the old generation; only a reader
 still holding a resolution TWO compactions old can lose its files
 (document/monitor compaction cadence accordingly — the same snapshot
 expiry contract as any table format with time travel, e.g. Iceberg's
-``expire_snapshots``). Disk cost: at most two generations of the table
-exist between compactions, exactly one in steady state after GC of the
-grace copy on the next cycle.
+``expire_snapshots``). Disk cost: two generations of the table between
+compactions in the normal case (one in steady state after GC of the
+grace copy on the next cycle), plus one more per complete orphan a
+crashed rewrite left since the last successful publish — each orphan
+also lives exactly one grace cycle, so the bound is 2 + crashes-since-
+last-publish, not accumulation.
 
 The pointer flip uses Hadoop ``FileContext.rename(OVERWRITE)`` — atomic
 on HDFS and local filesystems — with a delete-then-rename fallback for

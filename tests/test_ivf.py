@@ -193,18 +193,41 @@ def test_ivf_indexed_blas_equals_native(spark, sf_dir, tmp_path):
 
 
 def test_impl_auto_resolution():
-    """The default impl='auto' picks blas in this container (numpy,
-    pandas, pyarrow all present), never raises for the three accepted
-    spellings, and rejects anything else loudly."""
+    """impl='auto' picks blas when its dependencies import, never
+    raises for the three accepted spellings, and rejects anything else
+    loudly. Guarded: on a JVM-only deployment (no numpy/pandas/
+    pyarrow) auto legitimately resolves native and the blas-side
+    asserts don't apply."""
     import pytest
 
     from bigdataproject_spark.operators.simsearch import _resolve_impl
 
+    for dep in ("numpy", "pandas", "pyarrow"):
+        pytest.importorskip(dep)
     assert _resolve_impl("auto", "t") == "blas"
     assert _resolve_impl("native", "t") == "native"
     assert _resolve_impl("blas", "t") == "blas"
     with pytest.raises(ValueError, match="unknown impl"):
         _resolve_impl("gpu", "t")
+
+
+def test_impl_auto_degrades_for_unsupported_id_types():
+    """impl='auto' must pick native when the caller's id type is not
+    Arrow-carriable — a user with an exotic id column gets the working
+    plan, not a mid-query serialization error; explicit impl='blas'
+    keeps raising its loud TypeError instead."""
+    import pytest
+
+    from bigdataproject_spark.operators.simsearch import _resolve_impl
+
+    for dep in ("numpy", "pandas", "pyarrow"):
+        pytest.importorskip(dep)
+    assert _resolve_impl("auto", "t", id_types=("bigint", "string")) == "blas"
+    assert (
+        _resolve_impl("auto", "t", id_types=("struct<a:int>", "bigint"))
+        == "native"
+    )
+    assert _resolve_impl("auto", "t", id_types=("decimal(38,0)",)) == "native"
 
 
 def test_query_batch_splits_guard(spark, sf_dir):

@@ -221,7 +221,11 @@ def test_ivf_append_assignment_single_exchange_no_join(spark, sf_dir, tmp_path):
         emb.filter(F.col("vec_id") % 2 == 0), idx,
         id_col="vec_id", vec_col="embedding", n_centroids=8,
     )
-    ctrs = _collect_index_centroids(spark, idx)
+    from bigdataproject_spark.operators.versioned import table_read_dir
+
+    ctrs = _collect_index_centroids(
+        spark, idx, table_read_dir(spark, idx, "cells")
+    )
     delta = emb.filter(F.col("vec_id") % 2 == 1)
     assigned = delta.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -122,8 +122,11 @@ def test_ivf_stream_soak_bounded_debt(spark, sf_dir, tmp_path):
     assert drift["n_indexed_at_build"] == seed.count()
     assert drift["n_appended_total"] == appended == rest.count()
 
-    # zero leaked localCheckpoint blocks across the whole soak
-    assert _n_persistent_rdds(spark) == rdds_before
+    # zero leaked localCheckpoint blocks across the whole soak (<=,
+    # not ==: in a shared session an EARLIER test's lingering block can
+    # be garbage-collected mid-soak, dropping the absolute count — the
+    # soak's own claim is only that it adds nothing)
+    assert _n_persistent_rdds(spark) <= rdds_before
 
     # final correctness: search equals a from-scratch rebuild over the
     # union, partial and full probe
@@ -204,4 +207,4 @@ def test_dedup_index_stream_soak_bounded_debt(spark, tmp_path):
     ]
     assert len(emitted) == len(set(emitted))  # no doc emitted twice
     assert set(emitted) == expected_ids
-    assert _n_persistent_rdds(spark) == rdds_before
+    assert _n_persistent_rdds(spark) <= rdds_before

@@ -117,18 +117,3 @@ def test_orphan_gets_one_grace_cycle_then_dies(spark, root):
     assert not os.path.isdir(versioned_dir(p, "t", 2))  # one cycle only
     assert not os.path.isdir(versioned_dir(p, "t", 1))
     assert os.path.isdir(versioned_dir(p, "t", 3))
-
-
-def test_impl_auto_degrades_for_unsupported_id_types():
-    """impl='auto' must pick native when the caller's id type is not
-    Arrow-carriable — a user with an exotic id column gets the working
-    plan, not a mid-query serialization error; explicit impl='blas'
-    keeps raising its loud TypeError instead."""
-    from bigdataproject_spark.operators.simsearch import _resolve_impl
-
-    assert _resolve_impl("auto", "t", id_types=("bigint", "string")) == "blas"
-    assert (
-        _resolve_impl("auto", "t", id_types=("struct<a:int>", "bigint"))
-        == "native"
-    )
-    assert _resolve_impl("auto", "t", id_types=("decimal(38,0)",)) == "native"

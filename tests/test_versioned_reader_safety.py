@@ -348,3 +348,102 @@ def test_rebuild_refuses_foreign_lease(spark, sf_dir, tmp_path):
         write_minhash_index(
             docs, didx, id_col="doc_id", shingles_col="shingles"
         )
+
+
+def test_compaction_sweeps_late_band_appends(spark, tmp_path, monkeypatch):
+    """The lease-TOCTOU straggler: an append whose bands write lands
+    AFTER compaction's bands snapshot. The late-file sweep must fold
+    those rows into the generation being published — without it the
+    rows die with the superseded generation while their shingle
+    membership survives, the unhealable recall hole."""
+    docs = spark.createDataFrame(
+        [
+            (1, [11, 12, 13, 14]),
+            (2, [21, 22, 23, 24]),
+        ],
+        "doc_id long, shingles array<bigint>",
+    )
+    idx = str(tmp_path / "idx")
+    write_minhash_index(docs, idx, id_col="doc_id", shingles_col="shingles")
+
+    real_tot = versioned.table_overwrite_target
+    injected = {"done": False}
+
+    def hooked_tot(spark_, path_, table_, **kw):
+        if table_ == "bands" and not injected["done"]:
+            injected["done"] = True
+            # the racing append: new band rows for doc 999 land in the
+            # live dir AFTER the snapshot was taken
+            live = table_read_dir(spark_, path_, "bands")
+            late = spark.createDataFrame(
+                [(999, b, 123456789) for b in range(8)],
+                "id long, band_id int, band_hash bigint",
+            )
+            late.coalesce(1).write.mode("append").parquet(live)
+        return real_tot(spark_, path_, table_, **kw)
+
+    monkeypatch.setattr(versioned, "table_overwrite_target", hooked_tot)
+    compact_index(spark, idx)
+    monkeypatch.undo()
+    bands = spark.read.parquet(table_read_dir(spark, idx, "bands"))
+    assert injected["done"]
+    assert bands.filter(F.col("id") == 999).count() == 8  # swept in
+
+
+def test_crashed_rebuild_leaves_no_complete_orphan_without_centroids(
+    spark, sf_dir, tmp_path
+):
+    """A generation is marked complete only AFTER its paired
+    _centroids lands (deferred _SUCCESS), so a crash between the cells
+    write and the centroids write leaves an INCOMPLETE dir that
+    resolution ignores — never a complete-looking generation that
+    would pair fresh cells with the stale flat quantizer; and a torn
+    paired copy (no _centroids/_SUCCESS) falls back to the flat table
+    instead of erroring the search."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+    ctrs = sample_centroids(
+        seed, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_compact_index(spark, idx)  # -> cells-v1 with paired _centroids
+    v1 = table_read_dir(spark, idx, "cells")
+    assert os.path.isfile(f"{v1}/_SUCCESS")
+    assert os.path.isfile(f"{v1}/_centroids/_SUCCESS")
+
+    def _search():
+        return [
+            (r.q_id, r.rank, r.neighbor_id, r.cosine)
+            for r in ivf_topk_indexed(
+                spark, idx, queries, id_col="vec_id", vec_col="embedding",
+                k=5, n_probe=8,
+            ).collect()
+        ]
+
+    expected = _search()
+
+    # crashed rebuild: cells-v2 fully written EXCEPT the deferred
+    # completeness marker (and no _centroids — the crash happened
+    # between the two writes)
+    v2 = v1.rsplit("-v", 1)[0] + "-v2"
+    shutil.copytree(v1, v2)
+    os.remove(f"{v2}/_SUCCESS")
+    shutil.rmtree(f"{v2}/_centroids")
+    assert table_read_dir(spark, idx, "cells") == v1  # v2 invisible
+    os.remove(f"{idx}/cells.version")  # even via newest-complete
+    assert table_read_dir(spark, idx, "cells") == v1
+    assert _search() == expected
+    shutil.rmtree(v2)
+
+    # torn paired copy: _centroids present but incomplete -> flat
+    # fallback, search unaffected (pointer restored via a compaction)
+    ivf_compact_index(spark, idx)
+    cur = table_read_dir(spark, idx, "cells")
+    os.remove(f"{cur}/_centroids/_SUCCESS")
+    assert _search() == expected
