@@ -819,7 +819,13 @@ def _overwrite_cells_and_stats(
         c_prev = _prev("cells")
         c_tgt, c_ver = table_overwrite_target(spark, path, "cells")
         write_cells(c_tgt)
-        centroids_df.coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1), NOT coalesce(1): the local centroid frame
+        # parallelizes into defaultParallelism pickled slices, and
+        # coalesce folds all of them into ONE task that runs a Python
+        # worker per slice SEQUENTIALLY (~4 s for a 64-row frame);
+        # repartition evaluates them in parallel and shuffles the tiny
+        # rows (measured 0.8 s) — same reasoning as sources/writers.py.
+        centroids_df.repartition(1).write.mode("overwrite").parquet(
             f"{c_tgt}/{_CENTROIDS_SUBDIR}"
         )
         # the generation's completeness marker, created only AFTER the
@@ -836,7 +842,7 @@ def _overwrite_cells_and_stats(
         _write_index_stats(spark, s_tgt, kind="build", n_rows=n, sum_d2=sum_d2)
         if s_ver is not None:
             publish_version(spark, path, "stats", s_ver, s_prev)
-        centroids_df.coalesce(1).write.mode("overwrite").parquet(
+        centroids_df.repartition(1).write.mode("overwrite").parquet(
             f"{path}/centroids"
         )
     finally:
@@ -922,9 +928,15 @@ def _write_index_stats(
     """``stats_dir`` is the CONCRETE generation directory (resolve
     through operators/versioned.py — the ledger is versioned by the
     compaction fold)."""
+    # repartition(1), NOT coalesce(1): this single-row local frame
+    # still parallelizes into defaultParallelism pickled slices, and
+    # coalesce would evaluate every slice sequentially in one task —
+    # one Python worker round-trip each, ~4 s of pure overhead PER
+    # APPEND on local[32] (measured; repartition: 0.8 s). Same
+    # reasoning as sources/writers.py.
     spark.createDataFrame(
         [(kind, int(n_rows), float(sum_d2), ledger_id)], _INDEX_STATS_SCHEMA
-    ).coalesce(1).write.mode("append" if append else "overwrite").parquet(
+    ).repartition(1).write.mode("append" if append else "overwrite").parquet(
         stats_dir
     )
 
