@@ -288,7 +288,10 @@ def accept_batch(
     compaction lease on the index (operators/lease.py): an append racing
     another writer's :func:`compact_index` swap would be silently
     dropped by the swap, so it raises loudly instead."""
-    from bigdataproject_spark.operators.lease import assert_unleased
+    from bigdataproject_spark.operators.lease import (
+        LeaseHeldError,
+        assert_unleased,
+    )
     from bigdataproject_spark.operators.versioned import table_read_dir
 
     owner = lease_owner or spark.sparkContext.applicationId
@@ -336,7 +339,7 @@ def accept_batch(
     # per batch makes that loss loud and retriable instead of silent.
     try:
         assert_unleased(spark, path, owner)
-    except Exception as ex:
+    except LeaseHeldError as ex:
         raise RuntimeError(
             f"accept_batch: a foreign writer acquired the lease on "
             f"{path} DURING this append — the appended signatures may "

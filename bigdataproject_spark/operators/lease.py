@@ -43,6 +43,7 @@ __all__ = [
     "LeaseHeldError",
     "acquire_lease",
     "assert_unleased",
+    "read_tiny_file",
     "release_lease",
 ]
 
@@ -59,13 +60,15 @@ def _fs_and_path(spark, index_path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _read_owner(fs, p) -> str:
-    """Lease file content (tiny — owner string only). Byte-at-a-time
-    over py4j is fine at this size and works on any Hadoop FS."""
+def read_tiny_file(fs, p, cap: int = 512) -> str:
+    """Content of a tiny control file (a lease owner string, a
+    generation pointer — operators/versioned.py shares this helper).
+    Byte-at-a-time over py4j is fine at this size and works on any
+    Hadoop FS."""
     stream = fs.open(p)
     try:
         out = bytearray()
-        for _ in range(512):
+        for _ in range(cap):
             b = stream.read()
             if b < 0:
                 break
@@ -75,12 +78,13 @@ def _read_owner(fs, p) -> str:
         stream.close()
 
 
+
 def lease_owner(spark, index_path: str) -> str | None:
     """Current lease owner string, or None when unleased."""
     fs, p, _ = _fs_and_path(spark, index_path)
     if not fs.exists(p):
         return None
-    return _read_owner(fs, p)
+    return read_tiny_file(fs, p)
 
 
 def acquire_lease(spark, index_path: str, owner: str) -> None:
@@ -91,7 +95,7 @@ def acquire_lease(spark, index_path: str, owner: str) -> None:
         raise ValueError("acquire_lease: owner must be a non-empty string")
     fs, p, _ = _fs_and_path(spark, index_path)
     if fs.exists(p):
-        held_by = _read_owner(fs, p)
+        held_by = read_tiny_file(fs, p)
         if held_by != owner:
             raise LeaseHeldError(
                 f"index {index_path} is leased by {held_by!r} "
@@ -119,7 +123,7 @@ def release_lease(spark, index_path: str, owner: str) -> None:
     fs, p, _ = _fs_and_path(spark, index_path)
     if not fs.exists(p):
         return
-    held_by = _read_owner(fs, p)
+    held_by = read_tiny_file(fs, p)
     if held_by != owner:
         raise LeaseHeldError(
             f"index {index_path}: lease now held by {held_by!r}, "
@@ -137,7 +141,7 @@ def assert_unleased(spark, index_path: str, owner: str) -> None:
     fs, p, _ = _fs_and_path(spark, index_path)
     if not fs.exists(p):
         return
-    held_by = _read_owner(fs, p)
+    held_by = read_tiny_file(fs, p)
     if held_by != owner:
         raise LeaseHeldError(
             f"index {index_path} is being compacted by {held_by!r}; "

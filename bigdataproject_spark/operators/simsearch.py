@@ -817,6 +817,26 @@ def _overwrite_cells_and_stats(
                 return None
 
         c_prev = _prev("cells")
+        # BACKFILL the paired copy into the generation being superseded
+        # when it predates the paired layout (a pre-r8 index's first
+        # rebuild): its grace-window readers would otherwise fall back
+        # to the flat {path}/centroids, which this rebuild is about to
+        # overwrite with the NEW quantizer — old partitioning probed
+        # with new centroids, silently wrong neighbors for the whole
+        # transition. The flat table still holds the OLD (matching)
+        # quantizer at this instant, so copy it in before anything else.
+        if c_prev is not None:
+            jvm = spark._jvm
+            HPath = jvm.org.apache.hadoop.fs.Path
+            fs = HPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+            paired = f"{c_prev}/{_CENTROIDS_SUBDIR}"
+            flat = f"{path}/centroids"
+            if not fs.exists(HPath(f"{paired}/_SUCCESS")) and fs.exists(
+                HPath(flat)
+            ):
+                spark.read.parquet(flat).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(paired)
         c_tgt, c_ver = table_overwrite_target(spark, path, "cells")
         write_cells(c_tgt)
         # repartition(1), NOT coalesce(1): the local centroid frame
@@ -981,10 +1001,9 @@ _CENTROIDS_SUBDIR = "_centroids"
 
 
 def _touch_success(spark, dirpath: str) -> None:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{dirpath}/_SUCCESS")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.create(p, True).close()
+    from bigdataproject_spark.operators.versioned import touch
+
+    touch(spark, f"{dirpath}/_SUCCESS")
 
 
 def _centroids_dir(spark, path: str, cells_dir: str) -> str:
@@ -1151,7 +1170,10 @@ def ivf_append_index(
     spark = new_vecs.sparkSession
     from pyspark.sql import Observation
 
-    from bigdataproject_spark.operators.lease import assert_unleased
+    from bigdataproject_spark.operators.lease import (
+        LeaseHeldError,
+        assert_unleased,
+    )
 
     if ledger_id is not None and not guard_ids:
         raise ValueError(
@@ -1259,7 +1281,7 @@ def ivf_append_index(
     # the gap between this probe and the write it follows).
     try:
         assert_unleased(spark, path, owner)
-    except Exception as ex:
+    except LeaseHeldError as ex:
         raise RuntimeError(
             f"ivf_append_index: a foreign writer acquired the lease on "
             f"{path} DURING this append — the appended rows may be "
@@ -1296,6 +1318,7 @@ def _reconstruct_build_stats(
     dropping the at-most-once ledger markers (r7-end driver ADVICE,
     reproduced in tests/test_ivf_ledger.py)."""
     from bigdataproject_spark.operators.versioned import (
+        publish_version,
         table_live_dir,
         table_overwrite_target,
     )
@@ -1308,10 +1331,16 @@ def _reconstruct_build_stats(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("sum_d2"))
         .collect()[0]
     )
-    tgt, _ = table_overwrite_target(spark, path, "stats")
+    tgt, ver = table_overwrite_target(spark, path, "stats")
     _write_index_stats(
         spark, tgt, kind="build", n_rows=row["n"], sum_d2=row["sum_d2"] or 0.0
     )
+    if ver is not None:
+        # a VERSIONED target (a dangling stats pointer whose generation
+        # dir is gone) must be published, or the pointer keeps naming
+        # the missing generation and the fresh ledger is a permanently
+        # unpublished orphan only the newest-complete fallback can see
+        publish_version(spark, path, "stats", ver, None)
 
 
 def ivf_index_drift(

@@ -65,12 +65,17 @@ from __future__ import annotations
 
 import re
 
-from bigdataproject_spark.operators.lease import LeaseHeldError, lease_owner
+from bigdataproject_spark.operators.lease import (
+    LeaseHeldError,
+    lease_owner,
+    read_tiny_file,
+)
 
 __all__ = [
     "TableMissingError",
     "complete_versions",
     "n_parquet_files",
+    "touch",
     "pointer_version",
     "publish_version",
     "table_live_dir",
@@ -90,11 +95,26 @@ def versioned_dir(path: str, table: str, version: int) -> str:
     return f"{path}/{table}-v{int(version)}"
 
 
+def touch(spark, filepath: str) -> None:
+    """Create (or truncate) an empty marker file — completeness
+    markers, phase-commit markers; the one shared implementation
+    (previously duplicated in simsearch/_touch_success and
+    index_stream/_touch)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(filepath)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
+
+
 def n_parquet_files(spark, dirpath: str) -> int:
     """Recursive ``.parquet`` part-file count under one directory,
-    skipping files inside hidden (``_``/``.``-prefixed) subdirectories
-    — i.e. what a Spark scan of the directory would actually read (the
-    IVF index's paired ``_centroids`` copy lives in such a subdir).
+    skipping files with ANY hidden (``_``/``.``-prefixed) path
+    component below the root — i.e. what a Spark scan of the directory
+    would actually read: the IVF index's paired ``_centroids`` copy
+    AND part files stranded under a crashed write's
+    ``_temporary/…/attempt_x/cell=…`` tree (whose immediate parent is
+    NOT hidden — a parent-only check would count them and a
+    file-count compaction trigger would then fire on every batch).
     The ONE counting helper for every maintenance policy and
     compaction statistic (previously triplicated across the index
     modules)."""
@@ -103,13 +123,15 @@ def n_parquet_files(spark, dirpath: str) -> int:
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return 0
+    root = p.toUri().getPath().rstrip("/")
     n = 0
     it = fs.listFiles(p, True)
     while it.hasNext():
         fp = it.next().getPath()
         if not fp.getName().endswith(".parquet"):
             continue
-        if fp.getParent().getName().startswith(("_", ".")):
+        rel = fp.toUri().getPath()[len(root):].lstrip("/")
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")[:-1]):
             continue
         n += 1
     return n
@@ -125,22 +147,6 @@ def _fs(spark, pathstr: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _read_small(fs, p) -> str:
-    """Tiny-file content (pointer files are a few bytes; byte-at-a-time
-    over py4j is fine at this size and works on any Hadoop FS)."""
-    stream = fs.open(p)
-    try:
-        out = bytearray()
-        for _ in range(64):
-            b = stream.read()
-            if b < 0:
-                break
-            out.append(b)
-        return out.decode("utf-8", errors="replace")
-    finally:
-        stream.close()
-
-
 def pointer_version(spark, path: str, table: str) -> int | None:
     """The generation the pointer file names, or None (no pointer /
     unparseable content / unreadable file — all treated as absent so
@@ -153,7 +159,7 @@ def pointer_version(spark, path: str, table: str) -> int | None:
     if not fs.exists(p):
         return None
     try:
-        return int(_read_small(fs, p).strip())
+        return int(read_tiny_file(fs, p, cap=64).strip())
     except Exception:
         return None
 
@@ -290,6 +296,14 @@ def publish_version(
     (fresh table)."""
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
+    # the FIRST publish of this table? Read before flipping: when no
+    # pointer existed yet, the legacy dir was resolvable until moments
+    # ago (a crashed earlier rewrite may have left a complete
+    # generation that outranked it for newest-complete readers, but a
+    # reader that resolved legacy BEFORE that crash landed can still
+    # be scanning) — grant it the standard one-cycle grace instead of
+    # deleting it on the same publish that first supersedes it.
+    first_publish = pointer_version(spark, path, table) is None
     ptr = _pointer_path(path, table)
     tmp = f"{ptr}__tmp"
     out = fs.create(Path(tmp), True)
@@ -323,6 +337,8 @@ def publish_version(
     # cycle). Incomplete dirs (crashed writes, never read targets) are
     # deleted regardless.
     keep = {versioned_dir(path, table, version).rsplit("/", 1)[-1]}
+    if first_publish:
+        keep.add(table)  # legacy dir: one grace cycle from first publish
     prev_ver = 0
     if prev_live is not None:
         prev_name = prev_live.rstrip("/").rsplit("/", 1)[-1]

@@ -168,7 +168,15 @@ def q_cjk_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(p) for p, _ in _CJK_PHRASES]),
         (F.col("doc_id") % len(_CJK_PHRASES) + 1).cast("int"),
     )
-    mixed = F.concat_ws(" ", phrase, F.col("text"))
+    # normalize the document half to the EXACT alphabet the oracle
+    # tokenizes ([a-z0-9]) before mixing in the CJK phrase: the FMM
+    # segmenter's non-Han word split is Unicode-aware (\w) while the
+    # oracle splits on ASCII, so un-normalized input containing 'café'
+    # or stray native Han would tokenize differently on the two sides —
+    # a latent exact-oracle mismatch the synthetic corpus merely
+    # happens not to trigger
+    latin = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    mixed = F.concat_ws(" ", phrase, latin)
     tok = get_tokenizer(
         "cjk-dict",
         stopwords=DEFAULT_STOPWORDS,

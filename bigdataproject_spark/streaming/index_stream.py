@@ -62,10 +62,9 @@ def _exists(spark: SparkSession, path: str) -> bool:
 
 
 def _touch(spark: SparkSession, path: str) -> None:
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.create(p, True).close()
+    from bigdataproject_spark.operators.versioned import touch
+
+    touch(spark, path)
 
 
 def _n_band_files(spark: SparkSession, index_path: str) -> int:
@@ -167,7 +166,10 @@ def make_index_batch_writer(
     from bigdataproject_spark.operators.dedup_index import compact_index
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from bigdataproject_spark.operators.lease import assert_unleased
+        from bigdataproject_spark.operators.lease import (
+            LeaseHeldError,
+            assert_unleased,
+        )
         from bigdataproject_spark.operators.versioned import table_read_dir
 
         spark = batch_df.sparkSession
@@ -259,7 +261,7 @@ def make_index_batch_writer(
         # them on the retried batch.
         try:
             assert_unleased(spark, index_path, owner)
-        except Exception as ex:
+        except LeaseHeldError as ex:
             raise RuntimeError(
                 f"index batch {batch_id}: a foreign writer acquired the "
                 f"lease on {index_path} DURING this append — the appended "

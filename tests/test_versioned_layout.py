@@ -117,3 +117,41 @@ def test_orphan_gets_one_grace_cycle_then_dies(spark, root):
     assert not os.path.isdir(versioned_dir(p, "t", 2))  # one cycle only
     assert not os.path.isdir(versioned_dir(p, "t", 1))
     assert os.path.isdir(versioned_dir(p, "t", 3))
+
+
+def test_legacy_dir_survives_first_publish_after_crashed_rewrite(
+    spark, root
+):
+    """A crashed FIRST compaction (complete v1 written, never
+    published) supersedes the legacy dir for newest-complete readers —
+    but a reader that resolved legacy beforehand can still be
+    scanning. The re-run's publish (v2, prev=v1) is the first publish
+    this table ever had: the legacy dir gets the standard one-cycle
+    grace instead of dying on it."""
+    p, gen = root
+    gen(1)  # crash: complete but unpublished
+    gen(2, publish=True, prev=versioned_dir(p, "t", 1))
+    assert os.path.isdir(f"{p}/t")  # grace on the FIRST publish
+    assert os.path.isdir(versioned_dir(p, "t", 1))
+    gen(3, publish=True, prev=versioned_dir(p, "t", 2))
+    assert not os.path.isdir(f"{p}/t")  # collected one cycle later
+    assert not os.path.isdir(versioned_dir(p, "t", 1))
+
+
+def test_n_parquet_files_skips_temporary_trees(spark, tmp_path):
+    """Part files stranded under a crashed write's _temporary tree have
+    a NON-hidden immediate parent (cell=7) — the counter must still
+    skip them (any hidden path component), or the file-count compaction
+    trigger fires on every batch after one crash."""
+    from bigdataproject_spark.operators.versioned import n_parquet_files
+
+    d = str(tmp_path / "t")
+    spark.range(3).toDF("id").write.parquet(d)
+    live = n_parquet_files(spark, d)
+    assert live > 0
+    stranded = f"{d}/_temporary/0/attempt_1/cell=7"
+    os.makedirs(stranded)
+    spark.range(2).toDF("id").write.mode("overwrite").parquet(
+        f"{stranded}/inner"
+    )
+    assert n_parquet_files(spark, d) == live  # unchanged

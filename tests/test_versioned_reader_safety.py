@@ -133,9 +133,15 @@ def test_ivf_grace_window_and_pointerless_fallback(
     d = table_read_dir(spark, idx, "cells")
     assert glob.glob(f"{d}/_SUCCESS")
     assert spark.read.parquet(d).count() == n
-    # a second compaction heals the pointer and GCs the grace copy
+    # a second compaction heals the pointer; because it ran POINTER-LESS
+    # it cannot prove the legacy dir was already superseded, so the
+    # legacy grace extends one conservative cycle (r8: a pointer-less
+    # publish treats itself as the table's first) — the THIRD compaction
+    # collects it.
     ivf_compact_index(spark, idx)
     assert os.path.isfile(f"{idx}/cells.version")
+    assert os.path.isdir(pre_dir)  # conservative extra grace
+    ivf_compact_index(spark, idx)
     assert not os.path.isdir(pre_dir)
 
 
@@ -447,3 +453,51 @@ def test_crashed_rebuild_leaves_no_complete_orphan_without_centroids(
     cur = table_read_dir(spark, idx, "cells")
     os.remove(f"{cur}/_centroids/_SUCCESS")
     assert _search() == expected
+
+
+def test_rebuild_backfills_paired_copy_for_pre_pairing_generation(
+    spark, sf_dir, tmp_path
+):
+    """A pre-r8 index's first rebuild: the superseded generation has no
+    paired _centroids, so its grace-window readers resolve the flat
+    table — which the rebuild overwrites with the NEW quantizer. The
+    rebuild must backfill the old flat copy into the superseded
+    generation FIRST, so those readers keep a consistent
+    (quantizer, partitioning) snapshot through the transition."""
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    grown = emb.filter(F.col("vec_id") % 3 != 2)
+    ctrs_old = sample_centroids(
+        seed, id_col="vec_id", vec_col="embedding", n_centroids=4
+    )
+    ctrs_new = sample_centroids(
+        grown, id_col="vec_id", vec_col="embedding", n_centroids=8
+    )
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs_old, id_col="vec_id", vec_col="embedding"
+    )
+    ivf_compact_index(spark, idx)
+    v_old = table_read_dir(spark, idx, "cells")
+    shutil.rmtree(f"{v_old}/_centroids")  # simulate a pre-r8 generation
+
+    ivf_write_index_from_centroids(
+        grown, idx, ctrs_new, id_col="vec_id", vec_col="embedding"
+    )
+    # the superseded generation now carries the OLD quantizer, paired
+    assert os.path.isfile(f"{v_old}/_centroids/_SUCCESS")
+    old_pairs = sorted(
+        (r["cell"], tuple(round(x, 6) for x in r["ctr"]))
+        for r in spark.read.parquet(f"{v_old}/_centroids").collect()
+    )
+    want = sorted(
+        (c, tuple(round(float(x), 6) for x in v)) for c, v in ctrs_old
+    )
+    assert old_pairs == want
+    # ... while the live generation pairs the NEW one
+    v_new = table_read_dir(spark, idx, "cells")
+    assert v_new != v_old
+    n_new = spark.read.parquet(f"{v_new}/_centroids").count()
+    assert n_new == len(ctrs_new)
