@@ -300,3 +300,46 @@ def test_stream_stats_ledger_stays_bounded(spark, sf_dir, tmp_path):
     assert drift["n_appended_total"] == d1.count() + d2.count()
     # the skew signal is live in the per-batch reports
     assert all(r["max_cell_share"] is not None for r in reports.values())
+
+
+def test_in_stream_compaction_min_cell_files_policy(spark, sf_dir, tmp_path):
+    """The LISTING-triggered policy (compact_min_cell_files) — the
+    every-N variant is covered above; this one exercises the file-count
+    probe end-to-end, including its r8 semantics: the count reads only
+    the CURRENT generation and skips hidden subtrees (the paired
+    _centroids copy), so the trigger can actually quiesce after a
+    compaction instead of firing forever on its own byproducts."""
+    seed, d1, d2, queries, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    stream = (
+        spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(_stream_dir(spark, tmp_path, [d1, d2])))
+    )
+    q = stream_embeddings_to_ivf(
+        stream,
+        index_path=idx,
+        checkpoint=str(tmp_path / "ckpt"),
+        id_col="vec_id",
+        vec_col="embedding",
+        compact_min_cell_files=1,  # always due -> compacts every batch
+    )
+    q.awaitTermination(120)
+    from bigdataproject_spark.operators.versioned import (
+        n_parquet_files,
+        table_read_dir,
+    )
+
+    cells_dir = table_read_dir(spark, idx, "cells")
+    n_cells = spark.read.parquet(f"{cells_dir}/_centroids").count()
+    assert n_parquet_files(spark, cells_dir) <= n_cells
+
+    full = str(tmp_path / "full")
+    union = seed.unionByName(d1).unionByName(d2)
+    ivf_write_index_from_centroids(
+        union, full, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    assert _search(spark, idx, queries) == _search(spark, full, queries)
