@@ -65,10 +65,24 @@ def write_minhash_index(
     resolve reads through ``table_read_dir``, never hardcode the flat
     path). Bands are written BEFORE shingles on purpose: the shingles
     table is the index's id-membership commit point (see
-    streaming/index_stream.py), so a crash between the two writes
-    leaves only harmless orphan band rows, never a claimed-but-absent
-    membership. ``lease_owner`` (default: this applicationId) gates the
-    healing of pre-versioned crash debris on the append path.
+    streaming/index_stream.py), so a crash between the two APPEND
+    writes leaves only harmless orphan band rows, never a
+    claimed-but-absent membership. ``lease_owner`` (default: this
+    applicationId) gates the healing of pre-versioned crash debris on
+    the append path.
+
+    REBUILD torn-window contract (r8-end driver ADVICE): on an
+    already-versioned index a rebuild publishes the two tables as two
+    INDEPENDENT generation flips with no cross-table atomicity — a
+    crash between them serves NEW bands paired with OLD shingles until
+    the rebuild is re-run. That window is crash-safe BY RE-RUN, not by
+    construction: the crashed rebuild leaves its lease behind (same
+    ``lease_owner`` steals it back; appends from other owners fail
+    loudly against it, so the torn pair cannot be silently appended
+    to), and re-running the rebuild to completion is the required
+    recovery. The append-path ordering rationale above does not
+    transfer: for a whole-corpus overwrite neither publish order leaves
+    a consistent index mid-crash, so the contract is the honest fix.
 
     The same (num_hashes, bands, hash_family) MUST be used for every
     write and query against one index path — band keys from different
@@ -122,6 +136,52 @@ def write_minhash_index(
                 publish_version(spark, path, table, ver, prev)
     finally:
         release_lease(spark, path, owner)
+
+
+def _append_band_rows(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_family: str,
+    owner: str,
+) -> None:
+    """Append exactly the MISSING band rows for ``docs`` (no shingle /
+    membership rows) — the heal half of the lease-race remediation (see
+    :func:`accept_batch`): membership already exists for these ids, so
+    only the candidate-generation side may need restoring. Anti-joining
+    the recomputed rows against the stored bands (pruned to the heal
+    ids first — the store side stays a map-side semi-join against the
+    broadcast id set, never shuffled) keeps the heal IDEMPOTENT: a
+    resume that lost nothing appends nothing, so replay leaves the
+    bands table row-identical. The missing set is localCheckpoint'd so
+    the append plan does not read the directory it is appending to."""
+    from bigdataproject_spark.operators.versioned import table_live_dir
+    from bigdataproject_spark.session import release_local_checkpoint
+
+    spark = docs.sparkSession
+    live = table_live_dir(spark, path, "bands", owner)
+    want = lsh_band_rows(
+        docs,
+        id_col=id_col,
+        shingles_col=shingles_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
+    )
+    ids = F.broadcast(docs.select(F.col(id_col).alias("id")).distinct())
+    stored = spark.read.parquet(live).join(ids, "id", "left_semi")
+    missing = want.join(
+        stored, ["id", "band_id", "band_hash"], "left_anti"
+    ).localCheckpoint()
+    try:
+        if missing.count():
+            missing.write.mode("append").parquet(live)
+    finally:
+        release_local_checkpoint(missing)
 
 
 def incremental_minhash_pairs(
@@ -307,13 +367,15 @@ def accept_batch(
         bands=bands,
         hash_family=hash_family,
     )
+    # checkpointed so the heal append below rereads the materialized id
+    # set instead of re-scanning the shingles store
     already_stored = new_docs.select(F.col(id_col)).join(
         spark.read.parquet(table_read_dir(spark, path, "shingles")).select(
             F.col("id").alias(id_col)
         ),
         id_col,
         "left_semi",
-    )
+    ).localCheckpoint()
     # idempotent resume rides inside dropped_ids: a batch id already
     # present in the store (a crash after a partial append, a re-run)
     # must not append a second copy of its signatures.
@@ -321,17 +383,46 @@ def accept_batch(
         pairs, already_stored, id_col=id_col
     ).localCheckpoint()
     survivors = new_docs.join(dropped, id_col, "left_anti")
-    write_minhash_index(
-        survivors,
-        path,
-        id_col=id_col,
-        shingles_col=shingles_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        hash_family=hash_family,
-        append=True,
-        lease_owner=owner,
-    )
+    try:
+        write_minhash_index(
+            survivors,
+            path,
+            id_col=id_col,
+            shingles_col=shingles_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_family=hash_family,
+            append=True,
+            lease_owner=owner,
+        )
+        # BAND-ROW HEAL (r8-end driver ADVICE): the lease-race window
+        # this function's exit check makes loud can lose a batch's BAND
+        # rows while its shingle (membership) rows survive the racing
+        # compaction's flip — and a plain re-run could not repair that:
+        # the anti-join above sees the id as stored and skips it, a
+        # permanent recall hole. So the re-run this function prescribes
+        # is made ACTUALLY healing: for every batch id that is already
+        # a member, exactly the band rows MISSING from the store are
+        # re-appended (anti-join inside _append_band_rows — an intact
+        # resume appends nothing, keeping replays row-identical). On a
+        # fresh batch the member set is empty (one cheap count on the
+        # checkpointed set — no extra store scan) and the heal is
+        # skipped entirely.
+        if already_stored.count():
+            _append_band_rows(
+                new_docs.join(already_stored, id_col, "left_semi"),
+                path,
+                id_col=id_col,
+                shingles_col=shingles_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                hash_family=hash_family,
+                owner=owner,
+            )
+    finally:
+        from bigdataproject_spark.session import release_local_checkpoint
+
+        release_local_checkpoint(already_stored)
     # lease RE-verification (documented TOCTOU in operators/lease.py):
     # a compaction acquiring the lease after the entry check has been
     # rewriting while we appended — those signature rows land in the
@@ -345,7 +436,9 @@ def accept_batch(
             f"{path} DURING this append — the appended signatures may "
             f"be racing its compaction and could be dropped by the "
             f"generation flip; re-run this batch after the lease clears "
-            f"(the append is idempotent at shingle granularity)"
+            f"(the re-run is idempotent at shingle granularity AND "
+            f"re-appends band rows for already-member batch ids, so a "
+            f"band write lost to the racing flip is healed)"
         ) from ex
     return survivors
 
@@ -434,10 +527,14 @@ def _compact_index_leased(
     # that appeared in the superseded live dir after it is folded into
     # the new generation before the publish (loop until the listing is
     # stable; a racing append also trips its own post-write lease
-    # check, so the sweep converges). The vanishing remainder — a file
-    # landing between the final listing and the pointer rename — is
+    # check, so the sweep converges). The vanishing remainder — a band
+    # file landing between the final listing and the pointer rename,
+    # while the same append's shingle write resolves the already-
+    # published new generation (membership survives, bands lost) — is
     # exactly the append the loud lease re-check on the other side
-    # names.
+    # names, and the prescribed re-run HEALS it: accept_batch /
+    # index_stream re-append the MISSING band rows for already-member
+    # batch ids (r8-end driver ADVICE; _append_band_rows).
     def _part_files(d: str) -> list[str]:
         return sorted(
             st.getPath().toString()
@@ -508,3 +605,34 @@ def _compact_index_leased(
             "rows": rows,
         }
     return stats
+
+
+def index_health(spark: SparkSession, path: str) -> dict:
+    """Monitoring report for a minhash index — the dedup-side companion
+    of simsearch's ``ivf_index_drift`` cadence fields (r8 VERDICT item
+    2). Per table (``bands``, ``shingles``): the versioned layout's
+    ``{generation, publish_count, last_publish_age_seconds}``
+    (operators/versioned.py ``publish_cadence`` — the numbers the
+    one-generation grace-window contract is alarmed on: keep compaction
+    cadence SLOWER than the slowest external reader's scan) plus the
+    live part-file count (the same number the streaming flow's
+    ``compact_min_band_files`` trigger reads). Pure reader — listings
+    and tiny-file reads only, no data pages, safe in a poll loop."""
+    from bigdataproject_spark.operators.versioned import (
+        TableMissingError,
+        n_parquet_files,
+        publish_cadence,
+        table_read_dir,
+    )
+
+    out: dict = {}
+    for table in ("bands", "shingles"):
+        rep = publish_cadence(spark, path, table)
+        try:
+            rep["files"] = n_parquet_files(
+                spark, table_read_dir(spark, path, table)
+            )
+        except TableMissingError:
+            rep["files"] = None
+        out[table] = rep
+    return out

@@ -1097,7 +1097,7 @@ def ivf_append_index(
     id_col: str,
     vec_col: str,
     rebuild_threshold: float = 2.0,
-    max_cell_share_threshold: float | None = 0.5,
+    max_cell_share_threshold: float | str | None = "auto",
     guard_ids: bool = False,
     ledger_id: str | None = None,
     lease_owner: str | None = None,
@@ -1165,8 +1165,10 @@ def ivf_append_index(
 
     Returns {n_appended, batch_mean_d2, build_mean_d2,
     appended_mean_d2, drift_ratio, max_cell_share,
-    max_cell_share_threshold, hot_cell, rebuild_recommended} (see
-    :func:`ivf_index_drift`)."""
+    max_cell_share_threshold, hot_cell, rebuild_recommended,
+    generation, publish_count, last_publish_age_seconds} (see
+    :func:`ivf_index_drift`; the last three are the compaction-cadence
+    fields the grace-window contract is monitored by)."""
     spark = new_vecs.sparkSession
     from pyspark.sql import Observation
 
@@ -1348,7 +1350,7 @@ def ivf_index_drift(
     path: str,
     *,
     rebuild_threshold: float = 2.0,
-    max_cell_share_threshold: float | None = 0.5,
+    max_cell_share_threshold: float | str | None = "auto",
 ) -> dict:
     """Drift report for an IVF index — TWO independent rebuild signals,
     because a coarse quantizer can rot in two different ways:
@@ -1368,17 +1370,21 @@ def ivf_index_drift(
       partition-column-only aggregate over the cells table (the scan
       projects only the Hive partition column, so it reads directory
       listings + footers, no data pages; with compaction bounding
-      files/cell, bounded work). Past the EFFECTIVE threshold —
-      ``max(max_cell_share_threshold, 3/n_centroids)``, so a small-k
+      files/cell, bounded work). The default ``"auto"`` applies the
+      EFFECTIVE threshold ``max(0.5, 3/n_centroids)``, so a small-k
       index whose largest cell NATURALLY holds a big share (any
       imbalance at k=2-3 exceeds a flat 0.5) cannot fire permanently
-      and rebuild-loop automation keyed on the flag — it also fires
+      and rebuild-loop automation keyed on the flag; for k <= 3 the
+      auto threshold reaches 1.0 and the signal never fires (the share
+      is measured and returned regardless — automation can apply its
+      own rule). An EXPLICIT float is honored VERBATIM, no floor — an
+      operator who deliberately wants a lower trigger on a small-k
+      index gets it (r8-end driver ADVICE: the floor must not silently
+      override an explicit value). Past the threshold the report fires
       ``rebuild_recommended``; the applied value is returned as
-      ``max_cell_share_threshold``. For k <= 3 the effective threshold
-      reaches 1.0 and the signal never fires (the share is measured
-      and returned regardless — automation can apply its own rule).
-      Pass ``None`` to skip the occupancy job entirely (e.g. a hot
-      drift-poll loop that compacts rarely).
+      ``max_cell_share_threshold``. Pass ``None`` to skip the
+      occupancy job entirely (e.g. a hot drift-poll loop that compacts
+      rarely).
 
     The ledger read is ONE four-value aggregate — never a collect of
     the per-batch rows — so a year of per-minute appends costs the
@@ -1408,22 +1414,24 @@ def ivf_index_drift(
     max_share, hot_cell, eff_threshold = None, None, None
     if max_cell_share_threshold is not None:
         # small-k guard (r8 ADVICE): a flat threshold fires permanently
-        # when the uniform share itself is large — scale it so only a
-        # cell >= 3x uniform occupancy can flag. Centroid count is a
-        # <=n_centroids-row read, trivial next to the occupancy scan.
-        # ONE generation binding for both reads (the same pattern as
-        # ivf_topk_indexed): resolving twice could straddle a
-        # concurrent publish and pair one generation's centroid count
-        # with another's occupancy.
+        # when the uniform share itself is large — "auto" scales it so
+        # only a cell >= 3x uniform occupancy can flag; an EXPLICIT
+        # float is honored verbatim (r8-end ADVICE: no silent
+        # override). Centroid count is a <=n_centroids-row read,
+        # trivial next to the occupancy scan. ONE generation binding
+        # for both reads (the same pattern as ivf_topk_indexed):
+        # resolving twice could straddle a concurrent publish and pair
+        # one generation's centroid count with another's occupancy.
         from bigdataproject_spark.operators.versioned import table_read_dir
 
         cells_dir = table_read_dir(spark, path, "cells")
         n_cells = spark.read.parquet(
             _centroids_dir(spark, path, cells_dir)
         ).count()
-        eff_threshold = max(
-            float(max_cell_share_threshold), 3.0 / max(int(n_cells), 1)
-        )
+        if max_cell_share_threshold == "auto":
+            eff_threshold = max(0.5, 3.0 / max(int(n_cells), 1))
+        else:
+            eff_threshold = float(max_cell_share_threshold)
         # total comes from the same scan as the max (NOT from the
         # ledger: unguarded-replay duplicates die at compaction, so the
         # ledger can over-count the live cells table). struct-max keeps
@@ -1447,6 +1455,15 @@ def ivf_index_drift(
             hot_cell = int(-occ["mx"]["negc"])
             max_share = int(occ["mx"]["n"]) / int(occ["total"])
             rec = rec or (max_share > eff_threshold)
+    # compaction-cadence fields (r8 VERDICT item 2): the versioned
+    # layout's one-generation grace window means ops must keep publish
+    # cadence slower than their slowest reader — the drift report is
+    # the natural poll to alarm on, so it carries the cells table's
+    # generation / publish bound / last-publish age (cheap: one tiny
+    # pointer read + one getFileStatus).
+    from bigdataproject_spark.operators.versioned import publish_cadence
+
+    cadence = publish_cadence(spark, path, "cells")
     return {
         "build_mean_d2": build_mean,
         "appended_mean_d2": appended_mean,
@@ -1457,6 +1474,9 @@ def ivf_index_drift(
         "max_cell_share_threshold": eff_threshold,
         "hot_cell": hot_cell,
         "rebuild_recommended": rec,
+        "generation": cadence["generation"],
+        "publish_count": cadence["publish_count"],
+        "last_publish_age_seconds": cadence["last_publish_age_seconds"],
     }
 
 

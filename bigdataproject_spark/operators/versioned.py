@@ -77,6 +77,7 @@ __all__ = [
     "n_parquet_files",
     "touch",
     "pointer_version",
+    "publish_cadence",
     "publish_version",
     "table_live_dir",
     "table_overwrite_target",
@@ -147,21 +148,114 @@ def _fs(spark, pathstr: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
+# Java exception classes that mean "the pointer is effectively absent":
+# the file vanished between exists() and open() (a delete-then-rename
+# flip fallback mid-swing), or a half-replaced LOCAL file whose CRC
+# sidecar no longer matches (non-atomic flip torn mid-write). Both must
+# degrade to the newest-complete fallback — any OTHER IO failure is a
+# transient fault (network, permission churn) where falling back could
+# silently serve a complete-but-unpublished orphan generation, so it
+# propagates after one retry (r8-end driver ADVICE).
+_POINTER_ABSENT_JAVA_EXCS = (
+    "java.io.FileNotFoundException",
+    "org.apache.hadoop.fs.ChecksumException",
+)
+
+
+def _java_exception_names(ex) -> set[str]:
+    """Fully-qualified class names along a Py4J error's Java cause
+    chain (empty for pure-Python exceptions)."""
+    names: set[str] = set()
+    je = getattr(ex, "java_exception", None)
+    while je is not None:
+        try:
+            names.add(je.getClass().getName())
+            je = je.getCause()
+        except Exception:
+            break
+    return names
+
+
 def pointer_version(spark, path: str, table: str) -> int | None:
-    """The generation the pointer file names, or None (no pointer /
-    unparseable content / unreadable file — all treated as absent so
-    resolution falls through to the newest-complete rule rather than
-    erroring: the pointer is a hint resolution must never DEPEND on,
-    and a torn write on a non-atomic filesystem, or a checksum failure
-    on a half-replaced local file, must degrade to the fallback)."""
+    """The generation the pointer file names, or None when the pointer
+    is ABSENT: no file, file vanished mid-read, unparseable content (a
+    torn write on a non-atomic filesystem), or a local-FS checksum
+    failure on a half-replaced file — those degrade to the
+    newest-complete rule because the pointer is a hint resolution must
+    never DEPEND on. A genuine transient IO failure (anything else) is
+    retried once and then RAISED: treating it as "no pointer" could
+    flip a reader onto a complete-but-unpublished orphan generation
+    that was never announced (r8-end driver ADVICE)."""
     fs, _, jvm = _fs(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(_pointer_path(path, table))
     if not fs.exists(p):
         return None
+    last_io: Exception | None = None
+    for _ in range(2):
+        try:
+            raw = read_tiny_file(fs, p, cap=64)
+        except Exception as ex:
+            if _java_exception_names(ex) & set(_POINTER_ABSENT_JAVA_EXCS):
+                return None
+            last_io = ex
+            continue
+        try:
+            return int(raw.strip())
+        except ValueError:
+            return None
+    assert last_io is not None
+    raise last_io
+
+
+def publish_cadence(spark, path: str, table: str) -> dict:
+    """Monitoring view of the table's publish (compaction) cadence — the
+    operator-facing handle on the one-generation GRACE WINDOW contract
+    (module docstring: a reader holding a single resolution across TWO
+    publishes can lose files; ops must keep publish cadence SLOWER than
+    their slowest reader, and this is the number to alarm on).
+
+    Returns ``{generation, publish_count, last_publish_age_seconds}``:
+
+    * ``generation`` — the pointer's current generation integer, or
+      ``None`` for a never-compacted (legacy / generation-0) table.
+    * ``publish_count`` — the generation integer as an UPPER BOUND on
+      publishes so far (0 for legacy): every publish advances the
+      pointer by at least one, but a crashed rewrite consumes a
+      generation number without publishing (``table_overwrite_target``
+      skips past orphans), so the bound over-counts by the number of
+      crashes. Safe direction for the grace-window alarm — comparing
+      the value across two polls can over-alarm, never under-alarm.
+    * ``last_publish_age_seconds`` — wall-clock age of the pointer
+      file (its filesystem mtime; every publish rewrites it), or
+      ``None`` for legacy. An alarm of the form ``age < slowest
+      reader's scan time`` catches a cadence that outruns readers.
+
+    Cost: one exists + one tiny-file read + one getFileStatus — safe in
+    a hot drift-poll loop."""
+    import time
+
+    fs, _, jvm = _fs(spark, path)
+    gen = pointer_version(spark, path, table)
+    if gen is None:
+        return {
+            "generation": None,
+            "publish_count": 0,
+            "last_publish_age_seconds": None,
+        }
+    p = jvm.org.apache.hadoop.fs.Path(_pointer_path(path, table))
     try:
-        return int(read_tiny_file(fs, p, cap=64).strip())
+        mtime_ms = fs.getFileStatus(p).getModificationTime()
+        age = max(0.0, time.time() - mtime_ms / 1000.0)
     except Exception:
-        return None
+        # pointer vanished between the read and the stat (a flip
+        # fallback mid-swing) — cadence unknown this instant, not an
+        # error worth failing a monitoring poll over
+        age = None
+    return {
+        "generation": int(gen),
+        "publish_count": int(gen),
+        "last_publish_age_seconds": age,
+    }
 
 
 def complete_versions(spark, path: str, table: str) -> list[int]:

@@ -245,6 +245,38 @@ def make_index_batch_writer(
                 append=True,
                 lease_owner=owner,
             )
+            # BAND-ROW HEAL (r8-end driver ADVICE, same move as
+            # accept_batch): a prior run of this batch racing an
+            # external compaction can lose its BAND rows while the
+            # shingle membership survives the flip — the replay's
+            # anti-join above then skips those ids and the recall hole
+            # would be permanent. Re-append the MISSING band rows for
+            # every ledger survivor that is ALREADY a member (survivors
+            # minus new_ids — empty on a first run, so the normal path
+            # writes nothing; the check reads only the small per-batch
+            # ledger against the checkpointed id set, no store scan;
+            # _append_band_rows anti-joins so an intact replay appends
+            # nothing and stays row-identical).
+            member_ids = (
+                spark.read.parquet(out_dir)
+                .select(id_col)
+                .join(new_ids, id_col, "left_anti")
+            )
+            if not member_ids.isEmpty():
+                from bigdataproject_spark.operators.dedup_index import (
+                    _append_band_rows,
+                )
+
+                _append_band_rows(
+                    batch_df.join(member_ids, id_col, "left_semi"),
+                    index_path,
+                    id_col=id_col,
+                    shingles_col=shingles_col,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    hash_family=hash_family,
+                    owner=owner,
+                )
         finally:
             # r7: the per-batch id-set checkpoint is fully consumed by
             # the append — release its blocks deterministically so a
@@ -266,7 +298,9 @@ def make_index_batch_writer(
                 f"index batch {batch_id}: a foreign writer acquired the "
                 f"lease on {index_path} DURING this append — the appended "
                 f"signatures may be racing its compaction's generation "
-                f"flip; the retried batch re-appends them idempotently"
+                f"flip; the retried batch re-appends them idempotently "
+                f"(including band rows for ids whose membership survived "
+                f"the flip but whose band write was lost to it)"
             ) from ex
 
         due = (

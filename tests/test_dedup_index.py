@@ -385,3 +385,91 @@ def test_short_doc_membership_survives_batches(spark, tmp_path):
         threshold=THRESHOLD,
     )
     assert s2.count() == 0
+
+
+def test_rerun_heals_lost_band_rows(spark, tmp_path):
+    """r8-end driver ADVICE (medium): an append racing an external
+    compaction can lose its BAND rows (written into the superseded
+    generation after the late-file sweep) while its SHINGLE membership
+    survives (written into the already-published new generation) — a
+    member without band rows is invisible to candidate generation, and
+    a plain re-run's already-stored anti-join would skip the id
+    forever. The prescribed remediation (re-run the batch) must
+    therefore actually HEAL: accept_batch re-appends band rows for
+    already-member batch ids unconditionally."""
+    import shutil
+
+    old = _docs(spark, OLD_ROWS)
+    new = _docs(spark, NEW_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+    accept_batch(
+        spark, new, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()
+
+    # simulate the race's damage: id 12's band rows vanish with the
+    # superseded generation, its membership row survives
+    bands_dir = f"{idx}/bands"
+    kept = spark.read.parquet(bands_dir).filter(F.col("id") != 12)
+    schema, rows = kept.schema, kept.collect()
+    shutil.rmtree(bands_dir)
+    spark.createDataFrame(rows, schema).write.parquet(bands_dir)
+
+    # the hole is real: a fresh near-dup of stored 12 finds nothing
+    probe = _docs(spark, [(21, NEW_ROWS[1][1] + " soon")])
+    assert (
+        incremental_minhash_pairs(
+            spark, probe, idx, id_col="doc_id", shingles_col="shingles",
+            threshold=THRESHOLD,
+        ).count()
+        == 0
+    )
+
+    # remediation: re-run the SAME batch — still idempotent (nothing
+    # newly accepted, membership unchanged) but the heal restores 12's
+    # band rows and the probe sees the pair again
+    n_members = spark.read.parquet(f"{idx}/shingles").count()
+    again = accept_batch(
+        spark, new, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    assert again.count() == 0
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_members
+    assert spark.read.parquet(bands_dir).filter(F.col("id") == 12).count() > 0
+    pairs = incremental_minhash_pairs(
+        spark, probe, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()
+    assert any(
+        {r["id_a"], r["id_b"]} == {12, 21} and r["vs_index"] for r in pairs
+    )
+
+
+def test_index_health_reports_cadence(spark, tmp_path):
+    """r8 VERDICT item 2: the grace-window contract needs a monitorable
+    cadence signal. index_health carries per-table generation /
+    publish bound / pointer age; a compaction advances them."""
+    from bigdataproject_spark.operators.dedup_index import index_health
+
+    old = _docs(spark, OLD_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+    h0 = index_health(spark, idx)
+    for t in ("bands", "shingles"):
+        assert h0[t]["generation"] is None  # legacy, never compacted
+        assert h0[t]["publish_count"] == 0
+        assert h0[t]["last_publish_age_seconds"] is None
+        assert h0[t]["files"] >= 1
+
+    compact_index(spark, idx)
+    h1 = index_health(spark, idx)
+    for t in ("bands", "shingles"):
+        assert h1[t]["generation"] == 1
+        assert h1[t]["publish_count"] == 1
+        assert h1[t]["last_publish_age_seconds"] >= 0.0
+        assert h1[t]["files"] >= 1
+
+    compact_index(spark, idx)
+    h2 = index_health(spark, idx)
+    assert all(h2[t]["generation"] == 2 for t in ("bands", "shingles"))

@@ -453,3 +453,56 @@ def test_fold_prunes_markers_to_keep_set(spark, sf_dir, tmp_path):
     )
     assert rep["n_appended"] == 0
     _drift_eq(before, ivf_index_drift(spark, idx))
+
+
+def test_explicit_share_threshold_honored_verbatim(spark, tmp_path):
+    """r8-end driver ADVICE: the 3/n_centroids floor applies only to the
+    default ("auto") — an operator's EXPLICIT max_cell_share_threshold
+    is used verbatim, so a deliberately low trigger on a small-k index
+    actually fires."""
+    rows = [(i, [10.0 + 0.01 * i, 0.0]) for i in range(60)]
+    rows += [(100 + i, [0.0, 10.0 + 0.01 * i]) for i in range(40)]
+    seed = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ctrs = [(0, [10.0, 0.0]), (1, [0.0, 10.0])]
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    # auto: floored to 3/2 = 1.5 -> quiet (existing behavior)
+    auto = ivf_index_drift(spark, idx)
+    assert auto["max_cell_share_threshold"] == 1.5
+    assert auto["rebuild_recommended"] is False
+    # explicit 0.5: applied verbatim, max share 0.6 fires
+    exp = ivf_index_drift(spark, idx, max_cell_share_threshold=0.5)
+    assert exp["max_cell_share_threshold"] == 0.5
+    assert exp["max_cell_share"] == pytest.approx(0.6)
+    assert exp["rebuild_recommended"] is True
+
+
+def test_drift_report_carries_publish_cadence(spark, sf_dir, tmp_path):
+    """r8 VERDICT item 2: the one-generation grace window needs a
+    monitorable cadence — the drift report carries the cells table's
+    generation / publish bound / last-publish age, advancing with each
+    compaction."""
+    seed, d1, _, ctrs = _seed_and_deltas(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    ivf_write_index_from_centroids(
+        seed, idx, ctrs, id_col="vec_id", vec_col="embedding"
+    )
+    rep = ivf_index_drift(spark, idx)
+    assert rep["generation"] is None  # legacy layout, never compacted
+    assert rep["publish_count"] == 0
+    assert rep["last_publish_age_seconds"] is None
+
+    ivf_compact_index(spark, idx)
+    rep1 = ivf_index_drift(spark, idx)
+    assert rep1["generation"] == 1
+    assert rep1["publish_count"] == 1
+    assert rep1["last_publish_age_seconds"] >= 0.0
+
+    ivf_append_index(d1, idx, id_col="vec_id", vec_col="embedding",
+                     guard_ids=True)
+    ivf_compact_index(spark, idx)
+    rep2 = ivf_index_drift(spark, idx)
+    assert rep2["generation"] == 2
+    assert rep2["publish_count"] == 2

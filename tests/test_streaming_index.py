@@ -483,3 +483,42 @@ def test_auto_compaction_replay_idempotent(spark, tmp_path):
     assert _out_ids(spark, out) == {1, 2, 12}
     assert _stored_ids(spark, idx) == stored
     assert _read_idx(spark, idx, "bands").count() == n_bands
+
+
+def test_replay_heals_lost_band_rows(spark, tmp_path):
+    """r8-end driver ADVICE (medium), stream side: a prior run of a
+    micro-batch racing an external compaction can lose its BAND rows
+    while the shingle membership survives the generation flip. The
+    foreachBatch replay must restore exactly the missing band rows
+    (membership untouched, no duplicates) so the near-dup stays
+    findable."""
+    import shutil
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    writer = make_index_batch_writer(
+        idx, out, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    writer(_docs(spark, B1), 0)
+    writer(_docs(spark, B2), 1)
+
+    # damage: survivor 12's band rows vanish, its membership survives
+    bands_dir = f"{idx}/bands"
+    kept = spark.read.parquet(bands_dir).filter(F.col("id") != 12)
+    schema, rows = kept.schema, kept.collect()
+    shutil.rmtree(bands_dir)
+    spark.createDataFrame(rows, schema).write.parquet(bands_dir)
+    n_damaged = spark.read.parquet(bands_dir).count()
+    n_members = _read_idx(spark, idx, "shingles").count()
+
+    writer(_docs(spark, B2), 1)  # the prescribed replay
+    healed = spark.read.parquet(bands_dir)
+    assert healed.filter(F.col("id") == 12).count() > 0
+    assert healed.count() > n_damaged
+    assert _read_idx(spark, idx, "shingles").count() == n_members
+    assert _out_ids(spark, out) == {1, 2, 12}
+
+    # a second replay is a no-op (the heal is anti-joined, not blind)
+    n_after = healed.count()
+    writer(_docs(spark, B2), 1)
+    assert spark.read.parquet(bands_dir).count() == n_after

@@ -155,3 +155,86 @@ def test_n_parquet_files_skips_temporary_trees(spark, tmp_path):
         f"{stranded}/inner"
     )
     assert n_parquet_files(spark, d) == live  # unchanged
+
+
+class _FakeJavaExc:
+    def __init__(self, name, cause=None):
+        self._name, self._cause = name, cause
+
+    def getClass(self):
+        class _C:
+            def __init__(self, n):
+                self._n = n
+
+            def getName(self):
+                return self._n
+
+        return _C(self._name)
+
+    def getCause(self):
+        return self._cause
+
+
+class _FakePy4JError(Exception):
+    def __init__(self, java_name):
+        super().__init__(java_name)
+        self.java_exception = _FakeJavaExc(java_name)
+
+
+def test_pointer_vanished_mid_read_is_absent(spark, root, monkeypatch):
+    """r8-end driver ADVICE: only 'the pointer is effectively absent'
+    failures (FileNotFound — deleted between exists() and open() by a
+    flip fallback; local checksum mismatch on a half-replaced file) may
+    degrade to the newest-complete fallback."""
+    import bigdataproject_spark.operators.versioned as V
+
+    p, gen = root
+    gen(1, publish=True, prev=f"{p}/t")
+    for name in (
+        "java.io.FileNotFoundException",
+        "org.apache.hadoop.fs.ChecksumException",
+    ):
+        monkeypatch.setattr(
+            V, "read_tiny_file",
+            lambda fs, pp, cap=64, _n=name: (_ for _ in ()).throw(
+                _FakePy4JError(_n)
+            ),
+        )
+        assert V.pointer_version(spark, p, "t") is None
+        assert V.table_read_dir(spark, p, "t") == versioned_dir(p, "t", 1)
+
+
+def test_pointer_transient_io_error_propagates(spark, root, monkeypatch):
+    """A genuine transient IO failure must NOT be swallowed as 'no
+    pointer' — falling back could silently serve a complete-but-
+    unpublished orphan generation. One retry, then raise."""
+    import pytest
+
+    import bigdataproject_spark.operators.versioned as V
+
+    p, gen = root
+    gen(1, publish=True, prev=f"{p}/t")
+    gen(2)  # complete orphan the broad-swallow bug would have served
+    calls = []
+
+    def _flaky(fs, pp, cap=64):
+        calls.append(1)
+        raise _FakePy4JError("java.io.IOException")
+
+    monkeypatch.setattr(V, "read_tiny_file", _flaky)
+    with pytest.raises(Exception):
+        V.pointer_version(spark, p, "t")
+    assert len(calls) == 2  # one retry before propagating
+
+    # a transient fault that clears on the retry resolves normally
+    calls.clear()
+    from bigdataproject_spark.operators.lease import read_tiny_file as _real
+
+    def _once(fs, pp, cap=64):
+        calls.append(1)
+        if len(calls) == 1:
+            raise _FakePy4JError("java.io.IOException")
+        return _real(fs, pp, cap)
+
+    monkeypatch.setattr(V, "read_tiny_file", _once)
+    assert V.pointer_version(spark, p, "t") == 1
