@@ -534,6 +534,40 @@ WHERE rank <= {ANN_K} ORDER BY q_id, rank
 """
 
 
+def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two INDEXED approximate-ANN paths (LSH sign-buckets, IVF
+    multi-probe) as ONE method-tagged registry entry — r8 VERDICT item
+    1: the driver's correctness run caps at 50 queries and the r8
+    registry had grown to 51, rotating ``energy_timeline_nested`` out
+    of the externally hash-checked set; consolidating this same-family,
+    same-schema pair (the same move round 5 made for the chunking
+    queries) brings the registry back to 50 with every query family
+    still driver-hash-verified. The standalone single-method entries
+    stay alive in ``EXTRA_PARITY`` (exercised by
+    tests/test_oracle_parity.py), and the exact brute-force baseline
+    keeps its own headline row (``ann_brute_topk``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ann_queries(emb)
+    lsh = lsh_bucket_topk(
+        emb, q, id_col="vec_id", vec_col="embedding", k=ANN_K,
+        n_bits=ANN_BITS,
+    ).withColumn("method", F.lit("lsh"))
+    ivf = ivf_topk_sampleq(
+        emb, q, id_col="vec_id", vec_col="embedding", k=ANN_K,
+        n_centroids=IVF_N_CENTROIDS, n_probe=IVF_N_PROBE,
+    ).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+ORACLE_ANN_INDEXED = f"""
+SELECT 'lsh' AS method, q_id, neighbor_id, cosine, rank
+FROM ({ORACLE_ANN_LSH})
+UNION ALL
+SELECT 'ivf' AS method, q_id, neighbor_id, cosine, rank
+FROM ({ORACLE_ANN_IVF})
+"""
+
+
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score (C4/Gopher-style filter
     features) — zero-shuffle map pass.
@@ -1140,8 +1174,11 @@ PIPELINE_QUERIES = {
     "deterministic_sample": _q(q_deterministic_sample, ORACLE_DET_SAMPLE),
     "embedding_neardup": _q(q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "ann_brute_topk": _q(q_ann_brute, ORACLE_ANN_BRUTE),
-    "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
-    "ann_ivf_topk": _q(q_ann_ivf, ORACLE_ANN_IVF),
+    # r9: ann_lsh_topk + ann_ivf_topk absorbed into one method-tagged
+    # entry (same family, identical schema — driver's 50-entry cap; see
+    # q_ann_indexed). The standalone queries + oracles stay alive in
+    # EXTRA_PARITY below.
+    "ann_indexed_topk": _q(q_ann_indexed, ORACLE_ANN_INDEXED),
     "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
     "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": _q(q_fingerprint, ORACLE_FINGERPRINT),
@@ -1154,4 +1191,6 @@ PIPELINE_QUERIES = {
 # same compare as the registry, so their oracles cannot silently rot.
 EXTRA_PARITY = {
     "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
+    "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
+    "ann_ivf_topk": _q(q_ann_ivf, ORACLE_ANN_IVF),
 }
