@@ -41,6 +41,7 @@ def main() -> None:
 
     merged: dict[str, dict] = {}
     leaked: list[str] = []
+    controls: list[float] = []
     for i, chunk in enumerate(c for c in chunks if c):
         print(f"-- chunk {i}: {chunk}", file=sys.stderr, flush=True)
         proc = subprocess.run(
@@ -66,6 +67,10 @@ def main() -> None:
         out = json.loads(line[-1])
         merged.update(out["queries"])
         leaked.extend(out.get("leaked_threads", []))
+        if out.get("control_sec") is not None:
+            controls.append(out["control_sec"])
+
+    import statistics
 
     print(
         json.dumps(
@@ -76,6 +81,15 @@ def main() -> None:
                 "protocol": "fresh JVM per chunk (subset_sweep), "
                 "round-robin assignment",
                 "leaked_threads": leaked,
+                # per-JVM frozen-control medians (one per chunk, chunk
+                # order): the median normalizes the whole sweep; the
+                # spread bounds box drift across chunks
+                "control_sec": (
+                    round(statistics.median(controls), 3)
+                    if controls
+                    else None
+                ),
+                "control_sec_per_chunk": controls,
                 "queries": merged,
                 "total_sec": round(
                     sum(q.get("sec", 0.0) for q in merged.values()), 1

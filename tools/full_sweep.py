@@ -21,8 +21,11 @@ import sys
 import threading
 import time
 
+import statistics
+
 from sweeplib import (  # noqa: E402 (sys.path bootstrap lives here)
     active_stage_count,
+    control_samples,
     force as _force,
     shuffle_totals,
 )
@@ -44,6 +47,15 @@ def main() -> None:
     sc = spark.sparkContext
     base_url = sc.uiWebUrl
     reg = registry()
+
+    # frozen environment control, BEFORE and AFTER the sweep (r8
+    # VERDICT item 5): the headline bench normalizes box drift by a
+    # control median; the sweep previously could not — a +12% wall on
+    # byte-identical plans needed manual adjudication. Two sample
+    # points bound drift ACROSS the sweep window too. The before-run
+    # also absorbs JVM/codegen warmup, the role bench.py's warmup
+    # query plays.
+    ctl_before = control_samples(spark, sf_dir)
 
     out: dict[str, dict] = {}
     leaked: list[str] = []  # queries whose thread survived cancel+drain
@@ -102,12 +114,18 @@ def main() -> None:
         out[name] = result
         print(f"  {name}: {result}", file=sys.stderr, flush=True)
 
+    ctl_after = control_samples(spark, sf_dir)
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
                 "timeout_s": timeout_s,
                 "leaked_threads": leaked,
+                "control_sec": round(
+                    statistics.median(ctl_before + ctl_after), 3
+                ),
+                "control_sec_before": round(statistics.median(ctl_before), 3),
+                "control_sec_after": round(statistics.median(ctl_after), 3),
                 "queries": out,
                 "total_sec": round(
                     sum(q.get("sec", 0.0) for q in out.values()), 1

@@ -12,8 +12,12 @@ import sys
 import threading
 import time
 
+import os
+import statistics
+
 from sweeplib import (  # noqa: E402 (sys.path bootstrap lives here)
     active_stage_count,
+    control_samples,
     force as _force,
     shuffle_totals,
 )
@@ -39,6 +43,14 @@ def main() -> None:
     unknown = [n for n in names if n not in reg]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
+
+    # frozen environment control per JVM (r8 VERDICT item 5) — also
+    # absorbs this chunk's JVM/codegen warmup. Scale rehearsals over a
+    # PARTIAL SF dir (no lineitem at the target SF) skip it and report
+    # null.
+    ctl: list[float] | None = None
+    if os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        ctl = control_samples(spark, sf_dir)
 
     out: dict[str, dict] = {}
     leaked: list[str] = []
@@ -94,6 +106,9 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "timeout_s": timeout_s,
                 "leaked_threads": leaked,
+                "control_sec": (
+                    round(statistics.median(ctl), 3) if ctl else None
+                ),
                 "queries": out,
                 "total_sec": round(
                     sum(q.get("sec", 0.0) for q in out.values()), 1

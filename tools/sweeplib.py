@@ -46,3 +46,30 @@ def active_stage_count(base_url: str) -> int:
         )
     )
     return len(stages)
+
+
+def control_samples(spark, sf_dir: str, passes: int = 5) -> list[float]:
+    """Wall seconds of ``passes`` runs of the FROZEN environment-control
+    aggregate — the byte-identical twin of bench.py's ``_control``
+    (DO NOT EDIT either: its only job is to drift with the box). The
+    sweeps carry its median so round-over-round sweep wall comparisons
+    can be normalized for box conditions the same way the headline
+    bench already is (r8 VERDICT item 5)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    def _q():
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return df.groupBy("l_returnflag").agg(
+            F.sum("l_quantity").alias("s"),
+            F.avg("l_extendedprice").alias("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    out = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        force(_q())
+        out.append(time.perf_counter() - t0)
+    return out
