@@ -2,11 +2,18 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. The Spark-side plumbing — schemas, batch shapes, mapInPandas
-signatures, partition sizing — is real and tested; the codec step itself is
-STUBBED (decode libs are not in this container): ``decode_stub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake feature vector so the pipeline shape can be exercised
-end-to-end.
+signatures, partition sizing — is real and tested; the general codec step
+is STUBBED (PIL/librosa/av are not in this container): ``decode_stub``
+raises ``NotImplementedError`` unless ``fake=True``, in which case it
+produces a deterministic fake feature vector so the pipeline shape can be
+exercised end-to-end.
+
+One REAL decoder exists behind the same seam (r8 VERDICT item 6):
+``codec="bmp"`` routes the mapInPandas path through :func:`decode_bmp`, a
+vendored ~40-line pure-Python/numpy decoder for uncompressed 24-bpp BMP
+(the format is fully public: BITMAPFILEHEADER + BITMAPINFOHEADER,
+bottom-up 4-byte-padded rows) — proving the seam decodes real bytes
+in-container, with the identical Arrow batch shape the stub exercises.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` governs batch memory; the
@@ -65,6 +72,73 @@ def _require_codecs(fake: bool, what: str) -> None:
         )
 
 
+def decode_bmp(payload: bytes):
+    """Minimal REAL image decoder — uncompressed 24-bpp BMP only, the
+    one bitmap flavor decodable in ~40 lines of public-format parsing
+    (BITMAPFILEHEADER 14 bytes + BITMAPINFOHEADER ≥40 bytes, BI_RGB,
+    rows bottom-up unless height < 0, each row padded to 4 bytes).
+    Returns ``(width, height, img)`` where ``img`` is an (H, W, 3)
+    uint8 array in B,G,R channel order (BMP's on-disk order, kept —
+    this is a decoder, not a color-space library). Anything else —
+    another bpp, RLE compression, truncated pixel array — raises
+    ``ValueError``: real corpora contain garbage bytes and a decoder
+    that guesses is worse than one that rejects."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bpp BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
+    row_bytes = (width * 3 + 3) & ~3
+    if len(payload) < data_off + row_bytes * height:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)
+    if not top_down:
+        img = img[::-1]
+    return width, height, img
+
+
+def encode_bmp(img) -> bytes:
+    """Inverse of :func:`decode_bmp` for test fixtures: (H, W, 3) uint8
+    B,G,R array → uncompressed bottom-up 24-bpp BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    height, width, _ = img.shape
+    row_bytes = (width * 3 + 3) & ~3
+    pad = row_bytes - width * 3
+    body = b"".join(
+        img[r].tobytes() + b"\x00" * pad for r in range(height - 1, -1, -1)
+    )
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + body
+
+
 def to_media_assets(
     df: DataFrame, *, id_col: str, payload_col: str, media_type: str
 ) -> DataFrame:
@@ -87,6 +161,7 @@ def decode_stub(
     fake: bool = False,
     dim: int = 8,
     normalize: bool = True,
+    codec: str | None = None,
 ):
     """mapInPandas decoder: (asset_id, media_type, payload) → FEATURE_SCHEMA.
 
@@ -96,23 +171,39 @@ def decode_stub(
     (``byte % dim`` bucket counts, divided by n_bytes when ``normalize``).
     ``normalize=False`` keeps raw integer counts — exact in float32 up to
     2^24, which makes the feature cross-engine hash-checkable (the DuckDB
-    oracle recomputes the same counts from the payload's hex dump)."""
+    oracle recomputes the same counts from the payload's hex dump).
+
+    ``codec="bmp"`` is the REAL path: payloads are decoded by
+    :func:`decode_bmp` and the feature is
+    ``[width, height, mean_B, mean_G, mean_R]`` zero-padded/truncated to
+    ``dim`` — a genuine pixel statistic, so a wrong decode changes the
+    numbers. A payload that is not valid 24-bpp BMP fails the task
+    loudly (``ValueError``): silently feature-izing garbage is the
+    failure mode real pipelines filter for upstream."""
     import numpy as np
     import pandas as pd
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            _require_codecs(fake, "media decode")
             feats = []
-            for payload in pdf["payload"]:
-                arr = np.frombuffer(payload or b"", dtype=np.uint8)
-                hist = np.zeros(dim, dtype=np.float32)
-                if arr.size:
-                    idx = arr % dim
-                    np.add.at(hist, idx, 1.0)
-                    if normalize:
-                        hist /= arr.size
-                feats.append(hist.tolist())
+            if codec == "bmp":
+                for payload in pdf["payload"]:
+                    w, h, img = decode_bmp(bytes(payload or b""))
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    vec = [float(w), float(h)] + [float(m) for m in means]
+                    vec = (vec + [0.0] * dim)[:dim]
+                    feats.append(np.asarray(vec, dtype=np.float32).tolist())
+            else:
+                _require_codecs(fake, "media decode")
+                for payload in pdf["payload"]:
+                    arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                    hist = np.zeros(dim, dtype=np.float32)
+                    if arr.size:
+                        idx = arr % dim
+                        np.add.at(hist, idx, 1.0)
+                        if normalize:
+                            hist /= arr.size
+                    feats.append(hist.tolist())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -126,13 +217,24 @@ def decode_stub(
 
 
 def extract_features(
-    assets: DataFrame, *, fake: bool = False, dim: int = 8, normalize: bool = True
+    assets: DataFrame,
+    *,
+    fake: bool = False,
+    dim: int = 8,
+    normalize: bool = True,
+    codec: str | None = None,
 ) -> DataFrame:
-    """Run the (stubbed) decoder over the asset table via mapInPandas."""
-    _require_codecs(fake, "media decode")
+    """Run the decoder over the asset table via mapInPandas — the
+    deterministic ``fake`` double, or the real vendored ``codec="bmp"``
+    path (see :func:`decode_stub`)."""
+    if codec not in (None, "bmp"):
+        raise ValueError(f"unknown codec {codec!r} (supported: 'bmp')")
+    if codec is None:
+        _require_codecs(fake, "media decode")
     cols = assets.select("asset_id", "media_type", "payload")
     return cols.mapInPandas(
-        decode_stub(fake=fake, dim=dim, normalize=normalize), schema=FEATURE_SCHEMA
+        decode_stub(fake=fake, dim=dim, normalize=normalize, codec=codec),
+        schema=FEATURE_SCHEMA,
     )
 
 

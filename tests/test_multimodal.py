@@ -87,3 +87,86 @@ def test_sample_frames_explodes(spark, sf_dir):
         per.setdefault(r.asset_id, []).append((r.frame_idx, r.ts_ms))
     for frames in per.values():
         assert sorted(frames) == [(0, 0), (1, 250), (2, 500), (3, 750)]
+
+
+def test_bmp_roundtrip_pure_python():
+    """The vendored real decoder (r8 VERDICT item 6): encode → decode is
+    the identity for uncompressed 24-bpp, including non-multiple-of-4
+    widths (row padding) and the top-down (negative height) variant."""
+    import numpy as np
+
+    from bigdataproject_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (3, 2), (5, 4), (8, 3)]:  # 3,5 exercise padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ww, hh, out = decode_bmp(encode_bmp(img))
+        assert (ww, hh) == (w, h)
+        assert np.array_equal(out, img)
+
+    # top-down variant: flip the height sign in the info header
+    import struct
+
+    img = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    buf = bytearray(encode_bmp(img[::-1]))  # body stored top-first now
+    struct.pack_into("<i", buf, 22, -2)
+    ww, hh, out = decode_bmp(bytes(buf))
+    assert (ww, hh) == (3, 2)
+    assert np.array_equal(out, img)
+
+
+def test_bmp_decoder_rejects_garbage():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdataproject_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all, far too short")
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_bmp(img)
+    with _pytest.raises(ValueError):  # truncated pixel array
+        decode_bmp(good[:-3])
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_real_bmp_decode_through_seam(spark):
+    """The non-fake mapInPandas path decodes REAL bytes in-container:
+    solid-color BMP fixtures of known size go through
+    extract_features(codec='bmp') and come back as exact pixel
+    statistics — a wrong decode (row order, padding, channel order)
+    would change the numbers."""
+    import numpy as np
+
+    from bigdataproject_spark.operators.multimodal import encode_bmp
+
+    fixtures = []
+    for aid, (w, h, bgr) in enumerate(
+        [(5, 3, (10, 20, 30)), (4, 4, (0, 0, 255)), (7, 2, (200, 100, 50))]
+    ):
+        img = np.tile(np.array(bgr, dtype=np.uint8), (h, w, 1))
+        fixtures.append(Row(id=aid, payload=encode_bmp(img), w=w, h=h, bgr=bgr))
+
+    df = spark.createDataFrame([Row(id=f.id, payload=f.payload) for f in fixtures])
+    assets = to_media_assets(df, id_col="id", payload_col="payload", media_type="image")
+    feats = extract_features(assets, codec="bmp", dim=5)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert len(rows) == 3
+    for f in fixtures:
+        got = rows[f.id].feature
+        want = [float(f.w), float(f.h)] + [float(c) for c in f.bgr]
+        assert got == pytest.approx(want), (f.w, f.h, f.bgr)
+
+    # a non-BMP payload on the real path fails LOUDLY, not silently
+    junk = to_media_assets(
+        spark.createDataFrame([Row(id=9, payload=b"\x89PNG not a bmp......")]),
+        id_col="id", payload_col="payload", media_type="image",
+    )
+    with pytest.raises(Exception):
+        extract_features(junk, codec="bmp").collect()
