@@ -8,12 +8,14 @@ raises ``NotImplementedError`` unless ``fake=True``, in which case it
 produces a deterministic fake feature vector so the pipeline shape can be
 exercised end-to-end.
 
-One REAL decoder exists behind the same seam (r8 VERDICT item 6):
+Two REAL decoders exist behind the same seam (r8 VERDICT item 6):
 ``codec="bmp"`` routes the mapInPandas path through :func:`decode_bmp`, a
 vendored ~40-line pure-Python/numpy decoder for uncompressed 24-bpp BMP
 (the format is fully public: BITMAPFILEHEADER + BITMAPINFOHEADER,
-bottom-up 4-byte-padded rows) — proving the seam decodes real bytes
-in-container, with the identical Arrow batch shape the stub exercises.
+bottom-up 4-byte-padded rows), and ``codec="wav"`` decodes 16-bit PCM
+WAV via the stdlib ``wave`` module — proving the seam decodes real
+image AND audio bytes in-container, with the identical Arrow batch
+shape the stub exercises.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` governs batch memory; the
@@ -117,6 +119,51 @@ def decode_bmp(payload: bytes):
     return width, height, img
 
 
+def decode_wav(payload: bytes):
+    """Minimal REAL audio decoder — PCM WAV via the pure-Python stdlib
+    ``wave`` module (RIFF/fmt/data parsing is standard-library code, no
+    external codec needed). Returns ``(sample_rate, n_channels,
+    samples)`` where ``samples`` is a 1-D int16 numpy array of the
+    interleaved PCM stream (16-bit PCM only — the one sample width
+    whose numpy view is unambiguous). Compressed or non-16-bit payloads
+    raise ``ValueError`` — same reject-don't-guess contract as
+    :func:`decode_bmp`."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+                raise ValueError(
+                    f"only uncompressed 16-bit PCM supported (got width="
+                    f"{w.getsampwidth()}, comp={w.getcomptype()!r})"
+                )
+            rate, channels = w.getframerate(), w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as ex:
+        raise ValueError(f"not a PCM WAV payload: {ex}") from ex
+    return rate, channels, np.frombuffer(raw, dtype="<i2")
+
+
+def encode_wav(samples, *, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Inverse of :func:`decode_wav` for test fixtures: int16 PCM
+    samples → WAV bytes (stdlib ``wave`` writer)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
 def encode_bmp(img) -> bytes:
     """Inverse of :func:`decode_bmp` for test fixtures: (H, W, 3) uint8
     B,G,R array → uncompressed bottom-up 24-bpp BMP bytes."""
@@ -173,13 +220,15 @@ def decode_stub(
     2^24, which makes the feature cross-engine hash-checkable (the DuckDB
     oracle recomputes the same counts from the payload's hex dump).
 
-    ``codec="bmp"`` is the REAL path: payloads are decoded by
-    :func:`decode_bmp` and the feature is
-    ``[width, height, mean_B, mean_G, mean_R]`` zero-padded/truncated to
-    ``dim`` — a genuine pixel statistic, so a wrong decode changes the
-    numbers. A payload that is not valid 24-bpp BMP fails the task
-    loudly (``ValueError``): silently feature-izing garbage is the
-    failure mode real pipelines filter for upstream."""
+    ``codec="bmp"`` and ``codec="wav"`` are REAL paths: payloads are
+    decoded by :func:`decode_bmp` / :func:`decode_wav` and the feature
+    is a genuine media statistic — BMP:
+    ``[width, height, mean_B, mean_G, mean_R]``; WAV:
+    ``[sample_rate, n_channels, n_samples, rms, peak]`` — zero-padded/
+    truncated to ``dim``, so a wrong decode changes the numbers. A
+    payload the codec cannot decode fails the task loudly
+    (``ValueError``): silently feature-izing garbage is the failure
+    mode real pipelines filter for upstream."""
     import numpy as np
     import pandas as pd
 
@@ -191,6 +240,15 @@ def decode_stub(
                     w, h, img = decode_bmp(bytes(payload or b""))
                     means = img.reshape(-1, 3).mean(axis=0)
                     vec = [float(w), float(h)] + [float(m) for m in means]
+                    vec = (vec + [0.0] * dim)[:dim]
+                    feats.append(np.asarray(vec, dtype=np.float32).tolist())
+            elif codec == "wav":
+                for payload in pdf["payload"]:
+                    rate, ch, samples = decode_wav(bytes(payload or b""))
+                    x = samples.astype(np.float64)
+                    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+                    peak = float(np.abs(x).max()) if x.size else 0.0
+                    vec = [float(rate), float(ch), float(x.size), rms, peak]
                     vec = (vec + [0.0] * dim)[:dim]
                     feats.append(np.asarray(vec, dtype=np.float32).tolist())
             else:
@@ -225,10 +283,11 @@ def extract_features(
     codec: str | None = None,
 ) -> DataFrame:
     """Run the decoder over the asset table via mapInPandas — the
-    deterministic ``fake`` double, or the real vendored ``codec="bmp"``
-    path (see :func:`decode_stub`)."""
-    if codec not in (None, "bmp"):
-        raise ValueError(f"unknown codec {codec!r} (supported: 'bmp')")
+    deterministic ``fake`` double, or a real in-container codec path
+    (``codec="bmp"`` vendored, ``codec="wav"`` stdlib; see
+    :func:`decode_stub`)."""
+    if codec not in (None, "bmp", "wav"):
+        raise ValueError(f"unknown codec {codec!r} (supported: 'bmp', 'wav')")
     if codec is None:
         _require_codecs(fake, "media decode")
     cols = assets.select("asset_id", "media_type", "payload")

@@ -170,3 +170,46 @@ def test_real_bmp_decode_through_seam(spark):
     )
     with pytest.raises(Exception):
         extract_features(junk, codec="bmp").collect()
+
+
+def test_wav_roundtrip_and_seam(spark):
+    """Second real in-container codec (audio): stdlib-wave PCM decode
+    through the same mapInPandas seam — sample_rate / channels /
+    n_samples / rms / peak come back exact for a generated sine
+    fixture; non-WAV payloads fail loudly."""
+    import numpy as np
+
+    from bigdataproject_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(800)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    rate, ch, back = decode_wav(encode_wav(sine, sample_rate=8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(back, sine)
+
+    square = np.where(np.arange(400) % 2 == 0, 3000, -3000).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            Row(id=0, payload=encode_wav(sine, sample_rate=8000)),
+            Row(id=1, payload=encode_wav(square, sample_rate=16000)),
+        ]
+    )
+    assets = to_media_assets(df, id_col="id", payload_col="payload", media_type="audio")
+    rows = {
+        r.asset_id: r.feature
+        for r in extract_features(assets, codec="wav", dim=5).collect()
+    }
+    want_sine_rms = float(np.sqrt((sine.astype(np.float64) ** 2).mean()))
+    assert rows[0][:3] == [8000.0, 1.0, 800.0]
+    assert rows[0][3] == pytest.approx(want_sine_rms, rel=1e-6)
+    assert rows[1] == pytest.approx([16000.0, 1.0, 400.0, 3000.0, 3000.0])
+
+    junk = to_media_assets(
+        spark.createDataFrame([Row(id=9, payload=b"RIFFgarbage")]),
+        id_col="id", payload_col="payload", media_type="audio",
+    )
+    with pytest.raises(Exception):
+        extract_features(junk, codec="wav").collect()
