@@ -164,10 +164,14 @@ _POINTER_ABSENT_JAVA_EXCS = (
 
 def _java_exception_names(ex) -> set[str]:
     """Fully-qualified class names along a Py4J error's Java cause
-    chain (empty for pure-Python exceptions)."""
+    chain (empty for pure-Python exceptions). Hop count bounded —
+    cyclic cause chains are constructible in the JVM and an unbounded
+    walk would hang the reader this helper exists to protect."""
     names: set[str] = set()
     je = getattr(ex, "java_exception", None)
-    while je is not None:
+    for _ in range(8):
+        if je is None:
+            break
         try:
             names.add(je.getClass().getName())
             je = je.getCause()
