@@ -39,6 +39,11 @@ def main() -> None:
     names = sorted(registry())
     chunks = [names[i::n_chunks] for i in range(n_chunks)]
 
+    from sweeplib import apply_scale_env
+
+    env = {**os.environ, "PYTHONPATH": REPO_ROOT}
+    apply_scale_env(sf_dir, env)
+
     merged: dict[str, dict] = {}
     leaked: list[str] = []
     controls: list[float] = []
@@ -54,7 +59,7 @@ def main() -> None:
             ],
             capture_output=True,
             text=True,
-            env={**os.environ, "PYTHONPATH": REPO_ROOT},
+            env=env,
         )
         line = proc.stdout.strip().splitlines()
         if proc.returncode != 0 or not line:

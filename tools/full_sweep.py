@@ -21,10 +21,12 @@ import sys
 import threading
 import time
 
+import os
 import statistics
 
 from sweeplib import (  # noqa: E402 (sys.path bootstrap lives here)
     active_stage_count,
+    apply_scale_env,
     control_samples,
     force as _force,
     shuffle_totals,
@@ -37,6 +39,7 @@ from bigdataproject_spark.session import get_spark
 def main() -> None:
     sf_dir = sys.argv[1]
     timeout_s = float(sys.argv[2]) if len(sys.argv) > 2 else 600.0
+    apply_scale_env(sf_dir, os.environ)  # before the session is built
     spark = get_spark(
         "full-sweep",
         extra_conf={

@@ -17,6 +17,7 @@ import statistics
 
 from sweeplib import (  # noqa: E402 (sys.path bootstrap lives here)
     active_stage_count,
+    apply_scale_env,
     control_samples,
     force as _force,
     shuffle_totals,
@@ -30,6 +31,7 @@ def main() -> None:
     sf_dir = sys.argv[1]
     timeout_s = float(sys.argv[2])
     names = sys.argv[3:]
+    apply_scale_env(sf_dir, os.environ)  # before the session is built
     spark = get_spark(
         "subset-sweep",
         extra_conf={

@@ -73,3 +73,37 @@ def control_samples(spark, sf_dir: str, passes: int = 5) -> list[float]:
         force(_q())
         out.append(time.perf_counter() - t0)
     return out
+
+
+_BIG_INPUT_BYTES = 5 << 30
+
+
+def apply_scale_env(sf_dir: str, env: dict) -> None:
+    """Default the session-sizing env knobs for sf100-class inputs
+    (>5 GB on disk) when the operator left them unset — SCALING.md r9
+    "sizing lesson": at the 8g-heap/32-partition harness defaults,
+    executor OOMs kill the single local JVM and whole sweep chunks die
+    with truncated errors. ~90 MB shuffle partitions and ~1 GB per
+    concurrent task; plans and shuffle bytes are unchanged (verified
+    <0.1% vs the prior round), only headroom. Explicit env always
+    wins. Must run BEFORE the SparkSession is built."""
+    if not os.path.isdir(sf_dir):
+        return
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    if total <= _BIG_INPUT_BYTES:
+        return
+    env.setdefault("SPARK_GRAFT_SHUFFLE", "256")
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    print(
+        "-- sf100-class input: defaulting SPARK_GRAFT_SHUFFLE="
+        f"{env['SPARK_GRAFT_SHUFFLE']}, SPARK_GRAFT_DRIVER_MEM="
+        f"{env['SPARK_GRAFT_DRIVER_MEM']} (override by setting them)",
+        file=sys.stderr,
+        flush=True,
+    )
