@@ -238,3 +238,30 @@ def test_pointer_transient_io_error_propagates(spark, root, monkeypatch):
 
     monkeypatch.setattr(V, "read_tiny_file", _once)
     assert V.pointer_version(spark, p, "t") == 1
+
+
+def test_two_publish_snapshot_expiry_contract(spark, root):
+    """The grace-window contract, pinned from the LOSS side: a reader's
+    resolution survives exactly ONE subsequent publish (its generation
+    is the previous-live grace copy), and is GC'd by the SECOND — the
+    window the cadence fields (publish_cadence / ivf_index_drift
+    generation+age) exist to alarm on. If this test ever starts
+    failing because the old generation survives longer, the disk-cost
+    bound in the module docstring changed too."""
+    import os
+
+    p, gen = root
+    gen(1, publish=True, prev=f"{p}/t")
+    held = table_read_dir(spark, p, "t")
+    assert held == versioned_dir(p, "t", 1)
+
+    gen(2, publish=True, prev=versioned_dir(p, "t", 1))
+    # one publish later: the held resolution still reads fine (grace)
+    assert os.path.isdir(held)
+    assert spark.read.parquet(held).count() == 3
+
+    gen(3, publish=True, prev=versioned_dir(p, "t", 2))
+    # two publishes later: the held generation is gone — the documented
+    # snapshot-expiry loss a too-fast compaction cadence causes
+    assert not os.path.isdir(held)
+    assert table_read_dir(spark, p, "t") == versioned_dir(p, "t", 3)
