@@ -45,6 +45,20 @@ def main() -> None:
     idx = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ivf_append_idx"
     shutil.rmtree(idx, ignore_errors=True)
     spark = get_spark("ivf-append-bench")
+    # frozen environment control (same convention as bench.py and the
+    # r9 sweeps): round-over-round maintenance wall deltas divide by
+    # this median before being read as regressions. Skipped (null) for
+    # partial SF dirs without lineitem.
+    import os
+    import statistics
+
+    from sweeplib import control_samples
+
+    ctl = (
+        round(statistics.median(control_samples(spark, sf_dir)), 3)
+        if os.path.exists(f"{sf_dir}/lineitem.parquet")
+        else None
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     idc = "emb_id" if "emb_id" in emb.columns else emb.columns[0]
     vc = "embedding" if "embedding" in emb.columns else emb.columns[1]
@@ -102,6 +116,7 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": sf_dir,
+                "control_sec": ctl,
                 "corpus_n": corpus_n,
                 "base_n": base.count(),
                 "n_centroids": N_CENTROIDS,
