@@ -481,6 +481,76 @@ FROM h GROUP BY event_type ORDER BY event_type
 """
 
 
+_TL_CAP = 50  # small enough that the cap BINDS at the parity-test SF
+
+
+def q_energy_timeline_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's PRODUCTION path: the nested timeline with the operator's
+    ``max_buckets`` cap (operators/energy.py:220, SURVEY §7.4.7 — the
+    designed bound for unbounded keys; the uncapped registry entry at
+    sf100 is a deliberate stress of the documented collect_list
+    hazard, see SCALING.md r9). Kept in EXTRA_PARITY so the capped
+    code path — the row_number pre-filter feeding the collect — has
+    standing oracle coverage, not just unit tests and receipts. The
+    high flag is computed over the FULL per-key set before the cap
+    keeps the first ``_TL_CAP`` buckets by time, exactly as the
+    operator composes."""
+    from bigdataproject_spark.operators.energy import timeline
+
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 10) * 10).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("density"), F.sum("value").alias("sentiment"))
+        .withColumn(
+            "energy", F.round(0.37 * F.col("sentiment") + 0.63 * F.col("density"), 6)
+        )
+        .withColumn(
+            "is_high",
+            F.col("energy")
+            >= F.expr(
+                "percentile(energy, 0.9) OVER (PARTITION BY event_type)"
+            ),
+        )
+    )
+    tl = timeline(per_bucket, key="event_type", round_dp=6, max_buckets=_TL_CAP)
+    return tl.select(
+        F.col("event_type"),
+        F.size("timeline").cast("long").alias("n_buckets"),
+        F.to_json(F.col("timeline")).alias("timeline_json"),
+    ).orderBy("event_type")
+
+
+ORACLE_ENERGY_CAPPED = f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS bucket,
+         count(*) AS density,
+         sum(value) AS sentiment
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT event_type, bucket,
+         round(0.37*sentiment + 0.63*density, 6) AS energy_r
+  FROM agg
+), h AS (
+  SELECT event_type, bucket,
+         energy_r AS value,
+         energy_r >= quantile_cont(energy_r, 0.9)
+                     OVER (PARTITION BY event_type) AS high,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM e
+)
+SELECT event_type,
+       count(*) AS n_buckets,
+       to_json(list({{'time': bucket, 'value': value, 'high': high}}
+                    ORDER BY bucket)) AS timeline_json
+FROM h WHERE rn <= {_TL_CAP}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXTENDED_QUERIES = {
     "asof_purchase_attribution": _q(q_asof_purchase, ORACLE_ASOF),
     "range_join_recent_views": _q(q_range_join, ORACLE_RANGE_JOIN),

@@ -1189,8 +1189,22 @@ PIPELINE_QUERIES = {
 # Oracled queries that are NOT registry entries (the driver caps the
 # registry at 50): exercised by tests/test_oracle_parity.py with the
 # same compare as the registry, so their oracles cannot silently rot.
+def _extra_parity_extended():
+    from bigdataproject_spark.queries_extended import (
+        ORACLE_ENERGY_CAPPED,
+        q_energy_timeline_capped,
+    )
+
+    return {
+        "energy_timeline_capped": _q(
+            q_energy_timeline_capped, ORACLE_ENERGY_CAPPED
+        ),
+    }
+
+
 EXTRA_PARITY = {
     "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
     "ann_ivf_topk": _q(q_ann_ivf, ORACLE_ANN_IVF),
+    **_extra_parity_extended(),
 }
