@@ -122,6 +122,15 @@ def test_ivf_stream_soak_bounded_debt(spark, sf_dir, tmp_path):
     assert drift["n_indexed_at_build"] == seed.count()
     assert drift["n_appended_total"] == appended == rest.count()
 
+    # r9 cadence fields under soak: N_BATCHES/COMPACT_EVERY compactions
+    # ran, each one publish per table — the generation integer equals
+    # that count exactly (no crashes in this soak, so the upper bound
+    # is tight), and the pointer age is a sane recent wall-clock number
+    # the grace-window alarm can consume.
+    assert drift["generation"] == N_BATCHES // COMPACT_EVERY
+    assert drift["publish_count"] == drift["generation"]
+    assert 0.0 <= drift["last_publish_age_seconds"] < 3600.0
+
     # zero leaked localCheckpoint blocks across the whole soak (<=,
     # not ==: in a shared session an EARLIER test's lingering block can
     # be garbage-collected mid-soak, dropping the absolute count — the
