@@ -8,14 +8,19 @@ raises ``NotImplementedError`` unless ``fake=True``, in which case it
 produces a deterministic fake feature vector so the pipeline shape can be
 exercised end-to-end.
 
-Two REAL decoders exist behind the same seam (r8 VERDICT item 6):
+Three REAL decoders exist behind the same seam (r8 VERDICT item 6):
 ``codec="bmp"`` routes the mapInPandas path through :func:`decode_bmp`, a
 vendored ~40-line pure-Python/numpy decoder for uncompressed 24-bpp BMP
 (the format is fully public: BITMAPFILEHEADER + BITMAPINFOHEADER,
-bottom-up 4-byte-padded rows), and ``codec="wav"`` decodes 16-bit PCM
-WAV via the stdlib ``wave`` module — proving the seam decodes real
-image AND audio bytes in-container, with the identical Arrow batch
-shape the stub exercises.
+bottom-up 4-byte-padded rows); ``codec="png"`` decodes 8-bit
+non-interlaced PNG via :func:`decode_png` (chunk walk + stdlib zlib
+inflate + the five scanline filters — a genuinely COMPRESSED format,
+not a pixel memcpy); and ``codec="wav"`` decodes 16-bit PCM WAV via
+the stdlib ``wave`` module — proving the seam decodes real image AND
+audio bytes in-container, with the identical Arrow batch shape the
+stub exercises. :func:`resize_images` additionally has a real path for
+both image codecs (decode → nearest-neighbor → re-encode), so the
+1:1 transform stage emits decodable media, not placeholder bytes.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` governs batch memory; the
@@ -164,6 +169,160 @@ def encode_wav(samples, *, sample_rate: int, n_channels: int = 1) -> bytes:
     return buf.getvalue()
 
 
+def decode_png(payload: bytes):
+    """Minimal REAL decoder for a COMPRESSED image format — 8-bit
+    non-interlaced PNG (gray / gray+alpha / RGB / RGBA), pure stdlib:
+    chunk walk + ``zlib`` inflate + the five scanline filters (None,
+    Sub, Up, Average, Paeth) from the public PNG spec. Unlike BMP this
+    exercises real decompression and the per-row filter reconstruction,
+    so the seam is proven on bytes that are NOT a pixel memcpy.
+    Returns ``(width, height, img)`` with ``img`` an (H, W, C) uint8
+    array, C in {1, 2, 3, 4}. Palette images, 16-bit channels, Adam7
+    interlace, bad CRCs, and truncated streams raise ``ValueError`` —
+    the same reject-don't-guess contract as :func:`decode_bmp`.
+    Reconstruction is a per-row loop (Sub/Average/Paeth carry a
+    left-pixel dependency); production swaps this body for a C codec —
+    the seam, schema, and batch shape are what this proves."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not payload.startswith(sig):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = len(sig), None, [], False
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0:
+        raise ValueError(
+            f"only 8-bit gray/GA/RGB/RGBA supported (depth={depth}, "
+            f"color_type={color})"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    if width == 0 or height == 0:
+        raise ValueError(f"degenerate PNG dimensions {width}x{height}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        raise ValueError(f"corrupt PNG stream: {ex}") from ex
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up — no left dependency, vectorized
+            rec = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            rec = row.copy()
+            for x in range(stride):
+                a = int(rec[x - channels]) if x >= channels else 0
+                if ftype == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (rec[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+                else:  # Paeth predictor
+                    b = int(prev[x])
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return width, height, out.reshape(height, width, channels)
+
+
+def encode_png(img, *, filter_type: int = 0) -> bytes:
+    """Inverse of :func:`decode_png` for test fixtures: (H, W[, C])
+    uint8 array → 8-bit non-interlaced PNG bytes. ``filter_type``
+    applies that scanline filter to EVERY row before deflate (0-4), so
+    round-trip tests can exercise each reconstruction branch of the
+    decoder, not just the trivial None filter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    height, width, channels = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    flat = img.reshape(height, width * channels).astype(np.int32)
+    lines = []
+    prev = np.zeros(width * channels, dtype=np.int32)
+    for y in range(height):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[channels:] = cur[:-channels]
+        upleft = np.zeros_like(prev)
+        upleft[channels:] = prev[:-channels]
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            f = cur - pred
+        else:
+            raise ValueError(f"unknown filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (f & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_bmp(img) -> bytes:
     """Inverse of :func:`decode_bmp` for test fixtures: (H, W, 3) uint8
     B,G,R array → uncompressed bottom-up 24-bpp BMP bytes."""
@@ -220,10 +379,12 @@ def decode_stub(
     2^24, which makes the feature cross-engine hash-checkable (the DuckDB
     oracle recomputes the same counts from the payload's hex dump).
 
-    ``codec="bmp"`` and ``codec="wav"`` are REAL paths: payloads are
-    decoded by :func:`decode_bmp` / :func:`decode_wav` and the feature
-    is a genuine media statistic — BMP:
-    ``[width, height, mean_B, mean_G, mean_R]``; WAV:
+    ``codec="bmp"``, ``codec="png"`` and ``codec="wav"`` are REAL
+    paths: payloads are decoded by :func:`decode_bmp` /
+    :func:`decode_png` / :func:`decode_wav` and the feature is a
+    genuine media statistic — BMP:
+    ``[width, height, mean_B, mean_G, mean_R]``; PNG:
+    ``[width, height, n_channels, mean_c0, ...]``; WAV:
     ``[sample_rate, n_channels, n_samples, rms, peak]`` — zero-padded/
     truncated to ``dim``, so a wrong decode changes the numbers. A
     payload the codec cannot decode fails the task loudly
@@ -240,6 +401,15 @@ def decode_stub(
                     w, h, img = decode_bmp(bytes(payload or b""))
                     means = img.reshape(-1, 3).mean(axis=0)
                     vec = [float(w), float(h)] + [float(m) for m in means]
+                    vec = (vec + [0.0] * dim)[:dim]
+                    feats.append(np.asarray(vec, dtype=np.float32).tolist())
+            elif codec == "png":
+                for payload in pdf["payload"]:
+                    w, h, img = decode_png(bytes(payload or b""))
+                    means = img.reshape(-1, img.shape[2]).mean(axis=0)
+                    vec = [float(w), float(h), float(img.shape[2])] + [
+                        float(m) for m in means
+                    ]
                     vec = (vec + [0.0] * dim)[:dim]
                     feats.append(np.asarray(vec, dtype=np.float32).tolist())
             elif codec == "wav":
@@ -284,10 +454,12 @@ def extract_features(
 ) -> DataFrame:
     """Run the decoder over the asset table via mapInPandas — the
     deterministic ``fake`` double, or a real in-container codec path
-    (``codec="bmp"`` vendored, ``codec="wav"`` stdlib; see
-    :func:`decode_stub`)."""
-    if codec not in (None, "bmp", "wav"):
-        raise ValueError(f"unknown codec {codec!r} (supported: 'bmp', 'wav')")
+    (``codec="bmp"`` vendored, ``codec="png"`` vendored + stdlib zlib,
+    ``codec="wav"`` stdlib; see :func:`decode_stub`)."""
+    if codec not in (None, "bmp", "png", "wav"):
+        raise ValueError(
+            f"unknown codec {codec!r} (supported: 'bmp', 'png', 'wav')"
+        )
     if codec is None:
         _require_codecs(fake, "media decode")
     cols = assets.select("asset_id", "media_type", "payload")
@@ -317,20 +489,33 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_images(
-    assets: DataFrame, *, width: int, height: int, fake: bool = False
+    assets: DataFrame,
+    *,
+    width: int,
+    height: int,
+    fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Image resize stage: (asset_id, payload) → RESIZED_SCHEMA, 1:1.
 
-    Real deployments decode with PIL/opencv and re-encode; here the codec
-    is STUBBED (no image libs in this container): ``fake=True`` emits a
-    deterministic stride-sample of the payload bytes truncated to
-    width·height (so output size, schema, and batch shape are real), and
-    ``fake=False`` raises — the same honest-stub contract as
-    :func:`decode_stub`."""
+    ``codec="bmp"`` / ``codec="png"`` are REAL paths: each payload is
+    decoded by the in-container decoder, nearest-neighbor resampled to
+    ``width × height`` (pure index arithmetic — the one resampling
+    kernel expressible without an image library, and the pixel-exact
+    one to test against), and re-encoded in the SAME format, so the
+    output payloads are themselves decodable media. The general path
+    (arbitrary formats, fancier kernels) stays honestly STUBBED behind
+    ``fake``: ``fake=True`` emits a deterministic stride-sample of the
+    payload bytes truncated to width·height (so output size, schema,
+    and batch shape are real), and ``fake=False`` with no codec raises
+    — the same honest-stub contract as :func:`decode_stub`."""
     import numpy as np
     import pandas as pd
 
-    _require_codecs(fake, "image resize")
+    if codec not in (None, "bmp", "png"):
+        raise ValueError(f"unknown resize codec {codec!r} (supported: 'bmp', 'png')")
+    if codec is None:
+        _require_codecs(fake, "image resize")
     if width <= 0 or height <= 0:
         raise ValueError(f"width and height must be positive, got {width}x{height}")
     target = width * height
@@ -338,13 +523,30 @@ def resize_images(
     def fn(batches):
         for pdf in batches:
             out = []
-            for payload in pdf["payload"]:
-                arr = np.frombuffer(payload or b"", dtype=np.uint8)
-                if arr.size == 0:
-                    out.append(b"")
-                    continue
-                stride = max(1, arr.size // target)
-                out.append(arr[::stride][:target].tobytes())
+            if codec is not None:
+                decode = decode_bmp if codec == "bmp" else decode_png
+                encode = encode_bmp if codec == "bmp" else encode_png
+                for payload in pdf["payload"]:
+                    w0, h0, img = decode(bytes(payload or b""))
+                    # nearest-neighbor: source index of each target pixel
+                    # center, the standard (i + 0.5) * scale mapping
+                    ys = np.minimum(
+                        ((np.arange(height) + 0.5) * h0 / height).astype(np.int64),
+                        h0 - 1,
+                    )
+                    xs = np.minimum(
+                        ((np.arange(width) + 0.5) * w0 / width).astype(np.int64),
+                        w0 - 1,
+                    )
+                    out.append(encode(img[ys][:, xs]))
+            else:
+                for payload in pdf["payload"]:
+                    arr = np.frombuffer(payload or b"", dtype=np.uint8)
+                    if arr.size == 0:
+                        out.append(b"")
+                        continue
+                    stride = max(1, arr.size // target)
+                    out.append(arr[::stride][:target].tobytes())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -1,0 +1,237 @@
+"""Exact substring-span deduplication (training-data op).
+
+The corpus-level cleanup from Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better" (public paper, see PAPERS.md): any
+run of ``k`` consecutive tokens that appears more than once ANYWHERE in
+the corpus (across docs or repeated inside one doc) marks a duplicated
+span, and overlapping/adjacent marked k-grams merge into maximal spans
+that can be reported or cut out of the text. The reference engine has
+no counterpart (its dedup is whole-message); this is part of the
+LLM-pipeline surface, sibling to operators/dedup.py and
+operators/linededup.py (which handles the line-granularity variant).
+
+Spark-first plan (no suffix array — the paper's single-node structure
+does not distribute; the k-gram formulation is the standard scale-out
+equivalent and is exact for fixed k):
+
+  1. one generate pass explodes each doc into (doc_id, start, key)
+     rows, key = hash of the k-token window — tokens come from ONE
+     ``split``, windows from ``transform(sequence(...))``, all
+     whole-stage-codegen, no Python;
+  2. duplicated keys = groupBy(key) HAVING count >= min_count — one
+     shuffle on the gram key with map-side partial counts (hot
+     boilerplate grams partial-aggregate before the exchange, so a
+     million-way repeat ships one row per map task; AQE skew-split
+     covers the reduce side);
+  3. hits = left-semi join of the gram rows against the duplicated
+     keys — same key partitioning as (2), and only duplicate-bearing
+     rows survive into
+  4. the per-doc merge: window over (doc_id, start) turns overlapping
+     or ADJACENT k-grams into maximal [span_start, span_end) islands
+     (gaps-and-islands: a row opens a new island iff its start exceeds
+     the running max end of everything before it).
+
+Volume discipline at 100 TB: the gram table is ~one row per token —
+the same order as the tokenize pass every other text op does — and
+everything after step 3 is duplicate-only. Hash choice is the
+shuffle-width vs collision trade: ``md5`` (default, 128-bit, portable
+to the DuckDB oracle — collision-free in practice) vs ``xxhash64``
+(8-byte shuffle key; ~e-6 false-dup grams per 10^13 grams by birthday
+math — acceptable for cleanup, not for parity checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _gram_key(gram, hash_family: str):
+    if hash_family == "md5":
+        return F.md5(gram)
+    if hash_family == "xxhash64":
+        return F.xxhash64(gram)
+    if hash_family == "raw":
+        return gram
+    raise ValueError(
+        f"unknown hash_family {hash_family!r} (md5 | xxhash64 | raw)"
+    )
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, toks) with the house single-space split — identical to
+    DuckDB ``string_split(text, ' ')`` including the [''] result for
+    empty text, so oracles stay cheap (see queries_pipeline.py)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("toks"),
+    )
+
+
+def duplicate_gram_hits(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int = 2,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """(doc_id, start) for every k-gram occurrence whose key appears
+    >= ``min_count`` times corpus-wide. ``start`` is the 0-based token
+    index of the window's first token; a doc shorter than k tokens
+    contributes no grams. Steps 1-3 of the module plan."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = _tokens(docs, id_col, text_col)
+    grams = (
+        base.where(F.size("toks") >= F.lit(k))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - F.lit(k)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        _gram_key(
+                            F.array_join(F.slice("toks", i + 1, k), " "),
+                            hash_family,
+                        ).alias("key"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.key").alias("key"))
+    )
+    dup_keys = (
+        grams.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("key")
+    )
+    return grams.join(dup_keys, "key", "leftsemi").select("doc_id", "start")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int = 2,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Maximal duplicated spans per doc: (doc_id, span_start, span_end),
+    token indices, end exclusive. Overlapping AND back-to-back k-gram
+    hits merge (a hit at the exact end of the running span extends it:
+    the duplicated region is contiguous). Sort + windows run inside one
+    doc_id exchange; the closing groupBy touches duplicate-only rows."""
+    hits = duplicate_gram_hits(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        min_count=min_count,
+        hash_family=hash_family,
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "opens",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("opens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(k)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def span_dedup_stats(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int = 2,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Per-doc duplication report over ALL docs (zero-rows included, so
+    the output cardinality is the doc count): (doc_id, n_dup_spans,
+    dup_tokens, total_tokens, dup_frac). The number a pipeline operator
+    thresholds on before paying for span removal."""
+    spans = duplicate_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        min_count=min_count,
+        hash_family=hash_family,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    totals = _tokens(docs, id_col, text_col).select(
+        "doc_id", F.size("toks").cast("long").alias("total_tokens")
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        "total_tokens",
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("total_tokens"), 6
+        ).alias("dup_frac"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int = 2,
+    hash_family: str = "md5",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cut every duplicated span out of the text: (doc_id, clean_text)
+    over ALL docs, clean_text = the surviving tokens re-joined with
+    single spaces. The cut is a higher-order ``filter`` with the doc's
+    (few) merged spans carried as an array column — per-token work is
+    O(spans) inside codegen, no Python, no second explode."""
+    spans = duplicate_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        min_count=min_count,
+        hash_family=hash_family,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = _tokens(docs, id_col, text_col)
+    joined = base.join(per_doc, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<span_start:int,span_end:int>>")
+        ),
+    )
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select("doc_id", F.concat_ws(" ", kept).alias(out_col))

@@ -1202,9 +1202,69 @@ def _extra_parity_extended():
     }
 
 
+def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup report (operators/spandedup.py — the
+    Lee et al. 2022 corpus op, k-gram formulation): per-doc maximal
+    duplicated-8-gram spans with token counts, md5 gram keys so the
+    DuckDB oracle replays the identical grouping. Dedup-family sibling
+    of dedup_exact / dedup_lines_boilerplate; lives in EXTRA_PARITY
+    (registry is at the driver's 50-entry cap)."""
+    from bigdataproject_spark.operators.spandedup import span_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_stats(
+        docs, id_col="doc_id", text_col="text", k=8, hash_family="md5"
+    )
+
+
+ORACLE_SPAN_DEDUP_STATS = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+g AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS key
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+        FROM tk WHERE len(t) >= 8)
+),
+dups AS (SELECT key FROM g GROUP BY key HAVING count(*) >= 2),
+hits AS (SELECT doc_id, start FROM g WHERE key IN (SELECT key FROM dups)),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > coalesce(max(start + 8) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS opens
+  FROM hits
+),
+num AS (
+  SELECT doc_id, start,
+         sum(opens) OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(start) AS s, max(start) + 8 AS e
+  FROM num GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       len(tk.t) AS total_tokens,
+       round(coalesce(p.dup_tokens, 0) / CAST(len(tk.t) AS DOUBLE), 6)
+         AS dup_frac
+FROM tk LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 EXTRA_PARITY = {
     "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
     "ann_ivf_topk": _q(q_ann_ivf, ORACLE_ANN_IVF),
+    "span_dedup_stats": _q(q_span_dedup_stats, ORACLE_SPAN_DEDUP_STATS),
     **_extra_parity_extended(),
 }

@@ -248,3 +248,28 @@ def test_ivf_append_assignment_single_exchange_no_join(spark, sf_dir, tmp_path):
     )
     wplan = _plan(clustered)
     assert wplan.count("Exchange") == 1
+
+
+def test_spandedup_plan_hygiene(spark, sf_dir):
+    """Span dedup (r9): exactly TWO hash exchanges — gram key (combinable
+    count) and doc_id (island windows) — and the duplicate-only filter
+    ahead of the doc_id exchange; no cartesian, no Python, and the
+    closing groupBy(doc_id, island) rides the window's partitioning
+    instead of adding a third shuffle (see PLANS.md)."""
+    import re
+
+    from bigdataproject_spark.operators.spandedup import (
+        remove_duplicate_spans,
+        span_dedup_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    for df in (
+        span_dedup_stats(docs, id_col="doc_id", text_col="text", k=8),
+        remove_duplicate_spans(docs, id_col="doc_id", text_col="text", k=8),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
