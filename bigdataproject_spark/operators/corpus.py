@@ -1,8 +1,9 @@
 """One-call corpus cleaning: the end-to-end C4/Gopher-style funnel.
 
 The individual stages — language ID, quality scoring, exact dedup,
-minhash near-dup, cluster collapse — each exist as tested operators
-(textstats.py, dedup.py, concomp.py). Real pipelines run them as ONE
+minhash near-dup, cluster collapse, and (opt-in, r9) substring-span
+removal — each exist as tested operators (textstats.py, dedup.py,
+concomp.py, spandedup.py). Real pipelines run them as ONE
 funnel, and the funnel's accounting (how many docs each stage rejected)
 is itself a first-class product: it is how a data team audits a crawl.
 The reference has no cleaning pipeline (its only filter is the
@@ -146,12 +147,39 @@ def clean_corpus(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
+    text_col: str = "text",
+    span_dedup_k: int | None = None,
+    span_hash_family: str = "xxhash64",
     **funnel_kwargs,
 ) -> DataFrame:
-    """Filter ``docs`` to the funnel's kept set (original columns)."""
-    funnel = corpus_funnel(docs, id_col=id_col, **funnel_kwargs)
+    """Filter ``docs`` to the funnel's kept set (original columns).
+
+    ``span_dedup_k`` adds the Lee-et-al. pipeline's LAST stage: after
+    doc-level dedup decides the kept set, substring-span dedup
+    (operators/spandedup.py) rewrites ``text_col`` with every
+    duplicated-k-gram span cut out. It runs over the KEPT docs only —
+    dropped docs are gone, so their text cannot make a surviving span
+    "duplicated" — and is a transform, not a filter: the output keeps
+    the same rows, with shorter text. Caller-provided derived columns
+    (e.g. the funnel's tokens array) are NOT recomputed — re-derive
+    them downstream if needed. Default key family is xxhash64 (the
+    scale choice, see SCALING.md's span-dedup note; pass "md5" for
+    parity-grade exactness)."""
+    funnel = corpus_funnel(docs, id_col=id_col, text_col=text_col, **funnel_kwargs)
     keep = funnel.filter(F.col("stage") == KEPT).select(id_col)
-    return docs.join(keep, id_col, "left_semi")
+    kept = docs.join(keep, id_col, "left_semi")
+    if span_dedup_k is None:
+        return kept
+    from bigdataproject_spark.operators.spandedup import remove_duplicate_spans
+
+    cleaned = remove_duplicate_spans(
+        kept,
+        id_col=id_col,
+        text_col=text_col,
+        k=span_dedup_k,
+        hash_family=span_hash_family,
+    ).select(F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col))
+    return kept.drop(text_col).join(cleaned, id_col).select(*docs.columns)
 
 
 def funnel_stats(funnel: DataFrame) -> DataFrame:

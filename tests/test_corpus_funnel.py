@@ -119,3 +119,48 @@ def test_funnel_on_real_documents(spark, sf_dir):
     assert stats.get(KEPT, 0) > 0
     kept = clean_corpus(docs)
     assert kept.count() == stats.get(KEPT, 0)
+
+
+def test_clean_corpus_span_dedup_stage(spark):
+    """span_dedup_k adds the final Lee-et-al. stage: kept docs sharing
+    a k-token run get it cut; everything else is byte-identical to the
+    plain clean_corpus output, same rows, same schema."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    extra = [
+        (
+            8,
+            shared + " and the miller walks to the market while the sun "
+            "is high over the hill and the birds sing",
+        ),
+        (
+            9,
+            "when the rain falls on the quiet village the river swells "
+            "and the children stay inside " + shared,
+        ),
+    ]
+    base = _docs(spark)
+    more = spark.createDataFrame(extra, "doc_id long, text string")
+    tokens = F.filter(
+        F.split(F.lower("text"), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    docs = base.unionByName(more.withColumn("tokens", tokens))
+
+    plain = {r.doc_id: r.text for r in clean_corpus(docs).collect()}
+    assert {8, 9} <= set(plain)  # the new docs survive the doc-level funnel
+
+    spanned = clean_corpus(docs, span_dedup_k=8)
+    assert spanned.columns == docs.columns
+    got = {r.doc_id: r.text for r in spanned.collect()}
+    assert set(got) == set(plain)  # a transform, not a filter
+    for d in set(plain) - {8, 9}:
+        assert got[d] == plain[d], d  # untouched docs byte-identical
+    assert got[8] == plain[8].replace(shared + " ", "")
+    assert got[9] == plain[9].replace(" " + shared, "")
+    # md5 family gives the same result on this corpus
+    md5 = {
+        r.doc_id: r.text
+        for r in clean_corpus(
+            docs, span_dedup_k=8, span_hash_family="md5"
+        ).collect()
+    }
+    assert md5 == got
