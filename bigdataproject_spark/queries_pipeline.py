@@ -1261,10 +1261,72 @@ FROM tk LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-REMOVAL half of operators/spandedup.py hash-checked
+    end-to-end: per-doc text with every duplicated-8-gram span cut,
+    against a DuckDB oracle that rebuilds the same islands and
+    anti-joins token positions. Proves the higher-order-filter cut (not
+    just the span arithmetic) against an independent engine."""
+    from bigdataproject_spark.operators.spandedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        docs, id_col="doc_id", text_col="text", k=8, hash_family="md5"
+    )
+
+
+ORACLE_SPAN_DEDUP_CLEAN = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+g AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS key
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+        FROM tk WHERE len(t) >= 8)
+),
+dups AS (SELECT key FROM g GROUP BY key HAVING count(*) >= 2),
+hits AS (SELECT doc_id, start FROM g WHERE key IN (SELECT key FROM dups)),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > coalesce(max(start + 8) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS opens
+  FROM hits
+),
+num AS (
+  SELECT doc_id, start,
+         sum(opens) OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(start) AS s, max(start) + 8 AS e
+  FROM num GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, p, t[p] AS tok
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM tk)
+),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN spans s
+    ON tp.doc_id = s.doc_id AND tp.p - 1 >= s.s AND tp.p - 1 < s.e
+  WHERE s.s IS NULL
+)
+SELECT b.doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+FROM base b LEFT JOIN kept k USING (doc_id)
+GROUP BY b.doc_id
+"""
+
+
 EXTRA_PARITY = {
     "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
     "ann_ivf_topk": _q(q_ann_ivf, ORACLE_ANN_IVF),
     "span_dedup_stats": _q(q_span_dedup_stats, ORACLE_SPAN_DEDUP_STATS),
+    "span_dedup_clean": _q(q_span_dedup_clean, ORACLE_SPAN_DEDUP_CLEAN),
     **_extra_parity_extended(),
 }

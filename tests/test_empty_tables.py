@@ -32,3 +32,17 @@ def empty_sf_dir(spark, tmp_path_factory) -> str:
 def test_query_completes_on_empty_tables(spark, empty_sf_dir, name):
     df = REG[name].fn(spark, empty_sf_dir)
     df.write.mode("overwrite").format("noop").save()
+
+
+def _extra():
+    from bigdataproject_spark.queries_pipeline import EXTRA_PARITY
+
+    return EXTRA_PARITY
+
+
+@pytest.mark.parametrize("name", sorted(_extra()))
+def test_extra_parity_completes_on_empty_tables(spark, empty_sf_dir, name):
+    """EXTRA_PARITY queries (outside the 50-entry registry) get the
+    same zero-row gate as registry entries."""
+    df = _extra()[name].fn(spark, empty_sf_dir)
+    df.write.mode("overwrite").format("noop").save()
