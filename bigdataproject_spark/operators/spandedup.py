@@ -68,6 +68,36 @@ def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def reference_gram_keys(
+    ref_docs: DataFrame, *, text_col: str, k: int, hash_family: str = "md5"
+) -> DataFrame:
+    """Distinct k-gram keys of a reference corpus — the probe set for
+    span-level DECONTAMINATION (cut training spans that leak eval
+    text, the surgical sibling of operators/decontam.py's doc-level
+    flag). One column ``key``; pass as ``reference_keys`` to the
+    functions below. Same (k, hash_family) discipline as everywhere:
+    keys from different settings never match."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    return (
+        ref_docs.select(toks.alias("toks"))
+        .where(F.size("toks") >= F.lit(k))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - F.lit(k)),
+                    lambda i: _gram_key(
+                        F.array_join(F.slice("toks", i + 1, k), " "),
+                        hash_family,
+                    ),
+                )
+            ).alias("key")
+        )
+        .distinct()
+    )
+
+
 def duplicate_gram_hits(
     docs: DataFrame,
     *,
@@ -76,11 +106,15 @@ def duplicate_gram_hits(
     k: int,
     min_count: int = 2,
     hash_family: str = "md5",
+    reference_keys: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, start) for every k-gram occurrence whose key appears
-    >= ``min_count`` times corpus-wide. ``start`` is the 0-based token
-    index of the window's first token; a doc shorter than k tokens
-    contributes no grams. Steps 1-3 of the module plan."""
+    >= ``min_count`` times corpus-wide — or, with ``reference_keys``
+    (from :func:`reference_gram_keys`), every occurrence PRESENT in
+    the reference set (decontamination mode; ``min_count`` does not
+    apply). ``start`` is the 0-based token index of the window's first
+    token; a doc shorter than k tokens contributes no grams. Steps 1-3
+    of the module plan."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     base = _tokens(docs, id_col, text_col)
@@ -103,12 +137,15 @@ def duplicate_gram_hits(
         )
         .select("doc_id", F.col("g.start").alias("start"), F.col("g.key").alias("key"))
     )
-    dup_keys = (
-        grams.groupBy("key")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_count)
-        .select("key")
-    )
+    if reference_keys is not None:
+        dup_keys = reference_keys.select("key").distinct()
+    else:
+        dup_keys = (
+            grams.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= min_count)
+            .select("key")
+        )
     return grams.join(dup_keys, "key", "leftsemi").select("doc_id", "start")
 
 
@@ -120,12 +157,15 @@ def duplicate_spans(
     k: int,
     min_count: int = 2,
     hash_family: str = "md5",
+    reference_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans per doc: (doc_id, span_start, span_end),
     token indices, end exclusive. Overlapping AND back-to-back k-gram
     hits merge (a hit at the exact end of the running span extends it:
     the duplicated region is contiguous). Sort + windows run inside one
-    doc_id exchange; the closing groupBy touches duplicate-only rows."""
+    doc_id exchange; the closing groupBy touches duplicate-only rows.
+    ``reference_keys`` switches to decontamination mode (see
+    :func:`duplicate_gram_hits`)."""
     hits = duplicate_gram_hits(
         docs,
         id_col=id_col,
@@ -133,6 +173,7 @@ def duplicate_spans(
         k=k,
         min_count=min_count,
         hash_family=hash_family,
+        reference_keys=reference_keys,
     )
     w = Window.partitionBy("doc_id").orderBy("start")
     prev_end = F.max(F.col("start") + F.lit(k)).over(
@@ -163,6 +204,7 @@ def span_dedup_stats(
     k: int,
     min_count: int = 2,
     hash_family: str = "md5",
+    reference_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc duplication report over ALL docs (zero-rows included, so
     the output cardinality is the doc count): (doc_id, n_dup_spans,
@@ -175,6 +217,7 @@ def span_dedup_stats(
         k=k,
         min_count=min_count,
         hash_family=hash_family,
+        reference_keys=reference_keys,
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
@@ -202,13 +245,16 @@ def remove_duplicate_spans(
     k: int,
     min_count: int = 2,
     hash_family: str = "md5",
+    reference_keys: DataFrame | None = None,
     out_col: str = "clean_text",
 ) -> DataFrame:
     """Cut every duplicated span out of the text: (doc_id, clean_text)
     over ALL docs, clean_text = the surviving tokens re-joined with
     single spaces. The cut is a higher-order ``filter`` with the doc's
     (few) merged spans carried as an array column — per-token work is
-    O(spans) inside codegen, no Python, no second explode."""
+    O(spans) inside codegen, no Python, no second explode. With
+    ``reference_keys`` this is span-level DECONTAMINATION: only text
+    leaked from the reference (eval) corpus is cut."""
     spans = duplicate_spans(
         docs,
         id_col=id_col,
@@ -216,6 +262,7 @@ def remove_duplicate_spans(
         k=k,
         min_count=min_count,
         hash_family=hash_family,
+        reference_keys=reference_keys,
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")

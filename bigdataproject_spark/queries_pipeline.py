@@ -1322,11 +1322,94 @@ GROUP BY b.doc_id
 """
 
 
+def q_span_decontam_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level DECONTAMINATION (the surgical sibling of
+    `contamination_check`): training docs (the ~95% md5-keyrange
+    split) with every 8-gram span that leaks EVAL text cut out —
+    reference_keys mode of operators/spandedup.py, same eval split
+    constant as the doc-level flag so the two queries describe one
+    pipeline."""
+    from bigdataproject_spark.operators.spandedup import (
+        reference_gram_keys,
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    ev = docs.where(kh < CONTAM_EVAL_CUT)
+    train = docs.where(kh >= CONTAM_EVAL_CUT)
+    ref = reference_gram_keys(ev, text_col="text", k=8, hash_family="md5")
+    return remove_duplicate_spans(
+        train,
+        id_col="doc_id",
+        text_col="text",
+        k=8,
+        hash_family="md5",
+        reference_keys=ref,
+    )
+
+
+ORACLE_SPAN_DECONTAM_CLEAN = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS kh
+              FROM documents),
+tk AS (SELECT doc_id, kh, string_split(text, ' ') AS t FROM base),
+refg AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS key
+  FROM (SELECT t, unnest(generate_series(0, len(t) - 8)) AS i
+        FROM tk WHERE kh < '{CONTAM_EVAL_CUT}' AND len(t) >= 8)
+),
+g AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS key
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+        FROM tk WHERE kh >= '{CONTAM_EVAL_CUT}' AND len(t) >= 8)
+),
+hits AS (SELECT doc_id, start FROM g WHERE key IN (SELECT key FROM refg)),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > coalesce(max(start + 8) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS opens
+  FROM hits
+),
+num AS (
+  SELECT doc_id, start,
+         sum(opens) OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(start) AS s, max(start) + 8 AS e
+  FROM num GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, p, t[p] AS tok
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        FROM tk WHERE kh >= '{CONTAM_EVAL_CUT}')
+),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN spans s
+    ON tp.doc_id = s.doc_id AND tp.p - 1 >= s.s AND tp.p - 1 < s.e
+  WHERE s.s IS NULL
+)
+SELECT b.doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+FROM (SELECT doc_id FROM base WHERE kh >= '{CONTAM_EVAL_CUT}') b
+LEFT JOIN kept k USING (doc_id)
+GROUP BY b.doc_id
+"""
+
+
 EXTRA_PARITY = {
     "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
     "ann_ivf_topk": _q(q_ann_ivf, ORACLE_ANN_IVF),
     "span_dedup_stats": _q(q_span_dedup_stats, ORACLE_SPAN_DEDUP_STATS),
     "span_dedup_clean": _q(q_span_dedup_clean, ORACLE_SPAN_DEDUP_CLEAN),
+    "span_decontam_clean": _q(q_span_decontam_clean, ORACLE_SPAN_DECONTAM_CLEAN),
     **_extra_parity_extended(),
 }

@@ -164,3 +164,57 @@ def test_empty_and_null_text(spark):
     # split('') == [''] (house convention, matches the DuckDB oracle)
     assert rows[1].total_tokens == 1 and rows[1].dup_tokens == 0
     assert rows[2].total_tokens == 1 and rows[2].dup_frac == 0.0
+
+
+def test_reference_decontamination_mode(spark):
+    """reference_keys switches the whole family to span-level
+    decontamination: only text leaked from the reference corpus is
+    cut, corpus-internal duplication is ignored, and a gram appearing
+    ONCE in the reference still marks (min_count does not apply)."""
+    from bigdataproject_spark.operators.spandedup import reference_gram_keys
+
+    evalset = spark.createDataFrame(
+        [Row(eid=1, text="q1 q2 q3 q4 answer is here")]
+    )
+    ref = reference_gram_keys(evalset, text_col="text", k=4)
+    train = spark.createDataFrame(
+        [
+            # leaks the eval 4-gram "q1 q2 q3 q4" mid-doc
+            Row(doc_id=1, text="intro words q1 q2 q3 q4 outro words"),
+            # corpus-internal duplicate pair — must NOT be cut in this mode
+            Row(doc_id=2, text="c1 c2 c3 c4 tail1"),
+            Row(doc_id=3, text="c1 c2 c3 c4 tail2"),
+        ]
+    )
+    spans = duplicate_spans(
+        train, id_col="doc_id", text_col="text", k=4, reference_keys=ref
+    )
+    assert _spans_by_doc(spans) == {1: [(2, 6)]}
+
+    clean = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicate_spans(
+            train, id_col="doc_id", text_col="text", k=4, reference_keys=ref
+        ).collect()
+    }
+    assert clean == {
+        1: "intro words outro words",
+        2: "c1 c2 c3 c4 tail1",
+        3: "c1 c2 c3 c4 tail2",
+    }
+
+    stats = {
+        r.doc_id: r
+        for r in span_dedup_stats(
+            train, id_col="doc_id", text_col="text", k=4, reference_keys=ref
+        ).collect()
+    }
+    assert stats[1].dup_tokens == 4 and stats[2].dup_tokens == 0
+
+    # overlapping leaks merge exactly like corpus mode: doc leaking
+    # "q1 q2 q3 q4" and "q2 q3 q4 answer" gets one merged span
+    t2 = spark.createDataFrame([Row(doc_id=9, text="x q1 q2 q3 q4 answer y")])
+    got = _spans_by_doc(
+        duplicate_spans(t2, id_col="doc_id", text_col="text", k=4, reference_keys=ref)
+    )
+    assert got == {9: [(1, 6)]}
