@@ -98,6 +98,71 @@ def reference_gram_keys(
     )
 
 
+def write_reference_gram_index(
+    ref_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str,
+    k: int,
+    hash_family: str = "xxhash64",
+) -> None:
+    """Persist a reference corpus's distinct gram keys for reuse —
+    decontamination sets are IMMUTABLE (a frozen eval benchmark does
+    not change), so unlike the minhash/IVF indexes this needs no
+    lease, no versioned layout, no compaction: one overwrite commit of
+    a ``keys`` table plus a one-row ``meta`` table pinning (k,
+    hash_family), because band-key discipline applies here too — keys
+    from a different (k, hash_family) never match and would silently
+    decontaminate nothing. Use :func:`decontaminate_spans` to query:
+    it reads the pinned config instead of trusting the caller to
+    repeat it."""
+    keys = reference_gram_keys(
+        ref_docs, text_col=text_col, k=k, hash_family=hash_family
+    )
+    spark = ref_docs.sparkSession
+    keys.write.mode("overwrite").parquet(f"{path}/keys")
+    spark.createDataFrame(
+        [(int(k), str(hash_family))], "k int, hash_family string"
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_reference_gram_index(spark, path: str):
+    """(keys DataFrame, k, hash_family) from a persisted reference
+    index — the pinned config travels with the keys."""
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta) != 1:
+        raise ValueError(f"corrupt reference index meta at {path} ({len(meta)} rows)")
+    return (
+        spark.read.parquet(f"{path}/keys"),
+        int(meta[0]["k"]),
+        str(meta[0]["hash_family"]),
+    )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    index_path: str,
+    *,
+    id_col: str,
+    text_col: str,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Span-level decontamination against a persisted reference index:
+    (doc_id, clean_text) with every k-gram run present in the reference
+    cut out. k and hash_family come from the index's pinned meta — the
+    one query signature a scheduled scrub job needs."""
+    keys, k, hash_family = load_reference_gram_index(docs.sparkSession, index_path)
+    return remove_duplicate_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        hash_family=hash_family,
+        reference_keys=keys,
+        out_col=out_col,
+    )
+
+
 def duplicate_gram_hits(
     docs: DataFrame,
     *,
