@@ -203,6 +203,18 @@ def duplicate_gram_hits(
         .select("doc_id", F.col("g.start").alias("start"), F.col("g.key").alias("key"))
     )
     if reference_keys is not None:
+        # a reference built with a different hash_family would join on
+        # mismatched types and silently mark nothing — the same
+        # band-key discipline failure write_reference_gram_index pins
+        # meta for; enforce it structurally here for raw frames too
+        want = grams.schema["key"].dataType
+        got = reference_keys.schema["key"].dataType
+        if got != want:
+            raise ValueError(
+                f"reference_keys key type {got.simpleString()} does not match "
+                f"hash_family={hash_family!r} ({want.simpleString()}) — the "
+                "reference must be built with the same (k, hash_family)"
+            )
         dup_keys = reference_keys.select("key").distinct()
     else:
         dup_keys = (

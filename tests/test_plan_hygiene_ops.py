@@ -273,3 +273,33 @@ def test_spandedup_plan_hygiene(spark, sf_dir):
         assert "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
         assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_spandedup_decontam_plan_hygiene(spark, sf_dir):
+    """Decontamination mode drops the count aggregate: at most ONE hash
+    exchange (the doc_id island windows — the reference side broadcasts
+    at this size), still no cartesian, no Python."""
+    import re
+
+    from bigdataproject_spark.operators.spandedup import (
+        reference_gram_keys,
+        remove_duplicate_spans,
+    )
+    from pyspark.sql import functions as F2
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    kh = F2.substring(F2.md5(F2.col("doc_id").cast("string")), 1, 2)
+    ref = reference_gram_keys(docs.where(kh < "0d"), text_col="text", k=8)
+    plan = _plan(
+        remove_duplicate_spans(
+            docs.where(kh >= "0d"),
+            id_col="doc_id",
+            text_col="text",
+            k=8,
+            reference_keys=ref,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2

@@ -218,3 +218,22 @@ def test_reference_decontamination_mode(spark):
         duplicate_spans(t2, id_col="doc_id", text_col="text", k=4, reference_keys=ref)
     )
     assert got == {9: [(1, 6)]}
+
+
+def test_reference_hash_family_mismatch_is_loud(spark):
+    """An md5-keyed reference probed with xxhash64 grams would silently
+    decontaminate nothing; the type guard makes it a hard error."""
+    from bigdataproject_spark.operators.spandedup import reference_gram_keys
+
+    evalset = spark.createDataFrame([Row(eid=1, text="q1 q2 q3 q4 tail")])
+    ref_md5 = reference_gram_keys(evalset, text_col="text", k=4, hash_family="md5")
+    train = spark.createDataFrame([Row(doc_id=1, text="a q1 q2 q3 q4 b")])
+    with pytest.raises(ValueError, match="hash_family"):
+        duplicate_spans(
+            train,
+            id_col="doc_id",
+            text_col="text",
+            k=4,
+            hash_family="xxhash64",
+            reference_keys=ref_md5,
+        )
