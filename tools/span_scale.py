@@ -54,6 +54,24 @@ def main() -> None:
     def docs():
         return load_table(spark, sf_dir, "documents")
 
+    def _decontam_case(d):
+        from pyspark.sql import functions as F
+
+        from bigdataproject_spark.operators.spandedup import reference_gram_keys
+
+        kh = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        ref = reference_gram_keys(
+            d.where(kh < "0d"), text_col="text", k=8, hash_family="xxhash64"
+        )
+        return remove_duplicate_spans(
+            d.where(kh >= "0d"),
+            id_col="doc_id",
+            text_col="text",
+            k=8,
+            hash_family="xxhash64",
+            reference_keys=ref,
+        )
+
     cases = {
         # md5 keys: the oracle-portable default (32-char shuffle key)
         "span_stats_md5": lambda: span_dedup_stats(
@@ -67,6 +85,10 @@ def main() -> None:
         "span_remove_xxhash64": lambda: remove_duplicate_spans(
             docs(), id_col="doc_id", text_col="text", k=8, hash_family="xxhash64"
         ),
+        # decontamination mode: ~5% md5-keyrange eval split as the
+        # reference (the contamination_check convention), train = rest —
+        # no count aggregate, reference keys broadcast/semi-joined
+        "span_decontam_xxhash64": lambda: _decontam_case(docs()),
     }
 
     out: dict[str, dict] = {}
