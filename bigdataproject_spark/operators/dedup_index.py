@@ -139,40 +139,49 @@ def write_minhash_index(
 
 
 def _append_band_rows(
-    docs: DataFrame,
+    heal_ids: DataFrame,
     path: str,
     *,
     id_col: str,
-    shingles_col: str,
     num_hashes: int,
     bands: int,
     hash_family: str,
     owner: str,
 ) -> None:
-    """Append exactly the MISSING band rows for ``docs`` (no shingle /
-    membership rows) — the heal half of the lease-race remediation (see
-    :func:`accept_batch`): membership already exists for these ids, so
-    only the candidate-generation side may need restoring. Anti-joining
-    the recomputed rows against the stored bands (pruned to the heal
-    ids first — the store side stays a map-side semi-join against the
-    broadcast id set, never shuffled) keeps the heal IDEMPOTENT: a
-    resume that lost nothing appends nothing, so replay leaves the
-    bands table row-identical. The missing set is localCheckpoint'd so
-    the append plan does not read the directory it is appending to."""
+    """Append exactly the MISSING band rows for the already-member
+    ``heal_ids`` (no shingle / membership rows) — the heal half of the
+    lease-race remediation (see :func:`accept_batch`): membership
+    already exists for these ids, so only the candidate-generation side
+    may need restoring. Band rows are recomputed from the STORED
+    shingles, never from the current batch's payload (r9 review
+    finding): a batch may legitimately re-submit a member id with
+    DIFFERENT content, and a payload-derived heal would append band
+    hashes advertising text the index does not hold — false candidates
+    plus unbounded bands growth on every changed resubmission.
+    Deriving from the store keeps ``bands ⊆ f(shingles)`` an invariant
+    of every write path. Anti-joining the recomputed rows against the
+    stored bands (both sides pruned to the heal ids first — map-side
+    semi-joins against the broadcast id set, never shuffled) keeps the
+    heal IDEMPOTENT: a resume that lost nothing appends nothing, so
+    replay leaves the bands table row-identical. The missing set is
+    localCheckpoint'd so the append plan does not read the directory it
+    is appending to."""
     from bigdataproject_spark.operators.versioned import table_live_dir
     from bigdataproject_spark.session import release_local_checkpoint
 
-    spark = docs.sparkSession
+    spark = heal_ids.sparkSession
     live = table_live_dir(spark, path, "bands", owner)
+    live_sh = table_live_dir(spark, path, "shingles", owner)
+    ids = F.broadcast(heal_ids.select(F.col(id_col).alias("id")).distinct())
+    stored_docs = spark.read.parquet(live_sh).join(ids, "id", "left_semi")
     want = lsh_band_rows(
-        docs,
-        id_col=id_col,
-        shingles_col=shingles_col,
+        stored_docs,
+        id_col="id",
+        shingles_col="sh",
         num_hashes=num_hashes,
         bands=bands,
         hash_family=hash_family,
     )
-    ids = F.broadcast(docs.select(F.col(id_col).alias("id")).distinct())
     stored = spark.read.parquet(live).join(ids, "id", "left_semi")
     missing = want.join(
         stored, ["id", "band_id", "band_hash"], "left_anti"
@@ -403,17 +412,18 @@ def accept_batch(
         # permanent recall hole. So the re-run this function prescribes
         # is made ACTUALLY healing: for every batch id that is already
         # a member, exactly the band rows MISSING from the store are
-        # re-appended (anti-join inside _append_band_rows — an intact
+        # re-appended, recomputed from the STORED shingles so a
+        # changed-content resubmission cannot smuggle foreign band
+        # hashes in (anti-join inside _append_band_rows — an intact
         # resume appends nothing, keeping replays row-identical). On a
         # fresh batch the member set is empty (one cheap count on the
         # checkpointed set — no extra store scan) and the heal is
         # skipped entirely.
         if already_stored.count():
             _append_band_rows(
-                new_docs.join(already_stored, id_col, "left_semi"),
+                already_stored,
                 path,
                 id_col=id_col,
-                shingles_col=shingles_col,
                 num_hashes=num_hashes,
                 bands=bands,
                 hash_family=hash_family,

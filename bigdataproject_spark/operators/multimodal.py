@@ -382,7 +382,8 @@ def decode_stub(
     ``codec="bmp"``, ``codec="png"`` and ``codec="wav"`` are REAL
     paths: payloads are decoded by :func:`decode_bmp` /
     :func:`decode_png` / :func:`decode_wav` and the feature is a
-    genuine media statistic — BMP:
+    genuine media statistic (``normalize`` applies only to the stub
+    histogram — codec features are raw stats by design) — BMP:
     ``[width, height, mean_B, mean_G, mean_R]``; PNG:
     ``[width, height, n_channels, mean_c0, ...]``; WAV:
     ``[sample_rate, n_channels, n_samples, rms, peak]`` — zero-padded/
@@ -392,6 +393,15 @@ def decode_stub(
     mode real pipelines filter for upstream."""
     import numpy as np
     import pandas as pd
+
+    # validated HERE, not only in extract_features: decode_stub is a
+    # public function handed straight to mapInPandas, and an unknown
+    # codec string would otherwise fall through to the stub branch and
+    # return fake histograms while the caller believes it decoded media
+    if codec not in (None, "bmp", "png", "wav"):
+        raise ValueError(
+            f"unknown codec {codec!r} (supported: 'bmp', 'png', 'wav')"
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

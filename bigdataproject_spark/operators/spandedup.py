@@ -95,6 +95,17 @@ def reference_gram_keys(
             ).alias("key")
         )
         .distinct()
+        # column metadata pins the config ON the frame (it also
+        # survives the parquet round-trip of the persisted index), so
+        # the probe-side guard can catch a k mismatch — which the key
+        # dtype alone cannot (8-gram and 10-gram xxhash64 keys are both
+        # bigint and would silently never match). Stamped on a plain
+        # projection: Generate's output attributes drop alias metadata.
+        .select(
+            F.col("key").alias(
+                "key", metadata={"k": int(k), "hash_family": hash_family}
+            )
+        )
     )
 
 
@@ -203,10 +214,23 @@ def duplicate_gram_hits(
         .select("doc_id", F.col("g.start").alias("start"), F.col("g.key").alias("key"))
     )
     if reference_keys is not None:
-        # a reference built with a different hash_family would join on
-        # mismatched types and silently mark nothing — the same
-        # band-key discipline failure write_reference_gram_index pins
-        # meta for; enforce it structurally here for raw frames too
+        # a reference built with a different (k, hash_family) never
+        # matches anything — the scrub would silently return the text
+        # uncut. Two structural guards: the config metadata stamped by
+        # reference_gram_keys (catches EVERY mismatch, including same-
+        # dtype ones like k=8 vs k=10 or raw vs md5), and the key dtype
+        # as a fallback for hand-built frames without metadata.
+        meta = reference_keys.schema["key"].metadata or {}
+        if meta.get("k") is not None or meta.get("hash_family") is not None:
+            if int(meta.get("k", -1)) != int(k) or meta.get(
+                "hash_family"
+            ) != hash_family:
+                raise ValueError(
+                    f"reference_keys was built with k={meta.get('k')}, "
+                    f"hash_family={meta.get('hash_family')!r} but probed with "
+                    f"k={k}, hash_family={hash_family!r} — keys from different "
+                    "configs never match; rebuild the reference or fix the call"
+                )
         want = grams.schema["key"].dataType
         got = reference_keys.schema["key"].dataType
         if got != want:

@@ -233,6 +233,13 @@ def publish_cadence(spark, path: str, table: str) -> dict:
       file (its filesystem mtime; every publish rewrites it), or
       ``None`` for legacy. An alarm of the form ``age < slowest
       reader's scan time`` catches a cadence that outruns readers.
+      CAVEAT (r9 review): the age is driver clock minus STORAGE clock
+      (HDFS/S3 stamp mtime with their own time), so cross-clock skew
+      distorts it — a driver behind storage clamps to 0 (spurious
+      alarms), one ahead inflates the age (masked alarms). Where
+      clocks aren't trusted, alarm on DELTAS of ``generation`` across
+      your own polls instead — pure integers, skew-immune; the age is
+      the convenience signal for same-clock deployments.
 
     Cost: one exists + one tiny-file read + one getFileStatus — safe in
     a hot drift-poll loop."""

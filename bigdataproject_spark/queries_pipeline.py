@@ -1202,33 +1202,24 @@ def _extra_parity_extended():
     }
 
 
-def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-span dedup report (operators/spandedup.py — the
-    Lee et al. 2022 corpus op, k-gram formulation): per-doc maximal
-    duplicated-8-gram spans with token counts, md5 gram keys so the
-    DuckDB oracle replays the identical grouping. Dedup-family sibling
-    of dedup_exact / dedup_lines_boilerplate; lives in EXTRA_PARITY
-    (registry is at the driver's 50-entry cap)."""
-    from bigdataproject_spark.operators.spandedup import span_dedup_stats
-
-    docs = load_table(spark, sf_dir, "documents")
-    return span_dedup_stats(
-        docs, id_col="doc_id", text_col="text", k=8, hash_family="md5"
-    )
+# Shared CTE fragments for the three span-dedup oracles (r9 review:
+# the island merge and the token-position cut must stay ONE definition
+# — a fix applied to a drifted copy would make one oracle silently
+# validate different semantics than the operator). All assume a ``tk``
+# CTE with (doc_id, t) in scope; k is pinned at 8 like the queries.
 
 
-ORACLE_SPAN_DEDUP_STATS = """
-WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
-g AS (
+def _span_gram_cte(src_filter: str = "") -> str:
+    """``g`` = (doc_id, start, md5-key) per 8-gram occurrence."""
+    return f"""g AS (
   SELECT doc_id, i AS start,
          md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS key
   FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
-        FROM tk WHERE len(t) >= 8)
-),
-dups AS (SELECT key FROM g GROUP BY key HAVING count(*) >= 2),
-hits AS (SELECT doc_id, start FROM g WHERE key IN (SELECT key FROM dups)),
-isl AS (
+        FROM tk WHERE {src_filter}len(t) >= 8)
+)"""
+
+
+_SPAN_ISLANDS_SQL = """isl AS (
   SELECT doc_id, start,
          CASE WHEN start > coalesce(max(start + 8) OVER (
                 PARTITION BY doc_id ORDER BY start
@@ -1246,7 +1237,46 @@ num AS (
 spans AS (
   SELECT doc_id, min(start) AS s, max(start) + 8 AS e
   FROM num GROUP BY doc_id, island
+)"""
+
+
+def _span_cut_sql(src_where: str = "") -> str:
+    """``tokpos``+``kept`` = token positions surviving the span cut."""
+    return f"""tokpos AS (
+  SELECT doc_id, p, t[p] AS tok
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        FROM tk{src_where})
 ),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN spans s
+    ON tp.doc_id = s.doc_id AND tp.p - 1 >= s.s AND tp.p - 1 < s.e
+  WHERE s.s IS NULL
+)"""
+
+
+def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup report (operators/spandedup.py — the
+    Lee et al. 2022 corpus op, k-gram formulation): per-doc maximal
+    duplicated-8-gram spans with token counts, md5 gram keys so the
+    DuckDB oracle replays the identical grouping. Dedup-family sibling
+    of dedup_exact / dedup_lines_boilerplate; lives in EXTRA_PARITY
+    (registry is at the driver's 50-entry cap)."""
+    from bigdataproject_spark.operators.spandedup import span_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_stats(
+        docs, id_col="doc_id", text_col="text", k=8, hash_family="md5"
+    )
+
+
+ORACLE_SPAN_DEDUP_STATS = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+{_span_gram_cte()},
+dups AS (SELECT key FROM g GROUP BY key HAVING count(*) >= 2),
+hits AS (SELECT doc_id, start FROM g WHERE key IN (SELECT key FROM dups)),
+{_SPAN_ISLANDS_SQL},
 per_doc AS (
   SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
   FROM spans GROUP BY doc_id
@@ -1275,46 +1305,14 @@ def q_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SPAN_DEDUP_CLEAN = """
+ORACLE_SPAN_DEDUP_CLEAN = f"""
 WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
 tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
-g AS (
-  SELECT doc_id, i AS start,
-         md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS key
-  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
-        FROM tk WHERE len(t) >= 8)
-),
+{_span_gram_cte()},
 dups AS (SELECT key FROM g GROUP BY key HAVING count(*) >= 2),
 hits AS (SELECT doc_id, start FROM g WHERE key IN (SELECT key FROM dups)),
-isl AS (
-  SELECT doc_id, start,
-         CASE WHEN start > coalesce(max(start + 8) OVER (
-                PARTITION BY doc_id ORDER BY start
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS opens
-  FROM hits
-),
-num AS (
-  SELECT doc_id, start,
-         sum(opens) OVER (PARTITION BY doc_id ORDER BY start
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM isl
-),
-spans AS (
-  SELECT doc_id, min(start) AS s, max(start) + 8 AS e
-  FROM num GROUP BY doc_id, island
-),
-tokpos AS (
-  SELECT doc_id, p, t[p] AS tok
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM tk)
-),
-kept AS (
-  SELECT tp.doc_id, tp.p, tp.tok
-  FROM tokpos tp LEFT JOIN spans s
-    ON tp.doc_id = s.doc_id AND tp.p - 1 >= s.s AND tp.p - 1 < s.e
-  WHERE s.s IS NULL
-)
+{_SPAN_ISLANDS_SQL},
+{_span_cut_sql()}
 SELECT b.doc_id,
        coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
 FROM base b LEFT JOIN kept k USING (doc_id)
@@ -1359,43 +1357,10 @@ refg AS (
   FROM (SELECT t, unnest(generate_series(0, len(t) - 8)) AS i
         FROM tk WHERE kh < '{CONTAM_EVAL_CUT}' AND len(t) >= 8)
 ),
-g AS (
-  SELECT doc_id, i AS start,
-         md5(array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS key
-  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
-        FROM tk WHERE kh >= '{CONTAM_EVAL_CUT}' AND len(t) >= 8)
-),
+{_span_gram_cte(f"kh >= '{CONTAM_EVAL_CUT}' AND ")},
 hits AS (SELECT doc_id, start FROM g WHERE key IN (SELECT key FROM refg)),
-isl AS (
-  SELECT doc_id, start,
-         CASE WHEN start > coalesce(max(start + 8) OVER (
-                PARTITION BY doc_id ORDER BY start
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              THEN 1 ELSE 0 END AS opens
-  FROM hits
-),
-num AS (
-  SELECT doc_id, start,
-         sum(opens) OVER (PARTITION BY doc_id ORDER BY start
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM isl
-),
-spans AS (
-  SELECT doc_id, min(start) AS s, max(start) + 8 AS e
-  FROM num GROUP BY doc_id, island
-),
-tokpos AS (
-  SELECT doc_id, p, t[p] AS tok
-  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
-        FROM tk WHERE kh >= '{CONTAM_EVAL_CUT}')
-),
-kept AS (
-  SELECT tp.doc_id, tp.p, tp.tok
-  FROM tokpos tp LEFT JOIN spans s
-    ON tp.doc_id = s.doc_id AND tp.p - 1 >= s.s AND tp.p - 1 < s.e
-  WHERE s.s IS NULL
-)
+{_SPAN_ISLANDS_SQL},
+{_span_cut_sql(f" WHERE kh >= '{CONTAM_EVAL_CUT}'")}
 SELECT b.doc_id,
        coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
 FROM (SELECT doc_id FROM base WHERE kh >= '{CONTAM_EVAL_CUT}') b

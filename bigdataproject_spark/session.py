@@ -28,10 +28,14 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # shuffle.partitions / driver.memory are env-sized in get_spark at
+    # CALL time (not here at import time): the sweep harnesses set
+    # SPARK_GRAFT_SHUFFLE / SPARK_GRAFT_DRIVER_MEM via apply_scale_env
+    # AFTER this module is imported, and an import-time read silently
+    # discards them (r9 review finding — the sf100 auto-sizing was a
+    # no-op for in-process harnesses).
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.parquet.compression.codec": "zstd",
     # Parquet TIMESTAMP(NANOS) (e.g. the events table) is otherwise an
@@ -40,6 +44,21 @@ _DEFAULTS: dict[str, str] = {
     # ns→µs read behavior.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def _resolve_conf(extra_conf: dict | None = None) -> dict[str, str]:
+    """Session conf = static defaults + env-sized knobs resolved at
+    CALL time + caller overrides. Per-call env resolution is the
+    contract apply_scale_env (tools/sweeplib.py) depends on — it sets
+    SPARK_GRAFT_SHUFFLE / SPARK_GRAFT_DRIVER_MEM after this module is
+    imported. driver.memory still only takes effect for the FIRST
+    session in a JVM (Spark cannot resize a live driver)."""
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if extra_conf:
+        conf.update(extra_conf)
+    return conf
 
 
 def get_spark(
@@ -56,9 +75,7 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    conf = dict(_DEFAULTS)
-    if extra_conf:
-        conf.update(extra_conf)
+    conf = _resolve_conf(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

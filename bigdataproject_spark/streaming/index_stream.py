@@ -267,11 +267,13 @@ def make_index_batch_writer(
                     _append_band_rows,
                 )
 
+                # heal from the STORED shingles, not the batch payload
+                # (r9 review: a replayed ledger id whose upstream
+                # content drifted must not smuggle foreign band hashes)
                 _append_band_rows(
-                    batch_df.join(member_ids, id_col, "left_semi"),
+                    member_ids,
                     index_path,
                     id_col=id_col,
-                    shingles_col=shingles_col,
                     num_hashes=num_hashes,
                     bands=bands,
                     hash_family=hash_family,

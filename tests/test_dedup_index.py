@@ -473,3 +473,50 @@ def test_index_health_reports_cadence(spark, tmp_path):
     compact_index(spark, idx)
     h2 = index_health(spark, idx)
     assert all(h2[t]["generation"] == 2 for t in ("bands", "shingles"))
+
+
+def test_changed_content_resubmission_does_not_pollute_bands(spark, tmp_path):
+    """r9 review finding: the band-row heal must derive from the STORED
+    shingles, never from the current batch's payload — a batch that
+    legitimately re-submits a member id with DIFFERENT content would
+    otherwise append band hashes advertising text the index does not
+    hold (false candidates + unbounded bands growth per resubmission).
+    After the fix, such a resubmission leaves the bands table
+    row-identical, and repeating it stays a no-op."""
+    old = _docs(spark, OLD_ROWS)
+    new = _docs(spark, NEW_ROWS)
+    idx = str(tmp_path / "idx")
+    write_minhash_index(old, idx, id_col="doc_id", shingles_col="shingles")
+    accept_batch(
+        spark, new, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()
+
+    def bands_snapshot():
+        return sorted(
+            (r.id, r.band_id, r.band_hash)
+            for r in spark.read.parquet(f"{idx}/bands").collect()
+        )
+
+    before = bands_snapshot()
+    # id 12 comes back with entirely different text (an upstream
+    # recrawl reusing the id) — dropped as already-stored, and the heal
+    # must not import its new content's band rows
+    changed = _docs(
+        spark,
+        [(12, "totally new recrawled body about deep sea fish and the "
+              "bioluminescent organs they use to hunt in the midnight "
+              "zone far below the sunlit surface waters")],
+    )
+    out = accept_batch(
+        spark, changed, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    )
+    assert out.count() == 0  # member id -> dropped, not re-admitted
+    assert bands_snapshot() == before  # row-identical: nothing smuggled in
+    # idempotent under repetition too
+    accept_batch(
+        spark, changed, idx, id_col="doc_id", shingles_col="shingles",
+        threshold=THRESHOLD,
+    ).collect()
+    assert bands_snapshot() == before

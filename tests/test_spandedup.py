@@ -237,3 +237,50 @@ def test_reference_hash_family_mismatch_is_loud(spark):
             hash_family="xxhash64",
             reference_keys=ref_md5,
         )
+
+
+def test_reference_k_mismatch_is_loud(spark):
+    """Same dtype, different k (r9 review finding): the config metadata
+    stamped on the reference column catches what the dtype check can't
+    — and survives the persisted index's parquet round-trip."""
+    from bigdataproject_spark.operators.spandedup import reference_gram_keys
+
+    evalset = spark.createDataFrame([Row(eid=1, text="q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")])
+    ref8 = reference_gram_keys(evalset, text_col="text", k=8, hash_family="xxhash64")
+    train = spark.createDataFrame([Row(doc_id=1, text="a q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 b")])
+    with pytest.raises(ValueError, match="k=8"):
+        duplicate_spans(
+            train, id_col="doc_id", text_col="text",
+            k=10, hash_family="xxhash64", reference_keys=ref8,
+        )
+    # raw vs md5 are both string keys — only the metadata can tell
+    ref_raw = reference_gram_keys(evalset, text_col="text", k=8, hash_family="raw")
+    with pytest.raises(ValueError, match="hash_family"):
+        duplicate_spans(
+            train, id_col="doc_id", text_col="text",
+            k=8, hash_family="md5", reference_keys=ref_raw,
+        )
+
+
+def test_persisted_index_config_survives_roundtrip(spark, tmp_path):
+    """The metadata guard keeps working through the parquet store: a
+    persisted index read back and probed with the wrong k fails loudly
+    even when bypassing decontaminate_spans."""
+    from bigdataproject_spark.operators.spandedup import (
+        load_reference_gram_index,
+        write_reference_gram_index,
+    )
+
+    evalset = spark.createDataFrame([Row(eid=1, text="q1 q2 q3 q4 q5 q6 q7 q8 q9")])
+    p = str(tmp_path / "idx")
+    write_reference_gram_index(evalset, p, text_col="text", k=8, hash_family="xxhash64")
+    keys, k, fam = load_reference_gram_index(spark, p)
+    assert (k, fam) == (8, "xxhash64")
+    meta = keys.schema["key"].metadata
+    assert int(meta["k"]) == 8 and meta["hash_family"] == "xxhash64"
+    train = spark.createDataFrame([Row(doc_id=1, text="a q1 q2 q3 q4 q5 q6 q7 q8 b")])
+    with pytest.raises(ValueError, match="k=8"):
+        duplicate_spans(
+            train, id_col="doc_id", text_col="text",
+            k=6, hash_family="xxhash64", reference_keys=keys,
+        )

@@ -52,3 +52,28 @@ def test_missing_dir_is_noop():
     env: dict = {}
     apply_scale_env("/nonexistent/path/xyz", env)
     assert env == {}
+
+
+def test_env_applied_after_import_reaches_session_conf(monkeypatch):
+    """r9 review finding: session.py used to read the sizing env at
+    IMPORT time, so apply_scale_env (which every in-process sweep
+    harness calls AFTER importing the engine) was a silent no-op and
+    sf100 sweeps ran at 8g/32 while printing the sized banner. Pin the
+    fix: the env must be resolved when get_spark builds its conf."""
+    import bigdataproject_spark.session as session_mod
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "256")
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # the import-time snapshot must not pin these keys
+    assert "spark.sql.shuffle.partitions" not in session_mod._DEFAULTS
+    assert "spark.driver.memory" not in session_mod._DEFAULTS
+    # and get_spark's own conf resolution must see the post-import env
+    conf = session_mod._resolve_conf()
+    assert conf["spark.sql.shuffle.partitions"] == "256"
+    assert conf["spark.driver.memory"] == "32g"
+    # caller overrides still win over the env
+    conf = session_mod._resolve_conf({"spark.sql.shuffle.partitions": "8"})
+    assert conf["spark.sql.shuffle.partitions"] == "8"
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE")
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+    assert session_mod._resolve_conf()["spark.sql.shuffle.partitions"] == "32"
