@@ -305,3 +305,80 @@ def test_packing_invariants(spark, tokens, target):
     for _, p, n in out:
         totals[p] = totals.get(p, 0) + n
     assert all(t < target + max(tokens) for t in totals.values())
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_span_dedup_matches_bruteforce(spark, docs, k):
+    """Span dedup ≡ a pure-Python brute force on tiny random corpora:
+    same maximal spans (duplicated k-gram starts merged over overlap
+    AND adjacency), same cleaned text, and conservation of tokens —
+    small vocab maximizes collisions, so internal repeats, cross-doc
+    shares and island merges all occur."""
+    from bigdataproject_spark.operators.spandedup import (
+        remove_duplicate_spans,
+        span_dedup_stats,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # brute force: split exactly like the engine (split('', ' ') == [''])
+    toks_by_doc = {i: t.split(" ") for i, t in rows}
+    from collections import Counter
+
+    counts = Counter(
+        " ".join(t[s : s + k])
+        for t in toks_by_doc.values()
+        if len(t) >= k
+        for s in range(len(t) - k + 1)
+    )
+    spans_by_doc = {}
+    for i, t in toks_by_doc.items():
+        starts = [
+            s
+            for s in range(len(t) - k + 1)
+            if len(t) >= k and counts[" ".join(t[s : s + k])] >= 2
+        ]
+        merged = []
+        for s in starts:
+            if merged and s <= merged[-1][1]:  # overlap or adjacency
+                merged[-1] = (merged[-1][0], max(merged[-1][1], s + k))
+            else:
+                merged.append((s, s + k))
+        if merged:
+            spans_by_doc[i] = merged
+
+    stats = {
+        r.doc_id: r
+        for r in span_dedup_stats(
+            df, id_col="doc_id", text_col="text", k=k
+        ).collect()
+    }
+    clean = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicate_spans(
+            df, id_col="doc_id", text_col="text", k=k
+        ).collect()
+    }
+    assert set(stats) == set(toks_by_doc)
+    for i, t in toks_by_doc.items():
+        want = spans_by_doc.get(i, [])
+        dup = sum(e - s for s, e in want)
+        assert stats[i].n_dup_spans == len(want), (i, k, rows)
+        assert stats[i].dup_tokens == dup, (i, k, rows)
+        assert stats[i].total_tokens == len(t)
+        cut = set()
+        for s, e in want:
+            cut.update(range(s, e))
+        want_clean = " ".join(tok for j, tok in enumerate(t) if j not in cut)
+        assert clean[i] == want_clean, (i, k, rows)
