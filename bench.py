@@ -81,7 +81,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bigdataproject-bench")
-    reg = registry()
+    # The headline set is FROZEN for cross-round comparability; r10
+    # moved textstats_quality's registry slot into the merged
+    # text_quality_langid entry, but the standalone query (byte-
+    # identical plan) stays alive in EXTRA_PARITY — resolve from both
+    # so the benched plan never changes shape across rounds.
+    from bigdataproject_spark.queries_pipeline import EXTRA_PARITY
+
+    reg = {**EXTRA_PARITY, **registry()}
 
     # warmup: JVM + whole-stage-codegen compile + parquet footer caches,
     # one pass over every headline query so the timed pass measures

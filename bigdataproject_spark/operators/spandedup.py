@@ -338,6 +338,65 @@ def span_dedup_stats(
     )
 
 
+def span_dedup_report(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_count: int = 2,
+    hash_family: str = "md5",
+    reference_keys: DataFrame | None = None,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Stats AND removal in ONE plan: (doc_id, n_dup_spans, dup_tokens,
+    total_tokens, dup_frac, clean_text) over ALL docs. The spans are
+    computed once — the per-doc aggregate collects the span list (for
+    the higher-order-filter cut) and the counts (for the report) in the
+    SAME groupBy, so the gram shuffle, the semi-join, and the island
+    merge are paid exactly once where running :func:`span_dedup_stats`
+    then :func:`remove_duplicate_spans` would pay them twice. This is
+    the shape a real pipeline wants anyway: threshold on dup_frac and
+    keep the cleaned text of the survivors without a second pass."""
+    spans = duplicate_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        min_count=min_count,
+        hash_family=hash_family,
+        reference_keys=reference_keys,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
+    )
+    base = _tokens(docs, id_col, text_col)
+    joined = base.join(per_doc, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            "spans", F.array().cast("array<struct<span_start:int,span_end:int>>")
+        ),
+    )
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    total = F.size("toks").cast("long")
+    return joined.select(
+        "doc_id",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        total.alias("total_tokens"),
+        F.round(F.coalesce("dup_tokens", F.lit(0)) / total, 6).alias("dup_frac"),
+        F.concat_ws(" ", kept).alias(out_col),
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     *,

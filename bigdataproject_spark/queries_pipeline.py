@@ -618,10 +618,17 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from bigdataproject_spark.functions.tokenize import DEFAULT_STOPWORDS  # noqa: E402
 
 _SQL_SW = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
-ORACLE_TEXTSTATS = f"""
-WITH t AS (
-  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
-), f AS (
+
+# Shared oracle fragments (r10: the standalone textstats / lang_id
+# oracles and the merged text_quality_langid oracle must stay ONE
+# definition each — a fix applied to a drifted copy would make one
+# oracle silently validate different semantics than the operator; same
+# rule as the span-dedup CTEs below). All assume the ``t`` CTE
+# (doc_id, lang, text, toks) in scope.
+
+_T_DOCS_CTE = f"t AS (SELECT doc_id, lang, text, {_SQL_TOKENS} AS toks FROM documents)"
+
+_TEXTSTATS_CTES = f"""f AS (
   SELECT doc_id,
          length(text) AS n_chars,
          len(toks) AS n_tokens,
@@ -659,14 +666,19 @@ WITH t AS (
            coalesce(bgc.maxc, 0) * 1.0 / (bg.n_tokens - 1)
            ELSE 0.0 END, 4) AS top_bigram_ratio
   FROM bg LEFT JOIN bgc USING (doc_id)
-)
-SELECT f.doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+)"""
+
+_TEXTSTATS_COLS = """CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        mean_token_len, stopword_ratio, punct_ratio,
        dup_token_ratio, rep.top_bigram_ratio AS top_bigram_ratio,
        CAST(round(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
            + 0.3 * (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
-           + 0.3 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS DOUBLE) AS quality
+           + 0.3 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS DOUBLE) AS quality"""
+
+ORACLE_TEXTSTATS = f"""
+WITH {_T_DOCS_CTE}, {_TEXTSTATS_CTES}
+SELECT f.doc_id, {_TEXTSTATS_COLS}
 FROM f JOIN rep USING (doc_id) ORDER BY f.doc_id
 """
 
@@ -708,21 +720,78 @@ _TIE_CASE = " ".join(
     + f" THEN '{l}'"
     for l in _LANGS
 )
-ORACLE_LANG_ID = f"""
-WITH t AS (
-  SELECT doc_id, lang, text, {_SQL_TOKENS} AS toks FROM documents
-), c AS (
+_LANG_CTE = f"""c AS (
   SELECT doc_id, lang, text, {_lang_counts_sql()} FROM t
-)
-SELECT doc_id, lang AS lang_actual,
+)"""
+
+_LANG_COLS = f"""lang AS lang_actual,
        CASE WHEN greatest({", ".join("c_" + l for l in _LANGS)}) = 0 THEN 'und'
             {_TIE_CASE}
             ELSE 'und' END AS lang_pred,
        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
             AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '{BPEISH_PATTERN.replace(chr(39), chr(39) * 2)}'))
-            AS BIGINT) AS n_bpe_tokens
+            AS BIGINT) AS n_bpe_tokens"""
+
+ORACLE_LANG_ID = f"""
+WITH {_T_DOCS_CTE}, {_LANG_CTE}
+SELECT doc_id, {_LANG_COLS}
 FROM c ORDER BY doc_id
+"""
+
+
+def q_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score + marker-word language ID +
+    token counting, consolidated into ONE map pass (r10: the r9
+    ANN-merge trick applied to the per-doc text-analysis family — both
+    operators stay independently hash-checked via their columns, the
+    standalone queries stay alive in EXTRA_PARITY, and the freed
+    registry slot gives the span-dedup family its standing driver
+    row). Strictly harder than either half: one tokenize feeds the
+    quality features, the repetition features, AND the lang-ID argmax,
+    so codegen sharing across the two operator families is itself under
+    test. Same two-step projection discipline as q_textstats (see its
+    docstring for the CollapseProject reasoning); zero shuffles."""
+    docs = _docs_tokens(spark, sf_dir, fan=True).withColumn(
+        "tokens_h", hashed_tokens_expr("tokens")
+    )
+    feats = quality_features("text", "tokens")
+    reps = repetition_features("tokens_h", prehashed=True)
+    tc = token_counts("text")
+    with_feats = docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        reps["dup_token_ratio"].alias("dup_token_ratio"),
+        reps["top_bigram_ratio"].alias("top_bigram_ratio"),
+        F.col("lang").alias("lang_actual"),
+        lang_id_expr("tokens").alias("lang_pred"),
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+        tc["n_bpe_tokens"].alias("n_bpe_tokens"),
+    )
+    named = {k: F.col(k) for k in
+             ("n_chars", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio")}
+    return with_feats.select(
+        "doc_id",
+        *named,
+        "dup_token_ratio",
+        "top_bigram_ratio",
+        quality_score_expr(named).alias("quality"),
+        "lang_actual",
+        "lang_pred",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+    )
+
+
+ORACLE_TEXT_QUALITY_LANGID = f"""
+WITH {_T_DOCS_CTE}, {_TEXTSTATS_CTES}, {_LANG_CTE}
+SELECT f.doc_id, {_TEXTSTATS_COLS},
+       {_LANG_COLS}
+FROM f JOIN rep USING (doc_id) JOIN c USING (doc_id) ORDER BY f.doc_id
 """
 
 
@@ -1179,8 +1248,13 @@ PIPELINE_QUERIES = {
     # q_ann_indexed). The standalone queries + oracles stay alive in
     # EXTRA_PARITY below.
     "ann_indexed_topk": _q(q_ann_indexed, ORACLE_ANN_INDEXED),
-    "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
-    "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
+    # r10: textstats_quality + lang_id absorbed into one single-pass
+    # entry (same per-doc map-pass family, identical row shape — the
+    # r9 ANN-merge trick). The standalone queries + oracles stay alive
+    # in EXTRA_PARITY below; the freed slot is span_dedup_report's
+    # standing driver row (registered after its oracle fragments, at
+    # the bottom of this module).
+    "text_quality_langid": _q(q_text_quality_langid, ORACLE_TEXT_QUALITY_LANGID),
     "doc_fingerprint": _q(q_fingerprint, ORACLE_FINGERPRINT),
     "contamination_check": _q(q_contamination, ORACLE_CONTAMINATION),
     "multimodal_meta": _q(q_multimodal_meta, ORACLE_MULTIMODAL_META),
@@ -1320,6 +1394,52 @@ GROUP BY b.doc_id
 """
 
 
+def q_span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-dedup family's standing driver row (r10): stats AND
+    removal in one plan — (doc_id, n_dup_spans, dup_tokens,
+    total_tokens, dup_frac, clean_text) with k=8 md5 grams. Strictly
+    harder than either standalone half (which stay alive in
+    EXTRA_PARITY): the shared groupBy must produce the span list for
+    the higher-order-filter cut and the counts for the report from ONE
+    island merge, so a bug in either consumer path breaks the hash."""
+    from bigdataproject_spark.operators.spandedup import span_dedup_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_report(
+        docs, id_col="doc_id", text_col="text", k=8, hash_family="md5"
+    )
+
+
+ORACLE_SPAN_DEDUP_REPORT = f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+{_span_gram_cte()},
+dups AS (SELECT key FROM g GROUP BY key HAVING count(*) >= 2),
+hits AS (SELECT doc_id, start FROM g WHERE key IN (SELECT key FROM dups)),
+{_SPAN_ISLANDS_SQL},
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+{_span_cut_sql()},
+clean AS (
+  SELECT b.doc_id,
+         coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+  FROM base b LEFT JOIN kept k USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT tk.doc_id,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       len(tk.t) AS total_tokens,
+       round(coalesce(p.dup_tokens, 0) / CAST(len(tk.t) AS DOUBLE), 6)
+         AS dup_frac,
+       c.clean_text AS clean_text
+FROM tk LEFT JOIN per_doc p USING (doc_id)
+JOIN clean c USING (doc_id)
+"""
+
+
 def q_span_decontam_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level DECONTAMINATION (the surgical sibling of
     `contamination_check`): training docs (the ~95% md5-keyrange
@@ -1369,6 +1489,13 @@ GROUP BY b.doc_id
 """
 
 
+# r10: the span-dedup family's driver row — registered here because
+# the query composes the shared oracle CTE fragments defined above the
+# span queries; the registry dict itself is declared before them.
+PIPELINE_QUERIES["span_dedup_report"] = _q(
+    q_span_dedup_report, ORACLE_SPAN_DEDUP_REPORT
+)
+
 EXTRA_PARITY = {
     "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
@@ -1376,5 +1503,8 @@ EXTRA_PARITY = {
     "span_dedup_stats": _q(q_span_dedup_stats, ORACLE_SPAN_DEDUP_STATS),
     "span_dedup_clean": _q(q_span_dedup_clean, ORACLE_SPAN_DEDUP_CLEAN),
     "span_decontam_clean": _q(q_span_decontam_clean, ORACLE_SPAN_DECONTAM_CLEAN),
+    # r10: the standalone halves of the text_quality_langid merge.
+    "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
+    "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
     **_extra_parity_extended(),
 }

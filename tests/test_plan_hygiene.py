@@ -46,8 +46,10 @@ def test_plan_hygiene(spark, sf_dir, name):
 # ROUND-ROBIN fan-out (readers.fan_out — fires only when input splits <
 # parallelism, i.e. never at scale), pinned separately below.
 _MAX_SHUFFLES = {
-    "textstats_quality": 0,
-    "lang_id": 0,  # absorbed token_count (r4) — still one map pass
+    # r10 merge of textstats_quality + lang_id (which had absorbed
+    # token_count in r4) — the whole text-analysis family is still ONE
+    # zero-shuffle map pass
+    "text_quality_langid": 0,
     "doc_fingerprint": 0,
     "dedup_exact": 1,  # one hash-agg exchange on the digest
     "pii_redact": 0,  # chained regexp_replace is one codegen map pass
@@ -92,7 +94,7 @@ def test_shuffle_budget(spark, sf_dir, name):
     assert n <= _MAX_SHUFFLES[name], f"{name}: {n} shuffles in plan"
 
 
-_FAN_OUT_QUERIES = ["textstats_quality", "lang_id", "doc_fingerprint"]
+_FAN_OUT_QUERIES = ["text_quality_langid", "doc_fingerprint"]
 
 
 @pytest.mark.parametrize("name", _FAN_OUT_QUERIES)

@@ -260,6 +260,7 @@ def test_spandedup_plan_hygiene(spark, sf_dir):
 
     from bigdataproject_spark.operators.spandedup import (
         remove_duplicate_spans,
+        span_dedup_report,
         span_dedup_stats,
     )
 
@@ -267,6 +268,9 @@ def test_spandedup_plan_hygiene(spark, sf_dir):
     for df in (
         span_dedup_stats(docs, id_col="doc_id", text_col="text", k=8),
         remove_duplicate_spans(docs, id_col="doc_id", text_col="text", k=8),
+        # the r10 merged report must pay the SAME two exchanges as either
+        # standalone half — that single shared plan is its entire point
+        span_dedup_report(docs, id_col="doc_id", text_col="text", k=8),
     ):
         plan = _plan(df)
         assert "CartesianProduct" not in plan

@@ -284,3 +284,29 @@ def test_persisted_index_config_survives_roundtrip(spark, tmp_path):
             train, id_col="doc_id", text_col="text",
             k=6, hash_family="xxhash64", reference_keys=keys,
         )
+
+
+def test_span_dedup_report_matches_halves(docs):
+    """The r10 merged report must agree column-for-column with the
+    standalone stats and clean paths on the hand-computed corpus — the
+    shared groupBy (span list + counts in ONE aggregate) is the only
+    thing that differs, so any divergence is a merge bug."""
+    from bigdataproject_spark.operators.spandedup import span_dedup_report
+
+    rep = {
+        r.doc_id: r
+        for r in span_dedup_report(
+            docs, id_col="doc_id", text_col="text", k=K
+        ).collect()
+    }
+    stats = {
+        r.doc_id: r
+        for r in span_dedup_stats(
+            docs, id_col="doc_id", text_col="text", k=K
+        ).collect()
+    }
+    assert set(rep) == {i for i, _ in CORPUS}
+    for i, _ in CORPUS:
+        assert rep[i].clean_text == EXPECTED_CLEAN[i], i
+        for col in ("n_dup_spans", "dup_tokens", "total_tokens", "dup_frac"):
+            assert getattr(rep[i], col) == getattr(stats[i], col), (i, col)
