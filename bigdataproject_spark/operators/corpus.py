@@ -178,8 +178,18 @@ def clean_corpus(
         text_col=text_col,
         k=span_dedup_k,
         hash_family=span_hash_family,
-    ).select(F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col))
-    return kept.drop(text_col).join(cleaned, id_col).select(*docs.columns)
+    ).select(F.col("doc_id").alias(id_col), F.col("clean_text").alias("_span_clean"))
+    # the span cut tokenizes NULL text as '' — an untouched NULL-text
+    # doc must come back as NULL, not '', or the "same rows, shorter
+    # text" transform contract breaks for docs the cut never touched
+    return (
+        kept.join(cleaned, id_col)
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNotNull(), F.col("_span_clean")),
+        )
+        .select(*docs.columns)
+    )
 
 
 def funnel_stats(funnel: DataFrame) -> DataFrame:

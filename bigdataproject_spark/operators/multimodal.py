@@ -239,13 +239,23 @@ def decode_png(payload: bytes):
             rec = row
         elif ftype == 2:  # Up — no left dependency, vectorized
             rec = (row + prev) & 0xFF
-        elif ftype in (1, 3, 4):
+        elif ftype == 1:
+            # Sub is a per-channel cumulative sum mod 256 (mod is
+            # homomorphic over addition, so one masked cumsum is exact);
+            # int64 accumulator keeps the unmasked sum overflow-free at
+            # any supported width. The most common filter in real
+            # encoders — worth lifting out of the per-pixel loop that
+            # Average/Paeth still use (seam-prover; production swaps in
+            # a C codec).
+            rec = (
+                np.cumsum(row.reshape(width, channels), axis=0, dtype=np.int64)
+                & 0xFF
+            ).astype(np.int32).reshape(stride)
+        elif ftype in (3, 4):
             rec = row.copy()
             for x in range(stride):
                 a = int(rec[x - channels]) if x >= channels else 0
-                if ftype == 1:
-                    rec[x] = (rec[x] + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     rec[x] = (rec[x] + ((a + int(prev[x])) >> 1)) & 0xFF
                 else:  # Paeth predictor
                     b = int(prev[x])
@@ -524,6 +534,14 @@ def resize_images(
 
     if codec not in (None, "bmp", "png"):
         raise ValueError(f"unknown resize codec {codec!r} (supported: 'bmp', 'png')")
+    if codec is not None and fake:
+        # mutually exclusive: the caller asked for the deterministic
+        # stub AND a real codec — silently preferring the codec would
+        # hand back real re-encoded media to a caller who believes the
+        # output is the stub (loud-guard contract of this module)
+        raise ValueError(
+            f"fake=True contradicts codec={codec!r} — pass one or the other"
+        )
     if codec is None:
         _require_codecs(fake, "image resize")
     if width <= 0 or height <= 0:

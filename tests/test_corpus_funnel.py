@@ -164,3 +164,26 @@ def test_clean_corpus_span_dedup_stage(spark):
         ).collect()
     }
     assert md5 == got
+
+
+def test_clean_corpus_span_stage_preserves_null_text(spark):
+    """A kept doc with NULL text must come back with NULL text, not ''
+    (the span cut tokenizes NULL as '' internally; the transform
+    contract is 'same rows, shorter text' for untouched docs). NULL
+    text only survives the funnel under permissive thresholds — which
+    is exactly the config an audit pipeline uses."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma delta epsilon zeta eta theta x y")],
+        "doc_id long, text string",
+    ).withColumn(
+        "tokens",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda x: x != ""),
+    )
+    out = {
+        r.doc_id: r.text
+        for r in clean_corpus(
+            docs, span_dedup_k=8, languages=("und", "en"), min_quality=0.0
+        ).collect()
+    }
+    assert 1 in out and out[1] is None
+    assert out[2] == "alpha beta gamma delta epsilon zeta eta theta x y"

@@ -349,3 +349,15 @@ def test_wav_roundtrip_and_seam(spark):
     )
     with pytest.raises(Exception):
         extract_features(junk, codec="wav").collect()
+
+
+def test_resize_rejects_codec_with_fake(spark):
+    """codec= and fake=True are mutually exclusive — silently preferring
+    the codec would hand real re-encoded media to a caller who believes
+    they requested the deterministic stub."""
+    from bigdataproject_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"x")], "asset_id long, payload binary")
+    for codec in ("bmp", "png"):
+        with pytest.raises(ValueError, match="fake=True contradicts codec"):
+            resize_images(df, width=2, height=2, codec=codec, fake=True)
