@@ -71,18 +71,21 @@ def write_minhash_index(
     applicationId) gates the healing of pre-versioned crash debris on
     the append path.
 
-    REBUILD torn-window contract (r8-end driver ADVICE): on an
-    already-versioned index a rebuild publishes the two tables as two
-    INDEPENDENT generation flips with no cross-table atomicity — a
-    crash between them serves NEW bands paired with OLD shingles until
-    the rebuild is re-run. That window is crash-safe BY RE-RUN, not by
-    construction: the crashed rebuild leaves its lease behind (same
-    ``lease_owner`` steals it back; appends from other owners fail
-    loudly against it, so the torn pair cannot be silently appended
-    to), and re-running the rebuild to completion is the required
-    recovery. The append-path ordering rationale above does not
-    transfer: for a whole-corpus overwrite neither publish order leaves
-    a consistent index mid-crash, so the contract is the honest fix.
+    REBUILD atomicity (r10, closing the r8-end driver ADVICE window by
+    construction): on an already-versioned index a rebuild writes BOTH
+    tables' next generations fully, then publishes them with ONE
+    atomic pair-pointer flip (``pair.version``,
+    operators/versioned.py:publish_pair) that outranks the per-table
+    pointers in resolution — a reader can never observe NEW bands next
+    to OLD shingles. A crash before the flip leaves two complete
+    orphan generations (standard one-cycle grace, re-run rebuilds
+    cleanly over them); a crash after it leaves only lagging per-table
+    pointers, healed by the next publish. The crashed rebuild still
+    leaves its lease behind (same ``lease_owner`` steals it back;
+    appends from other owners fail loudly against it). A NEVER-
+    versioned (legacy flat) index keeps the r7 in-place overwrite —
+    documented reader-unsafe during the rewrite; compact once to enter
+    the versioned layout if rebuilds must be concurrent with readers.
 
     The same (num_hashes, bands, hash_family) MUST be used for every
     write and query against one index path — band keys from different
@@ -91,7 +94,7 @@ def write_minhash_index(
     arguments of :func:`incremental_minhash_pairs`)."""
     from bigdataproject_spark.operators.versioned import (
         TableMissingError,
-        publish_version,
+        publish_pair,
         table_live_dir,
         table_overwrite_target,
         table_read_dir,
@@ -125,6 +128,10 @@ def write_minhash_index(
 
     acquire_lease(spark, path, owner)
     try:
+        # stage BOTH tables' rewrites first, publish once: no crash
+        # point between the two writes is observable (nothing flips
+        # until both generations are complete on disk)
+        staged: dict[str, tuple[int, str | None]] = {}
         for table, frame in (("bands", band_df), ("shingles", prep)):
             try:
                 prev = table_read_dir(spark, path, table)
@@ -133,7 +140,8 @@ def write_minhash_index(
             tgt, ver = table_overwrite_target(spark, path, table)
             frame.write.mode("overwrite").parquet(tgt)
             if ver is not None:
-                publish_version(spark, path, table, ver, prev)
+                staged[table] = (ver, prev)
+        publish_pair(spark, path, staged)
     finally:
         release_lease(spark, path, owner)
 

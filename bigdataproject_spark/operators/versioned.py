@@ -76,8 +76,10 @@ __all__ = [
     "complete_versions",
     "n_parquet_files",
     "touch",
+    "pair_versions",
     "pointer_version",
     "publish_cadence",
+    "publish_pair",
     "publish_version",
     "table_live_dir",
     "table_overwrite_target",
@@ -140,6 +142,10 @@ def n_parquet_files(spark, dirpath: str) -> int:
 
 def _pointer_path(path: str, table: str) -> str:
     return f"{path}/{table}.version"
+
+
+def _pair_path(path: str) -> str:
+    return f"{path}/pair.version"
 
 
 def _fs(spark, pathstr: str):
@@ -209,6 +215,106 @@ def pointer_version(spark, path: str, table: str) -> int | None:
             return None
     assert last_io is not None
     raise last_io
+
+
+def _atomic_replace(spark, filepath: str, content: str) -> None:
+    """Atomically replace a tiny control file (pointer / pair) —
+    ``FileContext.rename(OVERWRITE)`` where available, delete-then-
+    rename fallback otherwise (the brief absent window is covered by
+    resolution's fallbacks)."""
+    fs, _, jvm = _fs(spark, filepath)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = f"{filepath}__tmp"
+    out = fs.create(Path(tmp), True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            Path(filepath).toUri(), spark._jsc.hadoopConfiguration()
+        )
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        arr = spark.sparkContext._gateway.new_array(ren, 1)
+        arr[0] = ren.OVERWRITE
+        fc.rename(Path(tmp), Path(filepath), arr)
+    except Exception:
+        fs.delete(Path(filepath), False)
+        if not fs.rename(Path(tmp), Path(filepath)):
+            raise IOError(
+                f"_atomic_replace: rename {tmp} -> {filepath} failed"
+            )
+
+
+def pair_versions(spark, path: str) -> dict[str, int] | None:
+    """The PAIRED pointer (r10): ``{path}/pair.version`` names the
+    generation of EVERY pair-managed table in one atomically-replaced
+    file (lines of ``table=N``), so a multi-table rebuild publishes
+    with a SINGLE flip and a reader can never observe one table's new
+    generation next to another's old one (the rebuild torn-window the
+    r9 contract documented as crash-safe-by-re-run is now unobservable
+    by construction). Returns None when the file is absent or torn
+    (resolution then degrades to the per-table pointers — the same
+    hint-not-dependency philosophy as :func:`pointer_version`); a
+    genuine transient IO failure propagates after one retry for the
+    same reason it does there."""
+    fs, _, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_pair_path(path))
+    if not fs.exists(p):
+        return None
+    last_io: Exception | None = None
+    for _ in range(2):
+        try:
+            raw = read_tiny_file(fs, p, cap=512)
+        except Exception as ex:
+            if _java_exception_names(ex) & set(_POINTER_ABSENT_JAVA_EXCS):
+                return None
+            last_io = ex
+            continue
+        out: dict[str, int] = {}
+        for line in raw.strip().splitlines():
+            name, _, gen = line.strip().partition("=")
+            if not name or not gen:
+                return None  # torn content — degrade, never guess
+            try:
+                out[name] = int(gen)
+            except ValueError:
+                return None
+        return out or None
+    assert last_io is not None
+    raise last_io
+
+
+def _write_pair(spark, path: str, versions: dict[str, int]) -> None:
+    body = "\n".join(f"{t}={int(v)}" for t, v in sorted(versions.items()))
+    _atomic_replace(spark, _pair_path(path), body)
+
+
+def publish_pair(
+    spark, path: str, tables: dict[str, tuple[int, str | None]]
+) -> None:
+    """Publish SEVERAL tables' new generations as ONE atomic flip:
+    ``tables`` maps table name -> (version_to_publish, prev_live_dir)
+    — the (directory, version) pairs :func:`table_overwrite_target`
+    returned, all directories fully written first. The pair file is
+    replaced once, naming every table's new generation (entries for
+    tables not in this publish are carried forward), and only then are
+    the per-table pointers flipped and grace-window GC run via
+    :func:`publish_version` — which sees the pair already naming the
+    new generations and leaves it untouched, so there is exactly ONE
+    observable transition. Crash matrix: before the pair flip nothing
+    is published (the written generations are complete orphans with
+    the standard one-cycle grace); after it, readers resolve the new
+    consistent pair while stale per-table pointers affect only
+    publish_cadence until the flips complete on re-run."""
+    if not tables:
+        return
+    merged = pair_versions(spark, path) or {}
+    for t, (v, _) in tables.items():
+        merged[t] = int(v)
+    _write_pair(spark, path, merged)
+    for t, (v, prev) in tables.items():
+        publish_version(spark, path, t, v, prev)
 
 
 def publish_cadence(spark, path: str, table: str) -> dict:
@@ -294,9 +400,17 @@ def table_read_dir(spark, path: str, table: str) -> str:
     else the legacy dir, else a pre-versioned crash's recovery copy
     read IN PLACE (``{table}__compacting`` marked complete, then
     ``{table}__old``). NEVER mutates the filesystem. Raises
-    :class:`TableMissingError` when nothing exists."""
+    :class:`TableMissingError` when nothing exists. A PAIR pointer
+    (:func:`pair_versions`) naming the table outranks the per-table
+    pointer: it is the cross-table-consistent announcement, and during
+    a paired publish the per-table pointers lag it."""
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
+    pv = pair_versions(spark, path)
+    if pv is not None and table in pv:
+        d = versioned_dir(path, table, pv[table])
+        if fs.exists(Path(d)):
+            return d
     ptr = pointer_version(spark, path, table)
     if ptr is not None:
         d = versioned_dir(path, table, ptr)
@@ -325,9 +439,16 @@ def table_live_dir(spark, path: str, table: str, owner: str) -> str:
     the caller's own (possibly stale) lease or an unleased index heals;
     another owner's live compaction raises
     :class:`~bigdataproject_spark.operators.lease.LeaseHeldError`
-    instead of racing its swap."""
+    instead of racing its swap. The pair pointer outranks the
+    per-table one, exactly as in :func:`table_read_dir` — an append
+    must land in the generation readers resolve."""
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
+    pv = pair_versions(spark, path)
+    if pv is not None and table in pv:
+        d = versioned_dir(path, table, pv[table])
+        if fs.exists(Path(d)):
+            return d
     ptr = pointer_version(spark, path, table)
     if ptr is not None:
         d = versioned_dir(path, table, ptr)
@@ -409,27 +530,15 @@ def publish_version(
     # be scanning) — grant it the standard one-cycle grace instead of
     # deleting it on the same publish that first supersedes it.
     first_publish = pointer_version(spark, path, table) is None
-    ptr = _pointer_path(path, table)
-    tmp = f"{ptr}__tmp"
-    out = fs.create(Path(tmp), True)
-    try:
-        out.write(bytearray(str(int(version)).encode("utf-8")))
-    finally:
-        out.close()
-    try:
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            Path(ptr).toUri(), spark._jsc.hadoopConfiguration()
-        )
-        ren = jvm.org.apache.hadoop.fs.Options.Rename
-        arr = spark.sparkContext._gateway.new_array(ren, 1)
-        arr[0] = ren.OVERWRITE
-        fc.rename(Path(tmp), Path(ptr), arr)
-    except Exception:
-        fs.delete(Path(ptr), False)
-        if not fs.rename(Path(tmp), Path(ptr)):
-            raise IOError(
-                f"publish_version: pointer rename {tmp} -> {ptr} failed"
-            )
+    # keep a pair-managed table's PAIR entry in sync BEFORE the
+    # per-table flip (the pair outranks the pointer in resolution, so
+    # flipping it first means no crash point ever leaves readers on a
+    # generation this publish is about to GC past its grace cycle)
+    pv = pair_versions(spark, path)
+    if pv is not None and table in pv and pv[table] != int(version):
+        pv[table] = int(version)
+        _write_pair(spark, path, pv)
+    _atomic_replace(spark, _pointer_path(path, table), str(int(version)))
     # GC: everything but the new generation and the grace copy. All
     # generation dirs are direct children of the index root, so keep
     # membership is by basename. A COMPLETE generation newer than
