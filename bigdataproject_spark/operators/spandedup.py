@@ -157,11 +157,17 @@ def decontaminate_spans(
     id_col: str,
     text_col: str,
     out_col: str = "clean_text",
+    spans_broadcast_max_bytes: int = 64 * 1024 * 1024,
+    reference_broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Span-level decontamination against a persisted reference index:
     (doc_id, clean_text) with every k-gram run present in the reference
     cut out. k and hash_family come from the index's pinned meta — the
-    one query signature a scheduled scrub job needs."""
+    one query signature a scheduled scrub job needs.
+    ``spans_broadcast_max_bytes`` passes through to the rebuild-join
+    guard (micro-batch callers pass 0: their base side is already one
+    small batch, and the guard's eager checkpoint per batch would
+    accumulate for no win — see streaming/decontam_stream.py)."""
     keys, k, hash_family = load_reference_gram_index(docs.sparkSession, index_path)
     return remove_duplicate_spans(
         docs,
@@ -171,6 +177,8 @@ def decontaminate_spans(
         hash_family=hash_family,
         reference_keys=keys,
         out_col=out_col,
+        spans_broadcast_max_bytes=spans_broadcast_max_bytes,
+        reference_broadcast_max_bytes=reference_broadcast_max_bytes,
     )
 
 
@@ -183,6 +191,7 @@ def duplicate_gram_hits(
     min_count: int = 2,
     hash_family: str = "md5",
     reference_keys: DataFrame | None = None,
+    reference_broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """(doc_id, start) for every k-gram occurrence whose key appears
     >= ``min_count`` times corpus-wide — or, with ``reference_keys``
@@ -190,7 +199,20 @@ def duplicate_gram_hits(
     the reference set (decontamination mode; ``min_count`` does not
     apply). ``start`` is the 0-based token index of the window's first
     token; a doc shorter than k tokens contributes no grams. Steps 1-3
-    of the module plan."""
+    of the module plan.
+
+    ``reference_broadcast_max_bytes`` (decontam mode only): a frozen
+    eval benchmark's gram set is bounded by contract — broadcasting it
+    keeps the training-side gram table entirely map-side, the same
+    design as doc-level decontam.py. Catalyst's ESTIMATE for a derived
+    reference (an aggregate over an eval split) blows past the
+    auto-broadcast threshold at scale and silently degrades the
+    semi-join to shuffling the FULL corpus gram table (measured: 4.7 GB
+    of a 5M-doc scrub's 4.7 GB total — SCALING.md §span-sf100), so the
+    guard MEASURES the checkpointed key set and hints broadcast under
+    budget; an over-budget reference keeps the honest shuffle join.
+    ``0`` disables (micro-batch streams: the batch side is the small
+    one, and a per-batch checkpoint would accumulate)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     base = _tokens(docs, id_col, text_col)
@@ -239,7 +261,12 @@ def duplicate_gram_hits(
                 f"hash_family={hash_family!r} ({want.simpleString()}) — the "
                 "reference must be built with the same (k, hash_family)"
             )
-        dup_keys = reference_keys.select("key").distinct()
+        dup_keys = _measured_broadcast(
+            reference_keys.select("key").distinct(),
+            F.lit(8).cast("long")
+            + _unsafe_row_slot(F.col("key"), reference_keys.schema["key"].dataType),
+            reference_broadcast_max_bytes,
+        )
     else:
         dup_keys = (
             grams.groupBy("key")
@@ -259,6 +286,7 @@ def duplicate_spans(
     min_count: int = 2,
     hash_family: str = "md5",
     reference_keys: DataFrame | None = None,
+    reference_broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Maximal duplicated spans per doc: (doc_id, span_start, span_end),
     token indices, end exclusive. Overlapping AND back-to-back k-gram
@@ -275,6 +303,7 @@ def duplicate_spans(
         min_count=min_count,
         hash_family=hash_family,
         reference_keys=reference_keys,
+        reference_broadcast_max_bytes=reference_broadcast_max_bytes,
     )
     w = Window.partitionBy("doc_id").orderBy("start")
     prev_end = F.max(F.col("start") + F.lit(k)).over(
@@ -306,6 +335,7 @@ def span_dedup_stats(
     min_count: int = 2,
     hash_family: str = "md5",
     reference_keys: DataFrame | None = None,
+    reference_broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Per-doc duplication report over ALL docs (zero-rows included, so
     the output cardinality is the doc count): (doc_id, n_dup_spans,
@@ -319,6 +349,7 @@ def span_dedup_stats(
         min_count=min_count,
         hash_family=hash_family,
         reference_keys=reference_keys,
+        reference_broadcast_max_bytes=reference_broadcast_max_bytes,
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
@@ -338,6 +369,60 @@ def span_dedup_stats(
     )
 
 
+def _measured_broadcast(df: DataFrame, width, max_bytes: int) -> DataFrame:
+    """localCheckpoint ``df`` (one job — every consumer needs it
+    anyway), MEASURE its unsafe-row bytes via one aggregate over the
+    stored blocks, and broadcast-hint only when ``measured * 2 <=
+    max_bytes`` (2× object-overhead safety factor, the linededup r6
+    protocol). ``max_bytes <= 0`` disables: no checkpoint, no hint."""
+    if max_bytes <= 0:
+        return df
+    df = df.localCheckpoint()
+    row = df.agg(F.sum(width).alias("b")).collect()[0]
+    if int(row["b"] or 0) * 2 <= max_bytes:
+        return F.broadcast(df)
+    return df
+
+
+def _unsafe_row_slot(col, dtype) -> "F.Column":
+    """Per-row UnsafeRow byte width of one column: fixed-width types
+    occupy their 8B slot; string/binary add the 8B-aligned payload on
+    top of the offset/length slot (octet_length, not length — UTF-8)."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    if isinstance(dtype, (StringType, BinaryType)):
+        b = F.coalesce(F.octet_length(col), F.lit(0)).cast("long")
+        return F.shiftleft(F.shiftright(b + F.lit(7), 3), 3) + F.lit(8)
+    return F.lit(8).cast("long")
+
+
+def _guarded_span_side(
+    per_doc: DataFrame, id_type, max_bytes: int, extra_row_bytes: int
+) -> DataFrame:
+    """Measured-byte broadcast guard for the rebuild join's span side —
+    the linededup r6 pattern applied to the r10 sf100 finding: the text
+    rebuild (``base ⟕ per_doc`` on doc_id) is the DOMINANT exchange of
+    span removal once the duplicate-bearing doc set outgrows the
+    auto-broadcast threshold, because the non-broadcast fallback
+    shuffles the ENTIRE tokenized corpus (measured 6.9 of 6.9 GB total
+    at 5M docs with a 267k-doc contaminated set — SCALING.md §span-sf100).
+    Realistic contamination/duplication is a small fraction of the
+    corpus, so: localCheckpoint the span aggregate (one job — every
+    downstream plan needs it anyway), MEASURE its unsafe-row width (8B
+    bitmap + id slot [octet-measured for string ids] + 16B array
+    header + 16B per span struct + ``extra_row_bytes`` for the report's
+    stat columns), and broadcast-hint only under ``max_bytes`` with the
+    2× object-overhead safety factor. ``max_bytes<=0`` disables (the
+    pure-lazy plan). A worst-case fully-duplicated corpus measures over
+    budget and keeps the honest shuffle join."""
+    width = (
+        F.lit(8 + 16 + extra_row_bytes).cast("long")
+        + _unsafe_row_slot(F.col("doc_id"), id_type)
+        + F.size("spans").cast("long") * F.lit(16)
+    )
+    return _measured_broadcast(per_doc, width, max_bytes)
+
+
 def span_dedup_report(
     docs: DataFrame,
     *,
@@ -348,6 +433,8 @@ def span_dedup_report(
     hash_family: str = "md5",
     reference_keys: DataFrame | None = None,
     out_col: str = "clean_text",
+    spans_broadcast_max_bytes: int = 64 * 1024 * 1024,
+    reference_broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Stats AND removal in ONE plan: (doc_id, n_dup_spans, dup_tokens,
     total_tokens, dup_frac, clean_text) over ALL docs. The spans are
@@ -366,11 +453,18 @@ def span_dedup_report(
         min_count=min_count,
         hash_family=hash_family,
         reference_keys=reference_keys,
+        reference_broadcast_max_bytes=reference_broadcast_max_bytes,
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
         F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
+    )
+    per_doc = _guarded_span_side(
+        per_doc,
+        docs.schema[id_col].dataType,
+        spans_broadcast_max_bytes,
+        extra_row_bytes=16,  # the two long stat columns
     )
     base = _tokens(docs, id_col, text_col)
     joined = base.join(per_doc, "doc_id", "left").withColumn(
@@ -407,6 +501,8 @@ def remove_duplicate_spans(
     hash_family: str = "md5",
     reference_keys: DataFrame | None = None,
     out_col: str = "clean_text",
+    spans_broadcast_max_bytes: int = 64 * 1024 * 1024,
+    reference_broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Cut every duplicated span out of the text: (doc_id, clean_text)
     over ALL docs, clean_text = the surviving tokens re-joined with
@@ -414,7 +510,10 @@ def remove_duplicate_spans(
     (few) merged spans carried as an array column — per-token work is
     O(spans) inside codegen, no Python, no second explode. With
     ``reference_keys`` this is span-level DECONTAMINATION: only text
-    leaked from the reference (eval) corpus is cut."""
+    leaked from the reference (eval) corpus is cut.
+    ``spans_broadcast_max_bytes`` guards the rebuild join's span side
+    (see :func:`_guarded_span_side` — at scale this join is the
+    dominant exchange unless the duplicate-bearing set broadcasts)."""
     spans = duplicate_spans(
         docs,
         id_col=id_col,
@@ -423,9 +522,16 @@ def remove_duplicate_spans(
         min_count=min_count,
         hash_family=hash_family,
         reference_keys=reference_keys,
+        reference_broadcast_max_bytes=reference_broadcast_max_bytes,
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    per_doc = _guarded_span_side(
+        per_doc,
+        docs.schema[id_col].dataType,
+        spans_broadcast_max_bytes,
+        extra_row_bytes=0,
     )
     base = _tokens(docs, id_col, text_col)
     joined = base.join(per_doc, "doc_id", "left").withColumn(

@@ -41,8 +41,17 @@ def make_decontam_batch_writer(
     reference index and land (id, clean_text) under batch=N."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # guard off (spans_broadcast_max_bytes=0): the base side IS one
+        # small micro-batch, so the rebuild join is tiny either way,
+        # and the guard's eager localCheckpoint would accumulate one
+        # checkpoint RDD per batch over a long-running stream
         cleaned = decontaminate_spans(
-            batch_df, index_path, id_col=id_col, text_col=text_col
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            spans_broadcast_max_bytes=0,
+            reference_broadcast_max_bytes=0,
         )
         cleaned.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 

@@ -310,3 +310,24 @@ def test_span_dedup_report_matches_halves(docs):
         assert rep[i].clean_text == EXPECTED_CLEAN[i], i
         for col in ("n_dup_spans", "dup_tokens", "total_tokens", "dup_frac"):
             assert getattr(rep[i], col) == getattr(stats[i], col), (i, col)
+
+
+def test_rebuild_join_broadcast_guard(docs):
+    """The r10 measured-byte guard on the rebuild join: a small span
+    side must enter the plan as a broadcast (the corpus never shuffles
+    for the text rebuild), guard=0 must keep the pure-lazy plan with
+    no broadcast hint, and both paths must return identical rows."""
+    from bigdataproject_spark.operators.spandedup import span_dedup_report
+
+    guarded = span_dedup_report(docs, id_col="doc_id", text_col="text", k=K)
+    lazy = span_dedup_report(
+        docs, id_col="doc_id", text_col="text", k=K,
+        spans_broadcast_max_bytes=0,
+    )
+    gplan = guarded._jdf.queryExecution().executedPlan().toString()
+    # the guarded plan's rebuild join is a broadcast join over the
+    # checkpointed span aggregate (scan of an RDD, not a re-derivation)
+    assert "BroadcastHashJoin" in gplan
+    assert "Scan ExistingRDD" in gplan
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(guarded) == rows(lazy)
