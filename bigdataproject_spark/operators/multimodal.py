@@ -21,6 +21,12 @@ audio bytes in-container, with the identical Arrow batch shape the
 stub exercises. :func:`resize_images` additionally has a real path for
 both image codecs (decode → nearest-neighbor → re-encode), so the
 1:1 transform stage emits decodable media, not placeholder bytes.
+r10 adds VIDEO: :func:`decode_avi` demuxes uncompressed RIFF/AVI
+(whose frames are the same DIB layout :func:`decode_bmp` reads), and
+``sample_frames(codec="avi")`` runs the 1:N frame-sampling stage on
+real container bytes, emitting each sampled frame as a standalone
+BMP — every media kind (image, audio, video) now has at least one
+real in-container format behind the seam.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` governs batch memory; the
@@ -355,6 +361,132 @@ def encode_bmp(img) -> bytes:
     return header + info + body
 
 
+def decode_avi(payload: bytes):
+    """Minimal REAL video demuxer — uncompressed 24-bpp AVI (RIFF), the
+    one video flavor decodable with pure public-format parsing: a RIFF
+    chunk walk (``LIST hdrl`` → ``avih`` for dimensions + frame timing,
+    ``strf`` BITMAPINFOHEADER for the pixel format, ``LIST movi`` for
+    the ``00db``/``00dc`` frame chunks) whose frames are BMP-style DIB
+    pixel arrays — bottom-up 4-byte-padded B,G,R rows, the exact layout
+    :func:`decode_bmp` already reads. Returns ``(width, height,
+    usec_per_frame, frames)`` with ``frames`` a list of (H, W, 3) uint8
+    arrays in B,G,R order. Compressed streams, other bit depths, and
+    truncated chunks raise ``ValueError`` — the reject-don't-guess
+    contract of every decoder in this module."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    avih = None
+    strf_ok = False
+    frame_chunks: list[tuple[int, int]] = []  # (offset, size) into payload
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal avih, strf_ok
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body, nxt = pos + 8, pos + 8 + size + (size & 1)
+            if body + size > end:
+                raise ValueError(f"truncated AVI chunk {fourcc!r}")
+            if fourcc == b"LIST":
+                ltype = payload[body : body + 4]
+                walk(body + 4, body + size, in_movi or ltype == b"movi")
+            elif fourcc == b"avih":
+                if size < 40:
+                    raise ValueError("truncated avih header")
+                avih = struct.unpack_from("<10I", payload, body)
+            elif fourcc == b"strf" and size >= 40:
+                _, _, _, _planes, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", payload, body
+                )
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"only uncompressed 24-bpp AVI supported (got "
+                        f"bpp={bpp}, compression={comp})"
+                    )
+                strf_ok = True
+            elif in_movi and fourcc[2:] in (b"db", b"dc"):
+                frame_chunks.append((body, size))
+            pos = nxt
+
+    walk(12, len(payload), False)
+    if avih is None or not strf_ok:
+        raise ValueError("missing avih/strf headers")
+    # MainAVIHeader: [0]=µs/frame … [7]=suggested buffer, [8]=width, [9]=height
+    usec_per_frame, width, height = avih[0], avih[8], avih[9]
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate AVI dimensions {width}x{height}")
+    row_bytes = (width * 3 + 3) & ~3
+    frames = []
+    for off, size in frame_chunks:
+        if size != row_bytes * height:
+            raise ValueError(
+                f"frame chunk size {size} != {row_bytes * height} "
+                f"({width}x{height} 24-bpp DIB)"
+            )
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=size, offset=off
+        ).reshape(height, row_bytes)[:, : width * 3]
+        frames.append(rows.reshape(height, width, 3)[::-1])
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return width, height, usec_per_frame, frames
+
+
+def encode_avi(frames, *, fps: int = 25) -> bytes:
+    """Inverse of :func:`decode_avi` for test fixtures: a list of
+    (H, W, 3) uint8 B,G,R arrays → uncompressed 24-bpp AVI bytes
+    (RIFF → hdrl(avih, strl(strh, strf)) → movi(00db…))."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    height, width, _ = frames[0].shape
+    row_bytes = (width * 3 + 3) & ~3
+    pad = row_bytes - width * 3
+
+    def dib(img) -> bytes:
+        return b"".join(
+            img[r].tobytes() + b"\x00" * pad
+            for r in range(height - 1, -1, -1)
+        )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frame_bytes = row_bytes * height
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, frame_bytes * fps, 0, 0, len(frames), 0, 1,
+        frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHH8I4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), frame_bytes, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes,
+        2835, 2835, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def to_media_assets(
     df: DataFrame, *, id_col: str, payload_col: str, media_type: str
 ) -> DataFrame:
@@ -590,19 +722,41 @@ def resize_images(
 
 
 def sample_frames(
-    assets: DataFrame, *, n_frames: int, frame_interval_ms: int = 1000, fake: bool = False
+    assets: DataFrame,
+    *,
+    n_frames: int,
+    frame_interval_ms: int = 1000,
+    fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Video frame-sampling stage: (asset_id, payload) → FRAME_SCHEMA,
     1:N — each asset row explodes into ``n_frames`` frame rows inside the
     mapInPandas iterator (output cardinality is decided per batch, the
     shape a real demuxer needs).
 
-    STUBBED codec (no av/ffmpeg in this container): ``fake=True`` emits
-    the payload split into n_frames contiguous chunks with synthetic
-    timestamps; ``fake=False`` raises."""
+    ``codec="avi"`` is a REAL path (r10): each payload is demuxed by
+    :func:`decode_avi` (uncompressed RIFF/AVI), the frame nearest each
+    target timestamp ``f * frame_interval_ms`` is selected using the
+    container's OWN timing (``avih`` microseconds-per-frame, clamped to
+    the last frame — the standard one-frame-per-interval sampling), and
+    every sampled frame is re-encoded as a standalone BMP so the output
+    payloads are themselves decodable media, mirroring
+    :func:`resize_images`'s codec path; ``ts_ms`` is the SOURCE frame's
+    container timestamp, not the requested one. The general path
+    (compressed video, no av/ffmpeg in this container) stays honestly
+    STUBBED: ``fake=True`` emits the payload split into n_frames
+    contiguous chunks with synthetic timestamps; ``fake=False`` with no
+    codec raises."""
     import pandas as pd
 
-    _require_codecs(fake, "frame sampling")
+    if codec not in (None, "avi"):
+        raise ValueError(f"unknown frame-sampling codec {codec!r} (supported: 'avi')")
+    if codec is not None and fake:
+        raise ValueError(
+            f"fake=True contradicts codec={codec!r} — pass one or the other"
+        )
+    if codec is None:
+        _require_codecs(fake, "frame sampling")
     if n_frames <= 0:
         raise ValueError(f"n_frames must be positive, got {n_frames}")
 
@@ -611,12 +765,25 @@ def sample_frames(
             ids, idxs, tss, chunks = [], [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 b = payload or b""
-                step = max(1, len(b) // n_frames)
-                for f in range(n_frames):
-                    ids.append(aid)
-                    idxs.append(f)
-                    tss.append(f * frame_interval_ms)
-                    chunks.append(b[f * step : (f + 1) * step])
+                if codec == "avi":
+                    _w, _h, usec, frames = decode_avi(bytes(b))
+                    frame_ms = max(usec, 1) / 1000.0
+                    for f in range(n_frames):
+                        src = min(
+                            int(round(f * frame_interval_ms / frame_ms)),
+                            len(frames) - 1,
+                        )
+                        ids.append(aid)
+                        idxs.append(f)
+                        tss.append(int(src * frame_ms))
+                        chunks.append(encode_bmp(frames[src]))
+                else:
+                    step = max(1, len(b) // n_frames)
+                    for f in range(n_frames):
+                        ids.append(aid)
+                        idxs.append(f)
+                        tss.append(f * frame_interval_ms)
+                        chunks.append(b[f * step : (f + 1) * step])
             yield pd.DataFrame(
                 {
                     "asset_id": ids,

@@ -361,3 +361,78 @@ def test_resize_rejects_codec_with_fake(spark):
     for codec in ("bmp", "png"):
         with pytest.raises(ValueError, match="fake=True contradicts codec"):
             resize_images(df, width=2, height=2, codec=codec, fake=True)
+
+
+def test_avi_roundtrip():
+    """encode_avi → decode_avi is exact: dimensions, frame timing from
+    the container's own avih, and every frame byte-identical."""
+    import numpy as np
+
+    from bigdataproject_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(4)]
+    payload = encode_avi(frames, fps=10)
+    w, h, usec, got = decode_avi(payload)
+    assert (w, h) == (5, 6)
+    assert usec == 100_000  # 10 fps
+    assert len(got) == 4
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+
+
+def test_avi_decoder_rejects_garbage():
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdataproject_spark.operators.multimodal import decode_avi, encode_avi
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFX" + b"\x00" * 64)
+    good = encode_avi([np.zeros((2, 2, 3), dtype=np.uint8)])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_avi(good[:-6])
+
+
+def test_real_avi_frame_sampling_through_seam(spark):
+    """The r10 real video path: a generated 10-frame AVI (frame f is a
+    constant-color image of value f) goes through sample_frames'
+    mapInPandas seam with codec='avi'; the sampled payloads are
+    standalone BMPs that decode back to the EXPECTED source frames at
+    the container's own timestamps."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from bigdataproject_spark.operators.multimodal import (
+        decode_bmp,
+        encode_avi,
+        sample_frames,
+    )
+
+    frames = [
+        np.full((4, 6, 3), f, dtype=np.uint8) for f in range(10)
+    ]  # 10 frames @ 25 fps = 40 ms apart, 360 ms long
+    df = spark.createDataFrame(
+        [Row(asset_id=1, payload=bytearray(encode_avi(frames, fps=25)))]
+    )
+    out = sample_frames(
+        df, n_frames=3, frame_interval_ms=100, codec="avi"
+    ).collect()
+    assert len(out) == 3
+    by_idx = {r.frame_idx: r for r in out}
+    # targets 0/100/200 ms → source frames 0 (0 ms), round(100/40)=2
+    # (80 ms wait: round(2.5)=2 → 80 ms), round(200/40)=5 (200 ms)
+    for f, (src, ts) in {0: (0, 0), 1: (2, 80), 2: (5, 200)}.items():
+        r = by_idx[f]
+        assert r.ts_ms == ts, (f, r.ts_ms)
+        w, h, img = decode_bmp(bytes(r.payload))
+        assert (w, h) == (6, 4)
+        assert int(img[0, 0, 0]) == src, (f, int(img[0, 0, 0]))
+
+
+def test_sample_frames_rejects_codec_with_fake(spark):
+    from bigdataproject_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"x")], "asset_id long, payload binary")
+    with pytest.raises(ValueError, match="fake=True contradicts codec"):
+        sample_frames(df, n_frames=2, codec="avi", fake=True)
