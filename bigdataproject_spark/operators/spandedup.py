@@ -38,6 +38,18 @@ shuffle-width vs collision trade: ``md5`` (default, 128-bit, portable
 to the DuckDB oracle — collision-free in practice) vs ``xxhash64``
 (8-byte shuffle key; ~e-6 false-dup grams per 10^13 grams by birthday
 math — acceptable for cleanup, not for parity checks).
+
+Two measured-byte broadcast guards (r10, the linededup-r6 protocol)
+keep the corpus map-side where Catalyst's estimates would not: the
+REFERENCE key set in decontamination mode (a frozen eval suite is
+small by contract, but its derived-aggregate estimate blows past the
+auto-broadcast threshold and silently degrades the semi-join to
+shuffling the full gram table) and the PER-DOC SPAN set feeding the
+text-rebuild join (realistic contamination is a small fraction of the
+corpus, but just over 10 MB of spans used to shuffle every tokenized
+row). Measured at 5M docs: 6,889 → 122 MB shuffle
+(SPAN_decontam_sf100_r10.json; SCALING.md §span-sf100). Over-budget
+sides decline the hint and keep the honest shuffle join.
 """
 
 from __future__ import annotations
