@@ -643,6 +643,8 @@ def index_health(spark: SparkSession, path: str) -> dict:
         table_read_dir,
     )
 
+    from bigdataproject_spark.operators.versioned import pair_versions
+
     out: dict = {}
     for table in ("bands", "shingles"):
         rep = publish_cadence(spark, path, table)
@@ -653,4 +655,9 @@ def index_health(spark: SparkSession, path: str) -> dict:
         except TableMissingError:
             rep["files"] = None
         out[table] = rep
+    # the r10 paired pointer, when present, is what readers actually
+    # resolve — after a crashed paired publish the per-table cadence
+    # generations LAG it, so a monitor comparing the two sees the
+    # healing debt directly (pair[t] > generation[t] ⇒ re-run pending)
+    out["pair"] = pair_versions(spark, path)
     return out

@@ -238,3 +238,21 @@ def test_publish_pair_carries_foreign_entries_forward(spark, tmp_path):
     spark.range(2).write.parquet(f"{root}/a-v2")
     versioned.publish_pair(spark, root, {"a": (2, f"{root}/a-v1")})
     assert pair_versions(spark, root) == {"a": 2, "b": 1}
+
+
+def test_index_health_reports_pair(spark, tmp_path):
+    """index_health must surface the pair pointer readers resolve: a
+    crashed paired publish leaves per-table cadence generations LAGGING
+    the pair, and the report is where a monitor sees that debt."""
+    from bigdataproject_spark.operators.dedup_index import index_health
+
+    idx = _versioned_index(spark, tmp_path)
+    assert index_health(spark, idx)["pair"] is None  # never rebuilt
+    write_minhash_index(
+        _docs(spark, 1), idx, id_col="doc_id", shingles_col="shingles"
+    )
+    health = index_health(spark, idx)
+    pv = pair_versions(spark, idx)
+    assert health["pair"] == pv and set(pv) == {"bands", "shingles"}
+    for t in ("bands", "shingles"):
+        assert health[t]["generation"] == pv[t]  # clean publish: no lag
