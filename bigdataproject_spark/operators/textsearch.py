@@ -1,0 +1,146 @@
+"""Lexical full-text ranking: BM25 top-k over a document corpus.
+
+The lexical counterpart of operators/simsearch.py's embedding ANN
+family — the retrieval op an LLM-data pipeline uses for eval-set
+mining, targeted corpus slicing, and hybrid (lexical + vector)
+retrieval. Public algorithm: Okapi BM25 (Robertson & Spärck Jones;
+the ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf with the standard
+k1/b saturation — the Lucene-documented flavor). The reference engine
+has no search operator; this is north-star pipeline surface.
+
+Spark-first plan — the query is KNOWN at plan time, so the vocabulary
+is never exploded and nothing document-sized ever shuffles:
+
+  1. ONE map pass over the corpus computes, per doc, the term
+     frequency of each QUERY term (``F.size(F.filter(tokens, ...))``
+     — native higher-order functions inside codegen, |query| counters
+     per row) plus the doc length;
+  2. corpus statistics (N, avgdl, per-term document frequencies) are
+     ONE map-side-combinable aggregate over those counters collapsing
+     to a SINGLE row, which re-enters the plan as a broadcast nested
+     loop join (1 row — constant-folded into the score expression at
+     execution);
+  3. the score is a pure column expression; top-k is the standard
+     TakeOrderedAndProject (no global sort materialization).
+
+At 100 TB this is: one corpus scan, a ~|query|-integer-wide
+aggregate, zero wide shuffles. Scoring M queries batches the same
+scan M ways or unions — for high-QPS serving you would materialize an
+inverted index instead; this operator is the exact-scoring batch path
+(mining, labeling, decontam-adjacent slicing), where rescanning
+columnar parquet beats maintaining an index you query once.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_topk"]
+
+
+def _house_tokens(text_col):
+    """The engine's standard lowercase [a-z0-9]+ tokenizer (identical
+    to queries_pipeline._SQL_TOKENS so oracles stay exact)."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(text_col, F.lit(""))), r"[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Top-``k`` docs for ``query`` by BM25: (doc_id, score), score
+    rounded to 6dp, ties broken by ascending doc_id (deterministic
+    output — same discipline as every ranked query in the registry).
+    Docs matching NO query term score 0 and are excluded. ``query`` is
+    tokenized with the house tokenizer; duplicate query terms count
+    once (standard bag-of-words-query BM25). Pass ``tokens_col`` to
+    rank over a pre-tokenized column instead (tokenization policy
+    stays the caller's, as everywhere in the engine)."""
+    terms = sorted({w for w in re.split(r"[^a-z0-9]+", query.lower()) if w})
+    if not terms:
+        raise ValueError(f"query {query!r} has no tokens")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def _tf(term: str):
+        # NOTE: the lambda must take exactly ONE parameter — a second
+        # parameter makes F.filter pass the element INDEX into it,
+        # silently clobbering any default-arg closure trick
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    toks = F.col(tokens_col) if tokens_col else _house_tokens(F.col(text_col))
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).cast("long").alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+
+    # ONE combinable aggregate → a single stats row, broadcast back in.
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+
+    n = F.col("n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        idf = F.log((n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / denom
+    return (
+        scored.where(
+            sum((F.col(f"tf_{i}") > 0).cast("int") for i in range(len(terms)))
+            > 0
+        )
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_reference(docs: list[tuple], query_terms: list[str], *, k1=1.2, b=0.75):
+    """Pure-Python BM25 for property tests: ``docs`` is
+    [(doc_id, [tokens])]; returns {doc_id: score} over matching docs
+    (unrounded). Deliberately independent of the Spark expression."""
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n if n else 0.0
+    df = {
+        t: sum(1 for _, toks in docs if t in toks) for t in query_terms
+    }
+    out = {}
+    for doc_id, toks in docs:
+        s = 0.0
+        for t in query_terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+            )
+        if s > 0:
+            out[doc_id] = s
+    return out

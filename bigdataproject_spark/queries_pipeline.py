@@ -1489,6 +1489,57 @@ GROUP BY b.doc_id
 """
 
 
+BM25_QUERY = "fast hash join"  # three mid-frequency corpus terms
+_BM25_TERMS = ("fast", "hash", "join")  # sorted, = bm25_topk's split
+_BM25_K = 25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-k retrieval (operators/textsearch.py — the
+    lexical sibling of the ANN family): top-25 documents for a fixed
+    three-term query, scores rounded 6dp, doc_id tiebreak. One corpus
+    map pass + a one-row stats aggregate re-broadcast into the score
+    expression + TakeOrderedAndProject — no vocabulary explode, no
+    wide shuffle. Lives in EXTRA_PARITY (registry at the driver's
+    50-entry cap)."""
+    from bigdataproject_spark.operators.textsearch import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY, k=_BM25_K)
+
+
+def _oracle_bm25() -> str:
+    """DuckDB BM25 generated from the SAME term tuple so the score
+    expression (term order included — float addition is not
+    associative) cannot drift from the operator."""
+    tfs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # identical operand order to the Spark expression: term 0 + term 1 + ...
+    score = " + ".join(
+        f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+        f" * CAST(tf_{i} AS DOUBLE) * 2.2"
+        f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    matches = " OR ".join(f"tf_{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+pd AS (SELECT doc_id, len(toks) AS dl, {tfs} FROM t),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM pd)
+SELECT doc_id, round({score}, 6) AS score
+FROM pd, s
+WHERE {matches}
+ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
 # r10: the span-dedup family's driver row — registered here because
 # the query composes the shared oracle CTE fragments defined above the
 # span queries; the registry dict itself is declared before them.
@@ -1506,5 +1557,7 @@ EXTRA_PARITY = {
     # r10: the standalone halves of the text_quality_langid merge.
     "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
     "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
+    # r10: lexical BM25 retrieval (registry at cap).
+    "bm25_topk": _q(q_bm25_topk, _oracle_bm25()),
     **_extra_parity_extended(),
 }

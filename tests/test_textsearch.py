@@ -1,0 +1,127 @@
+"""BM25 lexical top-k (operators/textsearch.py): hand-computed scores,
+property equivalence against an independent pure-Python reference, and
+the zero-wide-shuffle plan contract."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproject_spark.operators.textsearch import (
+    bm25_reference,
+    bm25_topk,
+)
+
+DOCS = [
+    (1, "spark join hash join fast"),
+    (2, "slow scan table scan"),
+    (3, "hash table fast fast fast"),
+    (4, "join the window sort"),
+    (5, ""),
+    (6, None),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_hand_reference(spark, docs):
+    got = {r.doc_id: r.score for r in bm25_topk(docs, "fast hash join", k=10).collect()}
+    toks = [(i, (t or "").split()) for i, t in DOCS]
+    want = bm25_reference([(i, [w for w in ts if w]) for i, ts in toks], ["fast", "hash", "join"])
+    assert set(got) == set(want)  # zero-score docs excluded
+    for d, s in want.items():
+        assert got[d] == pytest.approx(round(s, 6), abs=1e-6), d
+
+
+def test_bm25_ranking_and_k(spark, docs):
+    rows = bm25_topk(docs, "fast", k=2).collect()
+    assert [r.doc_id for r in rows][0] == 3  # tf=3 beats tf=1
+    assert len(rows) == 2
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_edge_cases(spark, docs):
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(docs, "!!!")
+    with pytest.raises(ValueError, match="k must be positive"):
+        bm25_topk(docs, "fast", k=0)
+    assert bm25_topk(docs, "zzzabsent", k=5).count() == 0
+    # pre-tokenized column path == text path
+    pre = docs.withColumn(
+        "toks",
+        F.filter(
+            F.split(F.lower(F.coalesce("text", F.lit(""))), r"[^a-z0-9]+"),
+            lambda t: t != "",
+        ),
+    )
+    a = sorted(map(tuple, bm25_topk(docs, "fast hash", k=10).collect()))
+    b = sorted(
+        map(tuple, bm25_topk(pre, "fast hash", k=10, tokens_col="toks").collect())
+    )
+    assert a == b
+
+
+def test_bm25_property_vs_reference(spark):
+    """Random corpora: Spark BM25 == the independent pure-Python
+    implementation for every matching doc (scores to 6dp) and the
+    top-k cut respects (score desc, doc_id asc)."""
+    rng = random.Random(20240816)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for trial in range(4):
+        corpus = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+            for i in range(1, 31)
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        qterms = sorted(set(rng.sample(vocab, rng.randint(1, 3))))
+        got = {
+            r.doc_id: r.score
+            for r in bm25_topk(df, " ".join(qterms), k=100).collect()
+        }
+        want = bm25_reference(
+            [(i, t.split()) for i, t in corpus], qterms
+        )
+        assert set(got) == set(want), (trial, qterms)
+        for d in want:
+            assert got[d] == pytest.approx(round(want[d], 6), abs=1e-6), (trial, d)
+
+
+def test_bm25_plan_hygiene(spark, sf_dir, docs):
+    """One corpus map pass + a one-row broadcast stats join +
+    TakeOrderedAndProject: no hash/range exchange wider than the
+    one-row aggregate's, no cartesian over data, no Python."""
+    import re
+
+    from bigdataproject_spark.sources.readers import load_table
+
+    plan = (
+        bm25_topk(load_table(spark, sf_dir, "documents"), "fast hash join", k=25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+    # the only allowed exchanges belong to the ONE-ROW stats aggregate
+    # (partial -> single partition) — never a repartition of the corpus
+    n_exchanges = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n_exchanges == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_reference_sanity():
+    """The pure-Python reference itself: idf monotone in rarity, tf
+    saturation bounded by k1+1."""
+    docs = [(1, ["a", "b"]), (2, ["a"]), (3, ["b", "b", "b", "b"])]
+    s = bm25_reference(docs, ["b"])
+    assert set(s) == {1, 3} and s[3] > s[1]
+    # saturation: score approaches idf*(k1+1) as tf grows
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    assert s[3] < idf * 2.2
