@@ -39,7 +39,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "rrf_fuse"]
 
 
 def _house_tokens(text_col):
@@ -117,6 +117,59 @@ def bm25_topk(
         )
         .select("doc_id", F.round(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of top-k lists (Cormack et al. 2009, the
+    standard hybrid-retrieval combiner): each input ranking contributes
+    ``1 / (rrf_k + rank)`` per doc, summed across lists — fusing e.g. a
+    BM25 list with an ANN cosine list without score calibration.
+    Returns (id_col, rrf_score, n_lists) top-``k`` by fused score,
+    rrf_score rounded 6dp, ties broken by ascending id.
+
+    CONTRACT: the inputs are TOP-K LISTS (each df has ≤ thousands of
+    rows — the output of :func:`bm25_topk` / simsearch's top-k, never a
+    corpus). Ranks are assigned with a single-partition window, which
+    is exactly right at that size and would be wrong on a corpus —
+    fuse after retrieval, not instead of it. Rank order within a list
+    is (score desc, id asc), matching every ranked query in the
+    engine."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k <= 0 or rrf_k <= 0:
+        raise ValueError(f"k and rrf_k must be positive, got k={k} rrf_k={rrf_k}")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    parts = [
+        df.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(rrf_k) + F.row_number().over(w)).cast("double")
+            ).alias("_contrib"),
+        )
+        for df in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_contrib"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
         .limit(k)
     )
 

@@ -1508,17 +1508,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERY, k=_BM25_K)
 
 
-def _oracle_bm25() -> str:
-    """DuckDB BM25 generated from the SAME term tuple so the score
-    expression (term order included — float addition is not
-    associative) cannot drift from the operator."""
+def _bm25_ctes(terms: tuple[str, ...], p: str) -> tuple[str, str]:
+    """(cte_sql, ranked_select) for a DuckDB BM25 over ``terms`` with
+    CTE names prefixed ``p`` (so two rankings compose in one WITH for
+    the RRF oracle). Generated from the SAME term tuple as the Spark
+    query — the score expression (term order included; float addition
+    is not associative) cannot drift from the operator."""
     tfs = ", ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
-        for i, t in enumerate(_BM25_TERMS)
+        for i, t in enumerate(terms)
     )
     dfs = ", ".join(
         f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(_BM25_TERMS))
+        for i in range(len(terms))
     )
     # identical operand order to the Spark expression: term 0 + term 1 + ...
     score = " + ".join(
@@ -1526,17 +1528,67 @@ def _oracle_bm25() -> str:
         f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
         f" * CAST(tf_{i} AS DOUBLE) * 2.2"
         f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-        for i in range(len(_BM25_TERMS))
+        for i in range(len(terms))
     )
-    matches = " OR ".join(f"tf_{i} > 0" for i in range(len(_BM25_TERMS)))
+    matches = " OR ".join(f"tf_{i} > 0" for i in range(len(terms)))
+    ctes = f"""{p}t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+{p}pd AS (SELECT doc_id, len(toks) AS dl, {tfs} FROM {p}t),
+{p}s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM {p}pd)"""
+    select = (
+        f"SELECT doc_id, round({score}, 6) AS score "
+        f"FROM {p}pd, {p}s WHERE {matches}"
+    )
+    return ctes, select
+
+
+def _oracle_bm25() -> str:
+    ctes, select = _bm25_ctes(_BM25_TERMS, "b_")
     return f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
-pd AS (SELECT doc_id, len(toks) AS dl, {tfs} FROM t),
-s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM pd)
-SELECT doc_id, round({score}, 6) AS score
-FROM pd, s
-WHERE {matches}
+WITH {ctes}
+{select}
 ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+_RRF_QUERY_B = "window sort merge"
+_RRF_TERMS_B = ("merge", "sort", "window")
+_RRF_LIST_K = 50
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two BM25 top-50 lists (multi-query
+    retrieval — the same combiner fuses a lexical list with an ANN
+    cosine list in a hybrid stack): (doc_id, rrf_score, n_lists)
+    top-25. Exercises rank assignment, the union-groupBy fuse, and the
+    fused ordering against a DuckDB oracle composed from the SAME BM25
+    fragments."""
+    from bigdataproject_spark.operators.textsearch import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = bm25_topk(docs, BM25_QUERY, k=_RRF_LIST_K)
+    b = bm25_topk(docs, _RRF_QUERY_B, k=_RRF_LIST_K)
+    return rrf_fuse([a, b], k=25)
+
+
+def _oracle_rrf() -> str:
+    ctes_a, sel_a = _bm25_ctes(_BM25_TERMS, "a_")
+    ctes_b, sel_b = _bm25_ctes(_RRF_TERMS_B, "c_")
+    return f"""
+WITH {ctes_a},
+{ctes_b},
+ra AS ({sel_a} ORDER BY score DESC, doc_id LIMIT {_RRF_LIST_K}),
+rb AS ({sel_b} ORDER BY score DESC, doc_id LIMIT {_RRF_LIST_K}),
+xa AS (SELECT doc_id,
+              1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS c
+       FROM ra),
+xb AS (SELECT doc_id,
+              1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS c
+       FROM rb),
+u AS (SELECT * FROM xa UNION ALL SELECT * FROM xb)
+SELECT doc_id, round(sum(c), 6) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 25
 """
 
 
@@ -1557,7 +1609,8 @@ EXTRA_PARITY = {
     # r10: the standalone halves of the text_quality_langid merge.
     "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
     "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
-    # r10: lexical BM25 retrieval (registry at cap).
+    # r10: lexical BM25 retrieval + hybrid RRF fusion (registry at cap).
     "bm25_topk": _q(q_bm25_topk, _oracle_bm25()),
+    "rrf_hybrid": _q(q_rrf_hybrid, _oracle_rrf()),
     **_extra_parity_extended(),
 }

@@ -125,3 +125,28 @@ def test_bm25_reference_sanity():
     # saturation: score approaches idf*(k1+1) as tf grows
     idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
     assert s[3] < idf * 2.2
+
+
+def test_rrf_fuse_semantics(spark):
+    """Hand-computable fusion: doc in both lists beats docs in one;
+    contributions are exactly 1/(60+rank); n_lists counts memberships."""
+    a = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 9.0), (4, 5.0)], "doc_id long, score double"
+    )
+    from bigdataproject_spark.operators.textsearch import rrf_fuse
+
+    rows = {r.doc_id: r for r in rrf_fuse([a, b], k=10).collect()}
+    assert rows[2].n_lists == 2 and rows[1].n_lists == 1
+    assert rows[2].rrf_score == pytest.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-6
+    )
+    assert rows[1].rrf_score == pytest.approx(round(1 / 61, 6), abs=1e-6)
+    order = sorted(rows.values(), key=lambda r: (-r.rrf_score, r.doc_id))
+    assert [r.doc_id for r in order][0] == 2  # both-lists doc wins
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="positive"):
+        rrf_fuse([a], k=0)
