@@ -1,7 +1,8 @@
 """End-to-end composed training-data pipeline measurement:
 
   redact → line dedup (keep-first) → corpus funnel (lang/quality/
-  exact+near dedup) → chunking → training-shard write
+  exact+near dedup) → substring-span removal (r10) → chunking →
+  training-shard write
 
 Usage: python tools/pipeline_bench.py SF_DIR [WORK_DIR]
 
@@ -99,8 +100,27 @@ def main() -> None:
         clean.write.mode("overwrite").parquet(f"{work}/clean")
         return spark.read.parquet(f"{work}/clean").count()
 
+    def s_span_clean() -> int:
+        # r10: the Lee-et-al. FINAL stage measured in composition —
+        # substring-span removal over the funnel's survivors (xxhash64
+        # scale keys; the measured-byte guards decide the join shapes)
+        from bigdataproject_spark.operators.spandedup import (
+            remove_duplicate_spans,
+        )
+
+        docs = spark.read.parquet(f"{work}/clean")
+        spanned = (
+            remove_duplicate_spans(
+                docs, id_col="doc_id", text_col="text", k=8,
+                hash_family="xxhash64",
+            )
+            .withColumnRenamed("clean_text", "text")
+        )
+        spanned.write.mode("overwrite").parquet(f"{work}/span_clean")
+        return spark.read.parquet(f"{work}/span_clean").count()
+
     def s_chunk_shards() -> int:
-        docs = spark.read.parquet(f"{work}/clean").withColumn(
+        docs = spark.read.parquet(f"{work}/span_clean").withColumn(
             "tokens", _tokens()
         )
         chunks = chunk_documents(docs, chunk_tokens=128, overlap=16).select(
@@ -127,6 +147,7 @@ def main() -> None:
     stage("redact", s_redact)
     stage("linededup_keepfirst", s_linededup)
     stage("funnel_clean", s_funnel)
+    stage("span_clean", s_span_clean)
     stage("chunk_and_shard", s_chunk_shards)
     stage("pack_sequences", s_pack)
     print(
