@@ -25,9 +25,21 @@ _ALLOWED_PYTHON = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(REG))
+def _extra():
+    from bigdataproject_spark.queries_pipeline import EXTRA_PARITY
+
+    return EXTRA_PARITY
+
+
+_ALL = {**_extra(), **REG}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL))
 def test_plan_hygiene(spark, sf_dir, name):
-    df = REG[name].fn(spark, sf_dir)
+    """Registry AND the EXTRA_PARITY mirror (r10): the no-cartesian /
+    no-row-at-a-time-Python gate covers every oracled query, not just
+    the 50 the driver checks."""
+    df = _ALL[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
     assert "BatchEvalPython" not in plan, name  # row-at-a-time Python UDF
