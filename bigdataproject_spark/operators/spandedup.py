@@ -351,8 +351,18 @@ def span_dedup_stats(
 ) -> DataFrame:
     """Per-doc duplication report over ALL docs (zero-rows included, so
     the output cardinality is the doc count): (doc_id, n_dup_spans,
-    dup_tokens, total_tokens, dup_frac). The number a pipeline operator
-    thresholds on before paying for span removal."""
+    dup_tokens, total_tokens, dup_frac_ppm). The number a pipeline
+    operator thresholds on before paying for span removal.
+
+    ``dup_frac_ppm`` is INTEGER parts-per-million via floor division
+    (``(dup_tokens * 1000000) DIV total_tokens``), NOT a rounded
+    double: the r10 driver hash-failed the old ``round(long/long, 6)``
+    column — a ratio of two small integers is exactly the value class
+    that can land on a decimal half-boundary, where Spark's BigDecimal
+    HALF_UP and another engine's multiply-round-divide legitimately
+    differ in the last bit. Floor division of nonnegative longs is
+    bit-identical on every engine (the energy_approx_flag
+    deterministic-binning discipline, queries_extended.py)."""
     spans = duplicate_spans(
         docs,
         id_col=id_col,
@@ -375,9 +385,10 @@ def span_dedup_stats(
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
         "total_tokens",
-        F.round(
-            F.coalesce("dup_tokens", F.lit(0)) / F.col("total_tokens"), 6
-        ).alias("dup_frac"),
+        F.expr(
+            "(coalesce(dup_tokens, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT))"
+            " DIV total_tokens"
+        ).alias("dup_frac_ppm"),
     )
 
 
@@ -449,14 +460,17 @@ def span_dedup_report(
     reference_broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Stats AND removal in ONE plan: (doc_id, n_dup_spans, dup_tokens,
-    total_tokens, dup_frac, clean_text) over ALL docs. The spans are
-    computed once — the per-doc aggregate collects the span list (for
-    the higher-order-filter cut) and the counts (for the report) in the
-    SAME groupBy, so the gram shuffle, the semi-join, and the island
-    merge are paid exactly once where running :func:`span_dedup_stats`
-    then :func:`remove_duplicate_spans` would pay them twice. This is
-    the shape a real pipeline wants anyway: threshold on dup_frac and
-    keep the cleaned text of the survivors without a second pass."""
+    total_tokens, dup_frac_ppm, clean_text) over ALL docs. The spans
+    are computed once — the per-doc aggregate collects the span list
+    (for the higher-order-filter cut) and the counts (for the report)
+    in the SAME groupBy, so the gram shuffle, the semi-join, and the
+    island merge are paid exactly once where running
+    :func:`span_dedup_stats` then :func:`remove_duplicate_spans` would
+    pay them twice. This is the shape a real pipeline wants anyway:
+    threshold on dup_frac_ppm and keep the cleaned text of the
+    survivors without a second pass. ``dup_frac_ppm`` is integer
+    parts-per-million (floor division) — see :func:`span_dedup_stats`
+    for why no float ratio appears in this row."""
     spans = duplicate_spans(
         docs,
         id_col=id_col,
@@ -498,7 +512,10 @@ def span_dedup_report(
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
         total.alias("total_tokens"),
-        F.round(F.coalesce("dup_tokens", F.lit(0)) / total, 6).alias("dup_frac"),
+        F.expr(
+            "(coalesce(dup_tokens, CAST(0 AS BIGINT)) * CAST(1000000 AS BIGINT))"
+            " DIV CAST(size(toks) AS BIGINT)"
+        ).alias("dup_frac_ppm"),
         F.concat_ws(" ", kept).alias(out_col),
     )
 

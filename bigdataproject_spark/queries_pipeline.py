@@ -1359,8 +1359,8 @@ SELECT tk.doc_id,
        coalesce(p.n_dup_spans, 0) AS n_dup_spans,
        coalesce(p.dup_tokens, 0) AS dup_tokens,
        len(tk.t) AS total_tokens,
-       round(coalesce(p.dup_tokens, 0) / CAST(len(tk.t) AS DOUBLE), 6)
-         AS dup_frac
+       CAST((coalesce(p.dup_tokens, 0) * 1000000) // len(tk.t) AS BIGINT)
+         AS dup_frac_ppm
 FROM tk LEFT JOIN per_doc p USING (doc_id)
 """
 
@@ -1397,7 +1397,11 @@ GROUP BY b.doc_id
 def q_span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The span-dedup family's standing driver row (r10): stats AND
     removal in one plan — (doc_id, n_dup_spans, dup_tokens,
-    total_tokens, dup_frac, clean_text) with k=8 md5 grams. Strictly
+    total_tokens, dup_frac_ppm, clean_text) with k=8 md5 grams. r11
+    replaced the dup_frac DOUBLE (round(long/long, 6) — the registry's
+    only rounded integer-ratio, hash-failed by the r10 driver despite
+    bit-exact local parity at three scale factors) with integer
+    parts-per-million via floor division on BOTH engines. Strictly
     harder than either standalone half (which stay alive in
     EXTRA_PARITY): the shared groupBy must produce the span list for
     the higher-order-filter cut and the counts for the report from ONE
@@ -1432,8 +1436,8 @@ SELECT tk.doc_id,
        coalesce(p.n_dup_spans, 0) AS n_dup_spans,
        coalesce(p.dup_tokens, 0) AS dup_tokens,
        len(tk.t) AS total_tokens,
-       round(coalesce(p.dup_tokens, 0) / CAST(len(tk.t) AS DOUBLE), 6)
-         AS dup_frac,
+       CAST((coalesce(p.dup_tokens, 0) * 1000000) // len(tk.t) AS BIGINT)
+         AS dup_frac_ppm,
        c.clean_text AS clean_text
 FROM tk LEFT JOIN per_doc p USING (doc_id)
 JOIN clean c USING (doc_id)

@@ -90,10 +90,15 @@ def test_stats_all_docs_with_zero_rows(docs):
     stats = span_dedup_stats(docs, id_col="doc_id", text_col="text", k=K)
     rows = {r.doc_id: r for r in stats.collect()}
     assert set(rows) == {i for i, _ in CORPUS}  # zero-dup docs included
-    assert (rows[3].n_dup_spans, rows[3].dup_tokens, rows[3].dup_frac) == (0, 0, 0.0)
-    assert (rows[4].dup_tokens, rows[4].total_tokens, rows[4].dup_frac) == (6, 6, 1.0)
+    assert (rows[3].n_dup_spans, rows[3].dup_tokens, rows[3].dup_frac_ppm) == (0, 0, 0)
+    assert (rows[4].dup_tokens, rows[4].total_tokens, rows[4].dup_frac_ppm) == (
+        6,
+        6,
+        1_000_000,
+    )
     assert rows[7].n_dup_spans == 1 and rows[7].dup_tokens == 8
-    assert rows[1].dup_frac == pytest.approx(4 / 9, abs=1e-6)
+    # integer ppm = floor((4 * 1e6) / 9), bit-identical on every engine
+    assert rows[1].dup_frac_ppm == (4 * 1_000_000) // 9 == 444_444
     # conservation: dup + kept == total for every doc
     clean = {
         r.doc_id: r.clean_text
@@ -163,7 +168,7 @@ def test_empty_and_null_text(spark):
     rows = {r.doc_id: r for r in stats.collect()}
     # split('') == [''] (house convention, matches the DuckDB oracle)
     assert rows[1].total_tokens == 1 and rows[1].dup_tokens == 0
-    assert rows[2].total_tokens == 1 and rows[2].dup_frac == 0.0
+    assert rows[2].total_tokens == 1 and rows[2].dup_frac_ppm == 0
 
 
 def test_reference_decontamination_mode(spark):
@@ -308,7 +313,7 @@ def test_span_dedup_report_matches_halves(docs):
     assert set(rep) == {i for i, _ in CORPUS}
     for i, _ in CORPUS:
         assert rep[i].clean_text == EXPECTED_CLEAN[i], i
-        for col in ("n_dup_spans", "dup_tokens", "total_tokens", "dup_frac"):
+        for col in ("n_dup_spans", "dup_tokens", "total_tokens", "dup_frac_ppm"):
             assert getattr(rep[i], col) == getattr(stats[i], col), (i, col)
 
 
