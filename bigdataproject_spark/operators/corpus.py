@@ -62,7 +62,7 @@ def corpus_funnel(
     text_col: str = "text",
     tokens_col: str = "tokens",
     languages: tuple[str, ...] = ("en",),
-    min_quality: float = 0.5,
+    min_quality: int = 50,
     near_dup: bool = True,
     jaccard_threshold: float = 0.8,
     shingle_n: int = 3,
@@ -71,6 +71,9 @@ def corpus_funnel(
 ) -> DataFrame:
     """Label every doc with its funnel outcome: (id_col, stage, lang,
     quality) where stage ∈ {kept, lang, quality, exact_dup, near_dup}.
+    ``quality`` is the integer centi-score in [0, 100] (r11 — see
+    :func:`textstats.quality_score_expr`); ``min_quality`` thresholds
+    on that scale (50 ≙ the old 0.5).
 
     ``docs`` must carry a pre-tokenized ``tokens_col`` (array<string>) —
     tokenization policy stays the caller's, as everywhere else in the
@@ -150,6 +153,7 @@ def clean_corpus(
     text_col: str = "text",
     span_dedup_k: int | None = None,
     span_hash_family: str = "xxhash64",
+    span_broadcast_max_bytes: int = 64 * 1024 * 1024,
     **funnel_kwargs,
 ) -> DataFrame:
     """Filter ``docs`` to the funnel's kept set (original columns).
@@ -164,7 +168,17 @@ def clean_corpus(
     (e.g. the funnel's tokens array) are NOT recomputed — re-derive
     them downstream if needed. Default key family is xxhash64 (the
     scale choice, see SCALING.md's span-dedup note; pass "md5" for
-    parity-grade exactness)."""
+    parity-grade exactness).
+
+    NOTE — plan construction is EAGER when ``span_broadcast_max_bytes
+    > 0`` (the default): the span stage's measured-byte broadcast guard
+    localCheckpoints the per-doc span aggregate and runs one job at
+    BUILD time to measure it (spandedup._measured_broadcast), and each
+    invocation pins that checkpoint's blocks until the session ends.
+    Callers constructing the plan repeatedly (benchmarks, tests) or
+    wanting a pure-lazy plan should pass
+    ``span_broadcast_max_bytes=0``, which skips the checkpoint and
+    keeps the honest shuffle join."""
     funnel = corpus_funnel(docs, id_col=id_col, text_col=text_col, **funnel_kwargs)
     keep = funnel.filter(F.col("stage") == KEPT).select(id_col)
     kept = docs.join(keep, id_col, "left_semi")
@@ -178,6 +192,7 @@ def clean_corpus(
         text_col=text_col,
         k=span_dedup_k,
         hash_family=span_hash_family,
+        spans_broadcast_max_bytes=span_broadcast_max_bytes,
     ).select(F.col("doc_id").alias(id_col), F.col("clean_text").alias("_span_clean"))
     # the span cut tokenizes NULL text as '' — an untouched NULL-text
     # doc must come back as NULL, not '', or the "same rows, shorter

@@ -66,6 +66,9 @@ def ngram_contamination(
         id_col,
         "n_grams",
         "n_hit",
-        F.round(rate, 6).alias("contamination"),
+        # unrounded: single IEEE division of two exact longs is
+        # bit-identical cross-engine; round() is the half-boundary
+        # hazard (r11 float audit, the r10 span-dedup failure class)
+        rate.alias("contamination"),
         (rate >= flag_threshold).cast("int").alias("contaminated"),
     )

@@ -230,7 +230,12 @@ def _pairwise_jaccard(
     return (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        # unrounded: a single IEEE division of two exact ints is
+        # bit-identical cross-engine, and the threshold now compares
+        # the same raw value the oracle compares (r11 float audit —
+        # round() was the half-boundary hazard AND a latent filter
+        # mismatch: the oracle thresholds the unrounded ratio)
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -611,7 +616,8 @@ def minhash_lsh_dedup_pairs(
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size("sh_a") + F.size("sh_b") - inter
-        jac = F.round(inter / union, 6)
+        # unrounded int-ratio division — see jaccard_pairs (r11 audit)
+        jac = inter / union
         return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
             F.col("jaccard") >= threshold
         )

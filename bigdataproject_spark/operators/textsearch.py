@@ -11,7 +11,7 @@ has no search operator; this is north-star pipeline surface.
 Spark-first plan — the query is KNOWN at plan time, so the vocabulary
 is never exploded and nothing document-sized ever shuffles:
 
-  1. ONE map pass over the corpus computes, per doc, the term
+  1. a map pass over the corpus computes, per doc, the term
      frequency of each QUERY term (``F.size(F.filter(tokens, ...))``
      — native higher-order functions inside codegen, |query| counters
      per row) plus the doc length;
@@ -23,7 +23,11 @@ is never exploded and nothing document-sized ever shuffles:
   3. the score is a pure column expression; top-k is the standard
      TakeOrderedAndProject (no global sort materialization).
 
-At 100 TB this is: one corpus scan, a ~|query|-integer-wide
+At 100 TB this is: TWO passes over the same pruned columnar
+projection (the per-doc counter map is not materialized, so the stats
+aggregate and the scoring side each rescan the parquet — deliberate:
+persisting a corpus-sized counter table to dodge a column-pruned
+rescan is a worse trade at every scale), a ~|query|-integer-wide
 aggregate, zero wide shuffles. Scoring M queries batches the same
 scan M ways or unions — for high-QPS serving you would materialize an
 inverted index instead; this operator is the exact-scoring batch path
@@ -128,27 +132,48 @@ def rrf_fuse(
     score_col: str = "score",
     rrf_k: int = 60,
     k: int = 10,
+    max_list_rows: int = 100_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion of top-k lists (Cormack et al. 2009, the
     standard hybrid-retrieval combiner): each input ranking contributes
     ``1 / (rrf_k + rank)`` per doc, summed across lists — fusing e.g. a
     BM25 list with an ANN cosine list without score calibration.
     Returns (id_col, rrf_score, n_lists) top-``k`` by fused score,
-    rrf_score rounded 6dp, ties broken by ascending id.
+    ties broken by ascending id.
+
+    ``rrf_score`` is UNROUNDED (r11 float audit): each contribution is
+    a single IEEE division of exact integers (bit-identical on every
+    engine) and for the common two-list fusion the sum is order-free
+    (float addition is commutative), so the fused score is bit-exact
+    cross-engine — whereas ``round(sum, 6)`` was the half-boundary
+    hazard (1/64 alone is a terminating binary fraction). With ≥3
+    lists the groupBy sum order can shift the last ULP; hash-checked
+    pipelines should fuse two lists per row (the driver row does).
 
     CONTRACT: the inputs are TOP-K LISTS (each df has ≤ thousands of
     rows — the output of :func:`bm25_topk` / simsearch's top-k, never a
     corpus). Ranks are assigned with a single-partition window, which
     is exactly right at that size and would be wrong on a corpus —
-    fuse after retrieval, not instead of it. Rank order within a list
-    is (score desc, id asc), matching every ranked query in the
-    engine."""
+    fuse after retrieval, not instead of it; ``max_list_rows`` makes
+    that contract fail loudly instead of degrading (one bounded
+    ``limit(n+1).count()`` probe per input — a corpus-sized frame
+    funneled through the one-partition window would otherwise just be
+    slow). Rank order within a list is (score desc, id asc), matching
+    every ranked query in the engine."""
     from pyspark.sql import Window
 
     if not rankings:
         raise ValueError("need at least one ranking")
     if k <= 0 or rrf_k <= 0:
         raise ValueError(f"k and rrf_k must be positive, got k={k} rrf_k={rrf_k}")
+    for i, df in enumerate(rankings):
+        n = df.limit(max_list_rows + 1).count()
+        if n > max_list_rows:
+            raise ValueError(
+                f"rankings[{i}] has > {max_list_rows} rows — rrf_fuse "
+                f"fuses TOP-K LISTS, not corpora (raise max_list_rows "
+                f"only if you know the single-partition window is fine)"
+            )
     w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
     parts = [
         df.select(
@@ -166,7 +191,7 @@ def rrf_fuse(
     return (
         allp.groupBy(id_col)
         .agg(
-            F.round(F.sum("_contrib"), 6).alias("rrf_score"),
+            F.sum("_contrib").alias("rrf_score"),
             F.count(F.lit(1)).cast("long").alias("n_lists"),
         )
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))

@@ -81,7 +81,16 @@ def quality_features(text: Column | str, tokens: Column | str) -> dict[str, Colu
     punctuation is ``regexp_count`` (counts matches) instead of a
     ``regexp_replace`` that materialized the stripped string just to
     length it. All three are value-identical to the originals (same
-    counts, same pattern), so oracle hashes are unchanged."""
+    counts, same pattern), so oracle hashes are unchanged.
+
+    Cross-engine float discipline (r11): the ratio columns are emitted
+    UNROUNDED. Each is a single IEEE-754 division of two exact
+    integers, which every engine computes bit-identically — whereas
+    ``round(ratio, n)`` is the hazard: a ratio of small integers can
+    land exactly on a decimal half-boundary (e.g. 1/128 at 6dp), where
+    Spark's BigDecimal HALF_UP and another engine's
+    multiply-round-divide legitimately differ in the last bit (the r10
+    span-dedup driver hash failure class)."""
     s = F.col(text) if isinstance(text, str) else text
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     n_chars = F.length(s)
@@ -95,12 +104,12 @@ def quality_features(text: Column | str, tokens: Column | str) -> dict[str, Colu
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
-        "mean_token_len": F.round(mean_tok_len, 4),
-        "stopword_ratio": F.round(
-            F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 4
+        "mean_token_len": mean_tok_len,
+        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(
+            F.lit(0.0)
         ),
-        "punct_ratio": F.round(
-            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(
+            F.lit(0.0)
         ),
     }
 
@@ -186,22 +195,30 @@ def repetition_features(
         lambda acc: acc["best"],
     )
     top_bigram = F.when(n >= 2, max_run / (n - 1)).otherwise(F.lit(0.0))
+    # unrounded on purpose — single int-ratio divisions are bit-exact
+    # cross-engine; round() is the half-boundary hazard (r11 audit)
     return {
-        "dup_token_ratio": F.round(dup_ratio, 4),
-        "top_bigram_ratio": F.round(top_bigram, 4),
+        "dup_token_ratio": dup_ratio,
+        "top_bigram_ratio": top_bigram,
     }
 
 
 def quality_score_expr(feats: Mapping[str, Column]) -> Column:
-    """Scalar [0,1] quality score: length in range, some stopwords, low
-    punctuation — a deterministic linear blend of the features."""
+    """Integer centi-score in [0, 100]: length in range (+40), some
+    stopwords (+30), low punctuation (+30) — a deterministic weighted
+    blend of the features, emitted as BIGINT so the column carries no
+    float at all (r11 audit: the old ``round(0.4a + 0.3b + 0.3c, 4)``
+    double coupled the hash to both engines' literal-arithmetic types
+    and rounding; integer weights are engine-proof — the
+    energy_approx_flag deterministic-binning discipline). Threshold at
+    50 where the old [0,1] score thresholded at 0.5."""
     len_ok = (
-        F.when((feats["n_tokens"] >= 10) & (feats["n_tokens"] <= 100000), 1.0)
-        .otherwise(0.0)
+        F.when((feats["n_tokens"] >= 10) & (feats["n_tokens"] <= 100000), 1)
+        .otherwise(0)
     )
-    stop_ok = F.when(feats["stopword_ratio"] >= 0.01, 1.0).otherwise(0.0)
-    punct_ok = F.when(feats["punct_ratio"] <= 0.2, 1.0).otherwise(0.0)
-    return F.round(0.4 * len_ok + 0.3 * stop_ok + 0.3 * punct_ok, 4)
+    stop_ok = F.when(feats["stopword_ratio"] >= 0.01, 1).otherwise(0)
+    punct_ok = F.when(feats["punct_ratio"] <= 0.2, 1).otherwise(0)
+    return (40 * len_ok + 30 * stop_ok + 30 * punct_ok).cast("long")
 
 
 # BPE-ish pretokenizer regex (GPT-2 style contractions/words/numbers/other),

@@ -262,7 +262,10 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # unrounded (r11 float audit): k is int, so sum is exact in
+            # any order and avg is one IEEE division — bit-identical
+            # cross-engine; round(int-ratio, 4) was the boundary hazard
+            F.avg("k").alias("avg_k"),
             F.max("k").alias("max_k"),
         )
         .orderBy("event_type")
@@ -272,7 +275,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON_PROPS = """
 SELECT event_type,
        count(*) AS n,
-       round(avg(k), 4) AS avg_k,
+       avg(k) AS avg_k,
        max(k) AS max_k
 FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k

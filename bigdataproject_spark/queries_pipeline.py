@@ -129,7 +129,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+       n_shared / (sa.sz + sb.sz - n_shared) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -218,7 +218,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT c.id_a AS id_a, c.id_b AS id_b,
-       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+       n_shared / (sa.sz + sb.sz - n_shared) AS jaccard
 FROM cand c
 JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
@@ -632,18 +632,21 @@ _TEXTSTATS_CTES = f"""f AS (
   SELECT doc_id,
          length(text) AS n_chars,
          len(toks) AS n_tokens,
-         round(CASE WHEN len(toks) > 0 THEN
-           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
-           ELSE 0.0 END, 4) AS mean_token_len,
-         round(CASE WHEN len(toks) > 0 THEN
-           len(list_filter(toks, x -> x IN ({_SQL_SW}))) * 1.0 / len(toks)
-           ELSE 0.0 END, 4) AS stopword_ratio,
-         round(CASE WHEN length(text) > 0 THEN
-           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
-           / length(text) ELSE 0.0 END, 4) AS punct_ratio,
-         round(CASE WHEN len(toks) > 0 THEN
-           1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
-           ELSE 0.0 END, 4) AS dup_token_ratio
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks)
+           ELSE CAST(0.0 AS DOUBLE) END AS mean_token_len,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> x IN ({_SQL_SW}))) AS DOUBLE)
+           / len(toks)
+           ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                AS DOUBLE)
+           / length(text) ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           ELSE CAST(0.0 AS DOUBLE) END AS dup_token_ratio
   FROM t
 ), bg AS (
   SELECT doc_id,
@@ -662,9 +665,9 @@ _TEXTSTATS_CTES = f"""f AS (
   ) GROUP BY doc_id
 ), rep AS (
   SELECT bg.doc_id,
-         round(CASE WHEN bg.n_tokens >= 2 THEN
-           coalesce(bgc.maxc, 0) * 1.0 / (bg.n_tokens - 1)
-           ELSE 0.0 END, 4) AS top_bigram_ratio
+         CASE WHEN bg.n_tokens >= 2 THEN
+           CAST(coalesce(bgc.maxc, 0) AS DOUBLE) / (bg.n_tokens - 1)
+           ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_ratio
   FROM bg LEFT JOIN bgc USING (doc_id)
 )"""
 
@@ -672,9 +675,9 @@ _TEXTSTATS_COLS = """CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        mean_token_len, stopword_ratio, punct_ratio,
        dup_token_ratio, rep.top_bigram_ratio AS top_bigram_ratio,
-       CAST(round(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
-           + 0.3 * (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END)
-           + 0.3 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END), 4) AS DOUBLE) AS quality"""
+       CAST(40 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+          + 30 * (CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END)
+          + 30 * (CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS quality"""
 
 ORACLE_TEXTSTATS = f"""
 WITH {_T_DOCS_CTE}, {_TEXTSTATS_CTES}
@@ -913,8 +916,9 @@ WITH t AS (
 SELECT tr.doc_id,
        CAST(tr.n_grams AS BIGINT) AS n_grams,
        coalesce(h.n_hit, 0) AS n_hit,
-       round(CASE WHEN tr.n_grams > 0
-             THEN coalesce(h.n_hit, 0) * 1.0 / tr.n_grams ELSE 0.0 END, 6)
+       CASE WHEN tr.n_grams > 0
+            THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / tr.n_grams
+            ELSE CAST(0.0 AS DOUBLE) END
          AS contamination,
        CAST(CASE WHEN tr.n_grams > 0
              AND coalesce(h.n_hit, 0) * 1.0 / tr.n_grams >= {CONTAM_FLAG}
@@ -1589,7 +1593,67 @@ xb AS (SELECT doc_id,
               1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS c
        FROM rb),
 u AS (SELECT * FROM xa UNION ALL SELECT * FROM xb)
-SELECT doc_id, round(sum(c), 6) AS rrf_score,
+SELECT doc_id, sum(c) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 25
+"""
+
+
+_HYBRID_VEC_QID = 0
+_HYBRID_LIST_K = 50
+
+
+def q_bm25_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval stack's standing driver row (r11, per the r10
+    verdict's item 3): CROSS-MODAL hybrid retrieval — the BM25 lexical
+    top-50 over ``documents`` fused with the exact-cosine vector
+    top-50 for query vec_id=0 over ``embeddings`` (the testdata tables
+    share the id domain) via reciprocal-rank fusion. One row
+    transitively exercises bm25_topk (stats broadcast, no vocabulary
+    explode), the brute-cosine ranking, and rrf_fuse's rank/union/
+    fuse — strictly harder than either EXTRA_PARITY half (bm25_topk,
+    rrf_hybrid), which both stay alive there. rrf_score is the
+    unrounded two-list fusion: bit-exact cross-engine (each
+    contribution one int division, two-element sums commutative — see
+    the operator's float-discipline note)."""
+    from bigdataproject_spark.operators.simsearch import brute_force_topk
+    from bigdataproject_spark.operators.textsearch import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_QUERY, k=_HYBRID_LIST_K)
+    q = emb.filter(F.col("vec_id") == _HYBRID_VEC_QID)
+    vec = brute_force_topk(
+        emb, q, id_col="vec_id", vec_col="embedding", k=_HYBRID_LIST_K
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("cosine").alias("score"))
+    return rrf_fuse([lex, vec], k=25)
+
+
+def _oracle_bm25_rrf_hybrid() -> str:
+    ctes_a, sel_a = _bm25_ctes(_BM25_TERMS, "h_")
+    return f"""
+WITH {ctes_a},
+ra AS ({sel_a} ORDER BY score DESC, doc_id LIMIT {_HYBRID_LIST_K}),
+ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+vq AS (SELECT v AS qv FROM ve WHERE vec_id = {_HYBRID_VEC_QID}),
+vs AS (
+  SELECT ve.vec_id AS doc_id,
+         round(list_dot_product(vq.qv, ve.v) /
+               (sqrt(list_dot_product(vq.qv, vq.qv)) *
+                sqrt(list_dot_product(ve.v, ve.v))), 6) AS score
+  FROM vq, ve WHERE ve.vec_id != {_HYBRID_VEC_QID}
+),
+rb AS (SELECT doc_id, score FROM vs
+       ORDER BY score DESC, doc_id LIMIT {_HYBRID_LIST_K}),
+xa AS (SELECT doc_id,
+              1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS c
+       FROM ra),
+xb AS (SELECT doc_id,
+              1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS c
+       FROM rb),
+u AS (SELECT * FROM xa UNION ALL SELECT * FROM xb)
+SELECT doc_id, sum(c) AS rrf_score,
        CAST(count(*) AS BIGINT) AS n_lists
 FROM u GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 25
@@ -1603,6 +1667,29 @@ PIPELINE_QUERIES["span_dedup_report"] = _q(
     q_span_dedup_report, ORACLE_SPAN_DEDUP_REPORT
 )
 
+# r11: the retrieval stack's standing driver row (slot freed by the
+# word_count + cjk_word_count seam merge in queries_reference.py).
+PIPELINE_QUERIES["bm25_rrf_hybrid"] = _q(
+    q_bm25_rrf_hybrid, _oracle_bm25_rrf_hybrid()
+)
+
+
+def _extra_parity_reference():
+    from bigdataproject_spark.queries_reference import (
+        ORACLE_CJK_WORD_COUNT,
+        ORACLE_WORD_COUNT,
+        q_cjk_word_count,
+        q_word_count,
+    )
+
+    return {
+        # r11: the standalone halves of the word_count_seams merge
+        # (bench.py's frozen headline series keeps timing word_count).
+        "word_count": _q(q_word_count, ORACLE_WORD_COUNT),
+        "cjk_word_count": _q(q_cjk_word_count, ORACLE_CJK_WORD_COUNT),
+    }
+
+
 EXTRA_PARITY = {
     "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
@@ -1613,8 +1700,11 @@ EXTRA_PARITY = {
     # r10: the standalone halves of the text_quality_langid merge.
     "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),
     "lang_id": _q(q_lang_id, ORACLE_LANG_ID),
-    # r10: lexical BM25 retrieval + hybrid RRF fusion (registry at cap).
+    # r10: lexical BM25 retrieval + hybrid RRF fusion (standalones —
+    # r11 promoted the cross-modal fusion to the bm25_rrf_hybrid
+    # driver row).
     "bm25_topk": _q(q_bm25_topk, _oracle_bm25()),
     "rrf_hybrid": _q(q_rrf_hybrid, _oracle_rrf()),
     **_extra_parity_extended(),
+    **_extra_parity_reference(),
 }

@@ -47,7 +47,10 @@ def q_energy_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("density"),
         F.round("sentiment", 4).alias("sentiment_r"),
         F.col("energy_r"),
-        F.round("rank_pct", 6).alias("rank_pct"),
+        # unrounded (r11 float audit): percent_rank is (rank-1)/(n-1),
+        # a single IEEE division of exact ints — bit-identical on both
+        # engines; round(int-ratio, 6) was the half-boundary hazard
+        F.col("rank_pct"),
         F.col("is_high"),
     )
 
@@ -66,7 +69,7 @@ WITH agg AS (
   FROM agg
 )
 SELECT event_type, bucket_s, density, sentiment_r, energy_r,
-       round(percent_rank() OVER w, 6) AS rank_pct,
+       percent_rank() OVER w AS rank_pct,
        (percent_rank() OVER w) >= 0.9 AS is_high
 FROM e
 WINDOW w AS (PARTITION BY event_type ORDER BY energy_r)
@@ -222,6 +225,32 @@ LIMIT 500
 """
 
 
+def q_word_count_seams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O1 + U2 in ONE seam-tagged entry (r11: the r9 ANN-merge /
+    r10 text-merge trick applied to the word-count family, freeing a
+    registry slot for the bm25_rrf_hybrid driver row): the latin
+    regex-tokenizer top-500 and the cjk-dict FMM-segmenter top-500,
+    UNION ALL under a ``seam`` tag. Identical row shape, both halves
+    independently hash-checked through their tagged partitions; the
+    standalone queries stay alive in EXTRA_PARITY (and bench.py keeps
+    timing the byte-identical standalone word_count plan, so the
+    frozen headline series is uninterrupted)."""
+    latin = q_word_count(spark, sf_dir).select(
+        F.lit("latin").alias("seam"), "word", "frequency"
+    )
+    cjk = q_cjk_word_count(spark, sf_dir).select(
+        F.lit("cjk-dict").alias("seam"), "word", "frequency"
+    )
+    return latin.unionByName(cjk)
+
+
+ORACLE_WORD_COUNT_SEAMS = f"""
+SELECT 'latin' AS seam, word, frequency FROM ({ORACLE_WORD_COUNT})
+UNION ALL
+SELECT 'cjk-dict' AS seam, word, frequency FROM ({ORACLE_CJK_WORD_COUNT})
+"""
+
+
 def _doc_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type baskets — the testdata analogue of the
     reference's tag transactions (tag/main.py:55: split tag string →
@@ -275,9 +304,15 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.select(
         F.array_join(F.array_sort("antecedent"), "|").alias("antecedent"),
         F.array_join(F.array_sort("consequent"), "|").alias("consequent"),
-        F.round("confidence", 6).alias("confidence"),
-        F.round("lift", 6).alias("lift"),
-        F.round("support", 6).alias("support"),
+        # unrounded (r11 float audit): MLlib computes confidence =
+        # freq(union)/freq(antecedent), lift = confidence /
+        # (freq(consequent)/N), support = freq(union)/N — the exact
+        # division trees the oracle replays, so the doubles are
+        # bit-identical cross-engine; round(ratio-of-ints, 6) was the
+        # half-boundary hazard (the r10 span-dedup failure class)
+        F.col("confidence"),
+        F.col("lift"),
+        F.col("support"),
     ).orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
 
 
@@ -317,10 +352,10 @@ rule AS (
 )
 SELECT array_to_string(r.antecedent, '|') AS antecedent,
        r.c AS consequent,
-       round(CAST(r.union_freq AS DOUBLE) / fa.freq, 6) AS confidence,
-       round((CAST(r.union_freq AS DOUBLE) / fa.freq)
-             / (CAST(fc.freq AS DOUBLE) / n.total), 6) AS lift,
-       round(CAST(r.union_freq AS DOUBLE) / n.total, 6) AS support
+       CAST(r.union_freq AS DOUBLE) / fa.freq AS confidence,
+       (CAST(r.union_freq AS DOUBLE) / fa.freq)
+             / (CAST(fc.freq AS DOUBLE) / n.total) AS lift,
+       CAST(r.union_freq AS DOUBLE) / n.total AS support
 FROM rule r
 JOIN freq fa ON fa.subset = r.antecedent
 JOIN freq fc ON fc.subset = [r.c]
@@ -411,8 +446,11 @@ WHERE len(tags_arr) > 0 AND rating IS NOT NULL
 REFERENCE_QUERIES = {
     "energy_timeline": _q(q_energy_timeline, ORACLE_ENERGY_TIMELINE),
     "tiered_score": _q(q_tiered_score, ORACLE_TIERED_SCORE),
-    "word_count": _q(q_word_count, ORACLE_WORD_COUNT),
-    "cjk_word_count": _q(q_cjk_word_count, ORACLE_CJK_WORD_COUNT),
+    # r11: word_count + cjk_word_count consolidated into one
+    # seam-tagged entry (driver's 50-entry cap — the freed slot is
+    # bm25_rrf_hybrid's standing driver row); standalones live on in
+    # EXTRA_PARITY and bench.py's headline list.
+    "word_count_seams": _q(q_word_count_seams, ORACLE_WORD_COUNT_SEAMS),
     "tag_etl_transactions": _q(q_tag_etl, ORACLE_TAG_ETL),
     "freq_itemsets": _q(q_freq_itemsets, ORACLE_FREQ_ITEMSETS),
     "assoc_rules": _q(q_assoc_rules, ORACLE_ASSOC_RULES),

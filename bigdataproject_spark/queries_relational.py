@@ -27,9 +27,33 @@ from bigdataproject_spark.sources.readers import load_table
 # --- TPC-H-style aggregates & joins -----------------------------------------
 
 
+def _exact_sum_scaled(expr, scale: int):
+    """Exact-decimal aggregation for sums of per-row PRICE PRODUCTS
+    (r11 float audit): quantize each row to an integer at ``scale``
+    (both engines round the IDENTICAL product double with one-arg
+    round — deterministic even exactly on a tie, unlike round(x, n)'s
+    multiply-then-round), sum the integers exactly in decimal(38,0)
+    (order-free — float sums of 4dp-rationals can sit ON a 2dp
+    half-boundary: the boundary probe caught per-order revenues like
+    49574.425), then ONE division back to units (identical integers →
+    identical double on every engine). SQL mirror:
+    ``CAST(sum(CAST(round(e * scale) AS BIGINT)) AS DOUBLE) / scale.0``"""
+    q = F.round(expr * F.lit(scale)).cast("decimal(38,0)")
+    return F.sum(q).cast("double") / F.lit(float(scale))
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy multi-measure hash aggregate; the filter
-    and 4-column projection push into the parquet scan."""
+    and 4-column projection push into the parquet scan.
+
+    sum_disc_price / sum_charge use the exact-decimal discipline
+    (:func:`_exact_sum_scaled` at 1e4 / 1e6 — per-item 4dp/6dp
+    precision): their per-row products are near-4dp rationals whose
+    float sums can land exactly ON a 2dp half-boundary, where two
+    engines' round() legitimately disagree. sum_qty / sum_base_price
+    stay plainly rounded — integer-valued and 2dp-quantized inputs
+    terminate before the tie digit, so no boundary exists (see
+    PLANS.md r11 float audit; guarded by tests/test_float_boundaries)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
@@ -37,18 +61,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _exact_sum_scaled(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            _exact_sum_scaled(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                1_000_000,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            # avg_qty unrounded (r11 float audit): l_quantity is
+            # integer-valued, so the sum is exact in any order and the
+            # avg is a single IEEE division — bit-identical on both
+            # engines; round(int-ratio, 4) was the half-boundary
+            # hazard. avg_disc stays rounded: l_discount is continuous
+            # (sum-order ULP noise), where a 4dp tie is measure-zero.
+            F.avg("l_quantity").alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -60,9 +88,11 @@ ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       avg(l_quantity) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
@@ -87,9 +117,12 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # exact-decimal revenue (r11): per-order sums of price×discount
+        # products are 3-4dp rationals that sit exactly ON 2dp
+        # half-boundaries (probe: 49574.425) — see _exact_sum_scaled
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _exact_sum_scaled(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
             ).alias("revenue")
         )
         .select(
@@ -107,7 +140,8 @@ ORACLE_Q3 = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -154,9 +188,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (su.s_nationkey == od_asia.c_nationkey),
         )
         .groupBy("n_name")
+        # exact-decimal revenue — same discipline as q3 (r11 audit)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _exact_sum_scaled(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -165,7 +200,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q5 = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -294,7 +330,16 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            # avg of 2dp-quantized balances is a small-denominator
+            # rational that CAN sit exactly on a 4dp half-boundary
+            # (probe: 4190.83825) — exact cents-sum + one division is
+            # bit-identical cross-engine (r11 float audit). std stays
+            # rounded: sqrt makes the value class continuous.
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.lit(100.0) * F.count("c_acctbal"))
+            ).alias("avg_bal"),
             F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -306,7 +351,8 @@ ORACLE_STATS = """
 SELECT c_mktsegment,
        round(min(c_acctbal), 2) AS min_bal,
        round(max(c_acctbal), 2) AS max_bal,
-       round(avg(c_acctbal), 4) AS avg_bal,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / (CAST(100.0 AS DOUBLE) * count(c_acctbal)) AS avg_bal,
        round(stddev_samp(c_acctbal), 4) AS std_bal,
        count(*) AS n
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment

@@ -50,7 +50,7 @@ def clean_document_stream(
     tokens: Column,
     *,
     languages: tuple[str, ...] = ("en",),
-    min_quality: float = 0.5,
+    min_quality: int = 50,
     redact: bool = True,
 ) -> DataFrame:
     """Per-document cleaning map: keeps docs passing the language and

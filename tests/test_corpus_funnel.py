@@ -60,7 +60,7 @@ def test_funnel_lang_and_quality_columns(spark):
     by_id = {r["doc_id"]: r for r in funnel.collect()}
     assert by_id[2]["lang"] == "de"
     assert by_id[1]["lang"] == "en"
-    assert by_id[3]["quality"] < 0.5 <= by_id[1]["quality"]
+    assert by_id[3]["quality"] < 50 <= by_id[1]["quality"]
 
 
 def test_clean_corpus_keeps_original_schema(spark):
@@ -182,7 +182,7 @@ def test_clean_corpus_span_stage_preserves_null_text(spark):
     out = {
         r.doc_id: r.text
         for r in clean_corpus(
-            docs, span_dedup_k=8, languages=("und", "en"), min_quality=0.0
+            docs, span_dedup_k=8, languages=("und", "en"), min_quality=0
         ).collect()
     }
     assert 1 in out and out[1] is None

@@ -40,9 +40,10 @@ def test_repetition_features_handcomputed(spark):
     )
     assert got[0] == (0.0, 0.0)
     assert got[1] == (0.0, 0.0)
-    assert got[2] == (0.0, 0.3333)  # 3 distinct bigrams, max count 1 of 3
+    # r11: ratios are unrounded (bit-exact IEEE int-ratio divisions)
+    assert got[2] == (0.0, 1 / 3)  # 3 distinct bigrams, max count 1 of 3
     assert got[3] == (0.75, 1.0)  # 1 distinct of 4 tokens; "a a" is all 3 bigrams
-    assert got[4] == (0.6, 0.5)  # 2 distinct of 5; max bigram count 2 of 4
+    assert got[4] == (1.0 - 2 / 5, 0.5)  # 2 distinct of 5; max bigram 2 of 4
 
 
 def test_repetition_zero_shuffle(spark):
