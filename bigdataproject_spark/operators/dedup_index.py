@@ -305,7 +305,9 @@ def incremental_minhash_pairs(
     joined = cands.join(lookup_a, "id_a").join(lookup_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter / union, 6)
+    # unrounded int-ratio division — same r11 float discipline as
+    # dedup.jaccard_pairs (and required for incremental ≡ full parity)
+    jac = inter / union
     return joined.select(
         "id_a", "id_b", jac.alias("jaccard"), "vs_index"
     ).filter(F.col("jaccard") >= threshold)

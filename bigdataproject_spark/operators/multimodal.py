@@ -370,9 +370,12 @@ def decode_avi(payload: bytes):
     pixel arrays — bottom-up 4-byte-padded B,G,R rows, the exact layout
     :func:`decode_bmp` already reads. Returns ``(width, height,
     usec_per_frame, frames)`` with ``frames`` a list of (H, W, 3) uint8
-    arrays in B,G,R order. Compressed streams, other bit depths, and
-    truncated chunks raise ``ValueError`` — the reject-don't-guess
-    contract of every decoder in this module."""
+    arrays in B,G,R order. Compressed streams, other bit depths,
+    truncated chunks, and MULTI-STREAM files raise ``ValueError`` — the
+    reject-don't-guess contract of every decoder in this module (r11:
+    frame chunks are restricted to stream 00 and a second video
+    ``strh`` rejects, so a two-video-stream AVI can never silently
+    interleave foreign-stream frames into the output)."""
     import struct
 
     import numpy as np
@@ -382,10 +385,11 @@ def decode_avi(payload: bytes):
 
     avih = None
     strf_ok = False
+    n_video_streams = 0
     frame_chunks: list[tuple[int, int]] = []  # (offset, size) into payload
 
     def walk(pos: int, end: int, in_movi: bool) -> None:
-        nonlocal avih, strf_ok
+        nonlocal avih, strf_ok, n_video_streams
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -399,6 +403,9 @@ def decode_avi(payload: bytes):
                 if size < 40:
                     raise ValueError("truncated avih header")
                 avih = struct.unpack_from("<10I", payload, body)
+            elif fourcc == b"strh" and size >= 4:
+                if payload[body : body + 4] == b"vids":
+                    n_video_streams += 1
             elif fourcc == b"strf" and size >= 40:
                 _, _, _, _planes, bpp, comp = struct.unpack_from(
                     "<IiiHHI", payload, body
@@ -409,13 +416,23 @@ def decode_avi(payload: bytes):
                         f"bpp={bpp}, compression={comp})"
                     )
                 strf_ok = True
-            elif in_movi and fourcc[2:] in (b"db", b"dc"):
+            elif (
+                in_movi
+                and fourcc[:2] == b"00"  # stream 00 ONLY — never interleave
+                and fourcc[2:] in (b"db", b"dc")
+            ):
                 frame_chunks.append((body, size))
             pos = nxt
 
     walk(12, len(payload), False)
     if avih is None or not strf_ok:
         raise ValueError("missing avih/strf headers")
+    if n_video_streams > 1:
+        raise ValueError(
+            f"AVI has {n_video_streams} video streams — this demuxer "
+            f"reads exactly one (stream 00); demux multi-stream files "
+            f"upstream"
+        )
     # MainAVIHeader: [0]=µs/frame … [7]=suggested buffer, [8]=width, [9]=height
     usec_per_frame, width, height = avih[0], avih[8], avih[9]
     if width <= 0 or height <= 0:

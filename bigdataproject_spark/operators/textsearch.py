@@ -43,7 +43,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "bm25_topk_multi", "rrf_fuse"]
 
 
 def _house_tokens(text_col):
@@ -122,6 +122,119 @@ def bm25_topk(
         .select("doc_id", F.round(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
+    )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Batch BM25: top-``k`` docs for EVERY query in ``queries`` from
+    ONE shared corpus pass — (query, doc_id, score), per-query ranking
+    identical to :func:`bm25_topk` (same sorted-term score expression,
+    so the floats are bit-equal to M single-query runs). The shape an
+    eval-mining pipeline actually runs: M queries against the same
+    100 TB corpus must not pay M corpus scans.
+
+    Plan: the DISTINCT terms across all queries get one native tf
+    counter each in a single map pass (a term shared by several
+    queries is counted once); corpus stats (N, avgdl, every df)
+    collapse to ONE broadcast row exactly as in the single-query
+    operator; per-query scores are pure column expressions over the
+    shared counters, exploded to (query, doc_id, score) rows for
+    MATCHING docs only; per-query top-k is one window partitioned by
+    query (M partitions over match-filtered rows — the only exchange,
+    keyed by query). Scale note: like bm25_topk the un-materialized
+    counter projection makes the stats aggregate and the scoring side
+    each rescan the pruned parquet (two passes total — for M queries
+    still two, not 2M)."""
+    qterms = {
+        q: sorted({w for w in re.split(r"[^a-z0-9]+", q.lower()) if w})
+        for q in queries
+    }
+    if not queries:
+        raise ValueError("need at least one query")
+    for q, ts in qterms.items():
+        if not ts:
+            raise ValueError(f"query {q!r} has no tokens")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    terms = sorted({t for ts in qterms.values() for t in ts})
+    idx = {t: i for i, t in enumerate(terms)}
+
+    toks = F.col(tokens_col) if tokens_col else _house_tokens(F.col(text_col))
+
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).cast("long").alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+
+    n = F.col("n_docs").cast("double")
+
+    def _score(ts: list[str]):
+        s = F.lit(0.0)
+        for t in ts:  # sorted within the query — same order as bm25_topk
+            i = idx[t]
+            tf = F.col(f"tf_{i}").cast("double")
+            df = F.col(f"df_{i}").cast("double")
+            idf = F.log((n - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
+            denom = tf + F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+            s = s + idf * tf * F.lit(k1 + 1.0) / denom
+        return s
+
+    def _matches(ts: list[str]):
+        return (
+            sum((F.col(f"tf_{idx[t]}") > 0).cast("int") for t in ts) > 0
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("query"),
+                F.round(_score(ts), 6).alias("score"),
+                _matches(ts).alias("m"),
+            )
+            for q, ts in qterms.items()
+        ]
+    )
+    from pyspark.sql import Window
+
+    exploded = (
+        scored.select("doc_id", F.explode(entries).alias("e"))
+        .where(F.col("e.m"))
+        .select("doc_id", F.col("e.query").alias("query"),
+                F.col("e.score").alias("score"))
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query", "doc_id", "score")
+        .orderBy("query", F.col("score").desc(), "doc_id")
     )
 
 

@@ -81,7 +81,8 @@ def test_jaccard_prefix_filter_matches_brute_force(spark):
         for a in rows:
             for b in rows:
                 if a < b and rows[a] & rows[b]:
-                    j = round(len(rows[a] & rows[b]) / len(rows[a] | rows[b]), 6)
+                    # r11: jaccard is the unrounded int-ratio division
+                    j = len(rows[a] & rows[b]) / len(rows[a] | rows[b])
                     if j >= th:
                         out.add((a, b, j))
         return out

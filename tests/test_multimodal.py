@@ -394,6 +394,39 @@ def test_avi_decoder_rejects_garbage():
         decode_avi(good[:-6])
 
 
+def test_avi_decoder_single_stream_contract():
+    """r11 (advisor): a second video stream must REJECT, and frame
+    chunks from a non-00 stream must never interleave into the output
+    — the reject-don't-guess contract extended to multi-stream AVIs."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdataproject_spark.operators.multimodal import decode_avi, encode_avi
+
+    f0 = np.full((2, 2, 3), 7, dtype=np.uint8)
+    f1 = np.full((2, 2, 3), 200, dtype=np.uint8)
+    good = encode_avi([f0, f1], fps=10)
+
+    # a second 'vids' strh anywhere in the container → loud rejection
+    # (the walker scans the whole RIFF, so a top-level append suffices)
+    two_streams = good + b"strh" + struct.pack("<I", 4) + b"vids"
+    with _pytest.raises(ValueError, match="2 video streams"):
+        decode_avi(two_streams)
+
+    # a foreign-stream frame chunk (01db) inside movi is IGNORED, not
+    # interleaved: relabel the second frame's fourcc and expect exactly
+    # the first frame back
+    i = good.rindex(b"00db")
+    foreign = good[:i] + b"01db" + good[i + 4 :]
+    w, h, _, frames = decode_avi(foreign)
+    assert (w, h) == (2, 2) and len(frames) == 1
+    # frame content equals the encoded first frame exactly
+    _, _, _, ref = decode_avi(encode_avi([f0], fps=10))
+    assert (frames[0] == ref[0]).all()
+
+
 def test_real_avi_frame_sampling_through_seam(spark):
     """The r10 real video path: a generated 10-frame AVI (frame f is a
     constant-color image of value f) goes through sample_frames'

@@ -93,6 +93,67 @@ def test_bm25_property_vs_reference(spark):
             assert got[d] == pytest.approx(round(want[d], 6), abs=1e-6), (trial, d)
 
 
+def test_bm25_multi_query_equals_single_runs(spark, docs):
+    """bm25_topk_multi(queries) is bit-equal to M single-query
+    bm25_topk runs (same sorted-term score expression over shared
+    counters), including a query whose terms overlap another's (the
+    shared-counter dedup path) and per-query top-k cuts."""
+    from bigdataproject_spark.operators.textsearch import bm25_topk_multi
+
+    queries = ["fast hash join", "window sort", "fast table"]
+    multi = bm25_topk_multi(docs, queries, k=3)
+    got = {
+        (r.query, r.doc_id): r.score for r in multi.collect()
+    }
+    for q in queries:
+        single = {
+            (q, r.doc_id): r.score for r in bm25_topk(docs, q, k=3).collect()
+        }
+        sub = {kk: v for kk, v in got.items() if kk[0] == q}
+        assert sub == single, q  # exact float equality — same expression
+
+
+def test_bm25_multi_property_vs_reference(spark):
+    """Random corpora: every (query, doc) score from the batch operator
+    matches the independent pure-Python BM25."""
+    from bigdataproject_spark.operators.textsearch import bm25_topk_multi
+
+    rng = random.Random(20260816)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for trial in range(3):
+        corpus = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+            for i in range(1, 31)
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        queries = [
+            " ".join(sorted(set(rng.sample(vocab, rng.randint(1, 3)))))
+            for _ in range(3)
+        ]
+        got = {
+            (r.query, r.doc_id): r.score
+            for r in bm25_topk_multi(df, queries, k=100).collect()
+        }
+        for q in set(queries):
+            want = bm25_reference(
+                [(i, t.split()) for i, t in corpus], q.split()
+            )
+            assert {d for (qq, d) in got if qq == q} == set(want), (trial, q)
+            for d in want:
+                assert got[(q, d)] == pytest.approx(
+                    round(want[d], 6), abs=1e-6
+                ), (trial, q, d)
+
+
+def test_bm25_multi_rejects_bad_input(spark, docs):
+    from bigdataproject_spark.operators.textsearch import bm25_topk_multi
+
+    with pytest.raises(ValueError, match="at least one query"):
+        bm25_topk_multi(docs, [])
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk_multi(docs, ["fast", "!!!"])
+
+
 def test_bm25_plan_hygiene(spark, sf_dir, docs):
     """One corpus map pass + a one-row broadcast stats join +
     TakeOrderedAndProject: no hash/range exchange wider than the

@@ -8,9 +8,18 @@ them — at sf100 the output-quadratic dedup queries each write 20-30 GB
 of shuffle, so a 50-query single-app sweep can exhaust local disk on
 ACCUMULATED shuffle files even though every individual query fits. Each
 chunk here runs ``subset_sweep.py`` in its own JVM (shuffle dirs are
-wiped at app exit), and queries are dealt round-robin across chunks so
-the heavy ``dedup_*`` family — adjacent in sorted order — lands in
-DIFFERENT chunks instead of one. A fresh JVM per chunk also isolates
+wiped at app exit). Queries are dealt by a STABLE NAME HASH
+(md5("v3:" + name) mod n_chunks — r11, per the r10 verdict's item 4):
+the r10 sweep showed that sorted-order round-robin re-deals EVERY
+chunk whenever one query is renamed, moving the heaviest queries'
+JVM co-residents and with them their wall-times (embedding_neardup
+1279 → 1713 s with byte-identical plans). With the name-hash deal a
+rename or addition moves ONLY that query; every carried query keeps
+its co-residents forever. The "v3:" salt was chosen once (and is now
+part of the protocol) because it spreads the heavy shuffle queries —
+embedding_neardup, dedup_ngram_jaccard, dedup_minhash_lsh,
+span_dedup_report, energy_timeline_nested — into five different
+chunks at the current registry. A fresh JVM per chunk also isolates
 any leaked cancelled-query thread to its own chunk (full_sweep's
 ``tainted_by`` rows can never cross a chunk boundary).
 
@@ -20,6 +29,7 @@ stdout (queries keyed by name; per-chunk JVM startup is excluded from
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import subprocess
@@ -37,7 +47,10 @@ def main() -> None:
     timeout_s = float(sys.argv[2]) if len(sys.argv) > 2 else 900.0
     n_chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     names = sorted(registry())
-    chunks = [names[i::n_chunks] for i in range(n_chunks)]
+    chunks: list[list[str]] = [[] for _ in range(n_chunks)]
+    for n in names:  # stable name-hash deal — rename-proof (see header)
+        h = int(hashlib.md5(f"v3:{n}".encode()).hexdigest(), 16)
+        chunks[h % n_chunks].append(n)
 
     from sweeplib import apply_scale_env
 
@@ -84,7 +97,8 @@ def main() -> None:
                 "timeout_s": timeout_s,
                 "n_chunks": n_chunks,
                 "protocol": "fresh JVM per chunk (subset_sweep), "
-                "round-robin assignment",
+                "name-hash deal md5('v3:'+name) % n_chunks — "
+                "rename-stable co-residents (r11)",
                 "leaked_threads": leaked,
                 # per-JVM frozen-control medians (one per chunk, chunk
                 # order): the median normalizes the whole sweep; the
