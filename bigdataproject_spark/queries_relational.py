@@ -42,34 +42,46 @@ def _exact_sum_scaled(expr, scale: int):
     return F.sum(q).cast("double") / F.lit(float(scale))
 
 
+_SPLIT = 1 << 20  # hi/lo split radix for overflow-proof LONG sums
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy multi-measure hash aggregate; the filter
     and 4-column projection push into the parquet scan.
 
-    sum_disc_price / sum_charge use the exact-decimal discipline
-    (:func:`_exact_sum_scaled` at 1e4 / 1e6 — per-item 4dp/6dp
-    precision): their per-row products are near-4dp rationals whose
-    float sums can land exactly ON a 2dp half-boundary, where two
-    engines' round() legitimately disagree. sum_qty / sum_base_price
-    stay plainly rounded — integer-valued and 2dp-quantized inputs
-    terminate before the tie digit, so no boundary exists (see
-    PLANS.md r11 float audit; guarded by tests/test_float_boundaries)."""
+    sum_disc_price / sum_charge use exact-integer aggregation at 1e4 /
+    1e6 per-item precision: their per-row products are near-4dp
+    rationals whose float sums can land exactly ON a 2dp half-boundary,
+    where two engines' round() legitimately disagree (r11 float audit).
+    Because this query is pure scan+agg, the decimal(38,0) sum of
+    :func:`_exact_sum_scaled` is its dominant cost (measured 4.3 s vs
+    0.84 s float at sf10) — so q1 splits each quantized long into
+    hi = q DIV 2^20 / lo = q % 2^20, sums BOTH as plain longs (codegen
+    long adds, 1.8 s), and recombines exactly in decimal once per
+    OUTPUT ROW: hi·2^20 + lo. Overflow bound: lo needs n ≤ 2^43 rows
+    per group, hi (charge e6, row max ~2^37/2^20 = 2^17) n ≤ 2^46 —
+    petabytes of lineitem per group, and Spark's ANSI sum errors
+    loudly beyond. The DuckDB oracle keeps the plain one-sum form: its
+    BIGINT sums widen to HUGEINT, so both engines produce the same
+    exact integer and hence the same final double. sum_qty /
+    sum_base_price stay plainly rounded — integer-valued and
+    2dp-quantized inputs terminate before the tie digit, so no
+    boundary exists (guarded by tests/test_float_boundaries)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .withColumn("_qd", F.round(disc * F.lit(10_000)).cast("long"))
+        .withColumn("_qc", F.round(charge * F.lit(1_000_000)).cast("long"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            _exact_sum_scaled(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
-            ).alias("sum_disc_price"),
-            _exact_sum_scaled(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax")),
-                1_000_000,
-            ).alias("sum_charge"),
+            F.expr(f"sum(_qd DIV {_SPLIT})").alias("_dh"),
+            F.expr(f"sum(_qd % {_SPLIT})").alias("_dl"),
+            F.expr(f"sum(_qc DIV {_SPLIT})").alias("_ch"),
+            F.expr(f"sum(_qc % {_SPLIT})").alias("_cl"),
             # avg_qty unrounded (r11 float audit): l_quantity is
             # integer-valued, so the sum is exact in any order and the
             # avg is a single IEEE division — bit-identical on both
@@ -80,8 +92,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+
+    def _combine(hi: str, lo: str, scale: float):
+        total = F.col(hi).cast("decimal(38,0)") * F.lit(_SPLIT) + F.col(lo)
+        return total.cast("double") / F.lit(scale)
+
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        _combine("_dh", "_dl", 10_000.0).alias("sum_disc_price"),
+        _combine("_ch", "_cl", 1_000_000.0).alias("sum_charge"),
+        "avg_qty",
+        "avg_disc",
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 ORACLE_Q1 = """
