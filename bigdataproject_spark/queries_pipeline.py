@@ -1600,6 +1600,33 @@ ORDER BY rrf_score DESC, doc_id LIMIT 25
 """
 
 
+def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 (operators/textsearch.py:bm25_topk_multi, r11): both
+    corpus queries scored from ONE shared scan — (query, doc_id,
+    score) top-25 per query. EXTRA_PARITY: the oracle is the UNION of
+    the same per-query BM25 fragments the single-query rows use, so
+    the batch path's shared-counter arithmetic is hash-checked against
+    an independent engine, not just property-tested."""
+    from bigdataproject_spark.operators.textsearch import bm25_topk_multi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk_multi(docs, [BM25_QUERY, _RRF_QUERY_B], k=_BM25_K)
+
+
+def _oracle_bm25_multi() -> str:
+    ctes_a, sel_a = _bm25_ctes(_BM25_TERMS, "ma_")
+    ctes_b, sel_b = _bm25_ctes(_RRF_TERMS_B, "mb_")
+    return f"""
+WITH {ctes_a},
+{ctes_b},
+ra AS ({sel_a} ORDER BY score DESC, doc_id LIMIT {_BM25_K}),
+rb AS ({sel_b} ORDER BY score DESC, doc_id LIMIT {_BM25_K})
+SELECT '{BM25_QUERY}' AS query, doc_id, score FROM ra
+UNION ALL
+SELECT '{_RRF_QUERY_B}' AS query, doc_id, score FROM rb
+"""
+
+
 _HYBRID_VEC_QID = 0
 _HYBRID_LIST_K = 50
 
@@ -1705,6 +1732,9 @@ EXTRA_PARITY = {
     # driver row).
     "bm25_topk": _q(q_bm25_topk, _oracle_bm25()),
     "rrf_hybrid": _q(q_rrf_hybrid, _oracle_rrf()),
+    # r11: the batch BM25 path, hash-checked (shared corpus scan,
+    # per-query rankings bit-equal to single-query runs).
+    "bm25_multi": _q(q_bm25_multi, _oracle_bm25_multi()),
     **_extra_parity_extended(),
     **_extra_parity_reference(),
 }
