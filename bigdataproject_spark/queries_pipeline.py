@@ -1505,11 +1505,12 @@ _BM25_K = 25
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical BM25 top-k retrieval (operators/textsearch.py — the
     lexical sibling of the ANN family): top-25 documents for a fixed
-    three-term query, scores rounded 6dp, doc_id tiebreak. One corpus
-    map pass + a one-row stats aggregate re-broadcast into the score
-    expression + TakeOrderedAndProject — no vocabulary explode, no
-    wide shuffle. Lives in EXTRA_PARITY (registry at the driver's
-    50-entry cap)."""
+    three-term query, scores rounded 6dp, doc_id tiebreak. Per-doc
+    native tf counters + a one-row stats aggregate re-broadcast into
+    the score expression + TakeOrderedAndProject — no vocabulary
+    explode, no wide shuffle (two pruned-parquet rescans; see the
+    operator's honest-cost note). Lives in EXTRA_PARITY (registry at
+    the driver's 50-entry cap)."""
     from bigdataproject_spark.operators.textsearch import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
