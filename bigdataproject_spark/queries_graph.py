@@ -10,6 +10,7 @@ anywhere in the text, not per-token).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bigdataproject_spark.contract import Query as _q
 from bigdataproject_spark.operators.graph import (
@@ -81,6 +82,45 @@ WITH {_HITS_CTE}
 SELECT a.entity AS "Source", b.entity AS "Target", count(*) AS "Weight"
 FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.entity < b.entity
 GROUP BY 1, 2 ORDER BY "Weight" DESC, "Source" ASC, "Target" ASC
+"""
+
+
+def q_graph_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_nodes + graph_edges in ONE seam-tagged entry (r12: the r9
+    ANN-merge / r10 text-merge / r11 word-count-merge trick applied to
+    the graph family, freeing a registry slot for the span_dedup_report
+    bisect — the r11 verdict's item 1): the node table (Id, Size) and
+    the edge table (Source, Target, Weight) share one entity
+    extraction, UNION ALL under a ``part`` tag. Node rows carry
+    dst = '' (not NULL: the driver canonicalizer sorts raw Python
+    tuples and a None/str comparison would throw if two rows ever tied
+    on the earlier columns). Both halves stay independently
+    hash-checked through their tagged partitions; the standalone
+    queries stay alive in EXTRA_PARITY (and bench.py keeps timing the
+    byte-identical standalone graph_edges plan, so the frozen headline
+    series is uninterrupted)."""
+    ent = _entities(spark, sf_dir)
+    nodes = graph_nodes(ent).select(
+        F.lit("node").alias("part"),
+        F.col("Id").alias("src"),
+        F.lit("").alias("dst"),
+        F.col("Size").alias("weight"),
+    )
+    edges = graph_edges(ent).select(
+        F.lit("edge").alias("part"),
+        F.col("Source").alias("src"),
+        F.col("Target").alias("dst"),
+        F.col("Weight").alias("weight"),
+    )
+    return nodes.unionByName(edges)
+
+
+ORACLE_GRAPH_TOPOLOGY = f"""
+SELECT 'node' AS part, "Id" AS src, '' AS dst, "Size" AS weight
+FROM ({ORACLE_GRAPH_NODES})
+UNION ALL
+SELECT 'edge' AS part, "Source" AS src, "Target" AS dst, "Weight" AS weight
+FROM ({ORACLE_GRAPH_EDGES})
 """
 
 
@@ -202,8 +242,11 @@ ORDER BY community ASC, node ASC"""
 
 
 GRAPH_QUERIES = {
-    "graph_nodes": _q(q_graph_nodes, ORACLE_GRAPH_NODES),
-    "graph_edges": _q(q_graph_edges, ORACLE_GRAPH_EDGES),
+    # r12: graph_nodes + graph_edges merged into the seam-tagged
+    # graph_topology entry (driver's 50-entry cap — the freed slot is
+    # the span_dedup_report bisect, see queries_pipeline.py). The
+    # standalone queries + oracles stay alive in EXTRA_PARITY.
+    "graph_topology": _q(q_graph_topology, ORACLE_GRAPH_TOPOLOGY),
     "graph_pagerank": _q(q_graph_pagerank, _pagerank_oracle()),
     "graph_communities": _q(q_graph_communities, _lpa_oracle()),
 }

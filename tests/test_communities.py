@@ -45,9 +45,9 @@ def test_deterministic(spark):
 
 
 def test_on_cooccurrence_graph(spark, sf_dir):
-    from bigdataproject_spark.queries_graph import GRAPH_QUERIES
+    from bigdataproject_spark.queries_graph import q_graph_edges
 
-    edges = GRAPH_QUERIES["graph_edges"].fn(spark, sf_dir)
+    edges = q_graph_edges(spark, sf_dir)
     out = label_propagation(
         edges, src="Source", dst="Target", weight="Weight", iterations=5
     ).collect()

@@ -46,9 +46,9 @@ def test_pagerank_matches_power_iteration(spark, undirected):
 
 
 def test_pagerank_on_cooccurrence_graph(spark, sf_dir):
-    from bigdataproject_spark.queries_graph import GRAPH_QUERIES
+    from bigdataproject_spark.queries_graph import q_graph_edges
 
-    edges = GRAPH_QUERIES["graph_edges"].fn(spark, sf_dir)
+    edges = q_graph_edges(spark, sf_dir)
     pr = pagerank(
         edges, src="Source", dst="Target", weight="Weight", iterations=10
     )
