@@ -55,6 +55,21 @@ KEPT = "kept"
 STAGES = (KEPT, "lang", "quality", "exact_dup", "near_dup")
 
 
+def check_min_quality(min_quality) -> None:
+    """r11 changed ``min_quality`` from a [0,1] float (default 0.5) to
+    the integer centi-score scale [0,100] (default 50). A caller still
+    passing an old-scale threshold like 0.5 would silently keep every
+    doc with ANY nonzero score (quality >= 0.5 matches 30/40/60/...) —
+    fail loudly at the API boundary instead (r12, per the r11
+    advice)."""
+    if 0 < min_quality < 1:
+        raise ValueError(
+            f"min_quality={min_quality!r} looks like the pre-r11 [0,1] "
+            f"float scale; quality is now an integer centi-score in "
+            f"[0,100] — pass e.g. 50 where you previously passed 0.5"
+        )
+
+
 def corpus_funnel(
     docs: DataFrame,
     *,
@@ -80,6 +95,7 @@ def corpus_funnel(
     engine. Dedup keepers are min-id (exact: per digest group; near:
     per connected component of verified Jaccard pairs).
     """
+    check_min_quality(min_quality)
     feats = quality_features(F.col(text_col), F.col(tokens_col))
     base = docs.select(
         F.col(id_col),

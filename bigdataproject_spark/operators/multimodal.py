@@ -371,11 +371,14 @@ def decode_avi(payload: bytes):
     :func:`decode_bmp` already reads. Returns ``(width, height,
     usec_per_frame, frames)`` with ``frames`` a list of (H, W, 3) uint8
     arrays in B,G,R order. Compressed streams, other bit depths,
-    truncated chunks, and MULTI-STREAM files raise ``ValueError`` — the
-    reject-don't-guess contract of every decoder in this module (r11:
-    frame chunks are restricted to stream 00 and a second video
-    ``strh`` rejects, so a two-video-stream AVI can never silently
-    interleave foreign-stream frames into the output)."""
+    truncated chunks, and MULTI-VIDEO-STREAM files raise ``ValueError``
+    — the reject-don't-guess contract of every decoder in this module
+    (r11 rejected a second video ``strh``; r12 tracks the strl ordinal
+    of the single vids stream and accepts THAT stream's ``db``/``dc``
+    chunks, so a valid file whose audio strl precedes the video —
+    video = stream 01 — decodes instead of dying with a misleading
+    "no video frames", while foreign-stream chunks still never
+    interleave into the output)."""
     import struct
 
     import numpy as np
@@ -385,11 +388,14 @@ def decode_avi(payload: bytes):
 
     avih = None
     strf_ok = False
-    n_video_streams = 0
-    frame_chunks: list[tuple[int, int]] = []  # (offset, size) into payload
+    n_streams = 0  # strh ordinal = AVI stream number (strl order)
+    vids_streams: list[int] = []  # ordinals of 'vids' strh chunks
+    # (stream-id prefix, offset, size) of every movi data chunk; the
+    # vids stream's ordinal is only known after hdrl, so filter post-walk
+    data_chunks: list[tuple[bytes, int, int]] = []
 
     def walk(pos: int, end: int, in_movi: bool) -> None:
-        nonlocal avih, strf_ok, n_video_streams
+        nonlocal avih, strf_ok, n_streams
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -405,7 +411,8 @@ def decode_avi(payload: bytes):
                 avih = struct.unpack_from("<10I", payload, body)
             elif fourcc == b"strh" and size >= 4:
                 if payload[body : body + 4] == b"vids":
-                    n_video_streams += 1
+                    vids_streams.append(n_streams)
+                n_streams += 1
             elif fourcc == b"strf" and size >= 40:
                 _, _, _, _planes, bpp, comp = struct.unpack_from(
                     "<IiiHHI", payload, body
@@ -416,23 +423,29 @@ def decode_avi(payload: bytes):
                         f"bpp={bpp}, compression={comp})"
                     )
                 strf_ok = True
-            elif (
-                in_movi
-                and fourcc[:2] == b"00"  # stream 00 ONLY — never interleave
-                and fourcc[2:] in (b"db", b"dc")
-            ):
-                frame_chunks.append((body, size))
+            elif in_movi and fourcc[2:] in (b"db", b"dc"):
+                data_chunks.append((fourcc[:2], body, size))
             pos = nxt
 
     walk(12, len(payload), False)
+    if len(vids_streams) > 1:
+        raise ValueError(
+            f"AVI has {len(vids_streams)} video streams — this demuxer "
+            f"reads exactly one; demux multi-stream files upstream"
+        )
+    if not vids_streams:
+        raise ValueError("AVI has no video (vids) stream")
     if avih is None or not strf_ok:
         raise ValueError("missing avih/strf headers")
-    if n_video_streams > 1:
-        raise ValueError(
-            f"AVI has {n_video_streams} video streams — this demuxer "
-            f"reads exactly one (stream 00); demux multi-stream files "
-            f"upstream"
-        )
+    # Accept the vids stream's OWN dd-chunks, whatever its ordinal —
+    # r11 pinned stream 00, which made a valid file whose audio strl
+    # precedes the video (video = stream 01) die with the misleading
+    # "no video frames" (r12, per the r11 advice). Never interleave:
+    # only the single vids stream's prefix matches.
+    vids_prefix = b"%02d" % vids_streams[0]
+    frame_chunks = [
+        (off, size) for pfx, off, size in data_chunks if pfx == vids_prefix
+    ]
     # MainAVIHeader: [0]=µs/frame … [7]=suggested buffer, [8]=width, [9]=height
     usec_per_frame, width, height = avih[0], avih[8], avih[9]
     if width <= 0 or height <= 0:

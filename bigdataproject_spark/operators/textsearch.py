@@ -135,6 +135,7 @@ def bm25_topk_multi(
     k1: float = 1.2,
     b: float = 0.75,
     tokens_col: str | None = None,
+    partial_topk_salts: int = 64,
 ) -> DataFrame:
     """Batch BM25: top-``k`` docs for EVERY query in ``queries`` from
     ONE shared corpus pass — (query, doc_id, score), per-query ranking
@@ -149,12 +150,20 @@ def bm25_topk_multi(
     collapse to ONE broadcast row exactly as in the single-query
     operator; per-query scores are pure column expressions over the
     shared counters, exploded to (query, doc_id, score) rows for
-    MATCHING docs only; per-query top-k is one window partitioned by
-    query (M partitions over match-filtered rows — the only exchange,
-    keyed by query). Scale note: like bm25_topk the un-materialized
-    counter projection makes the stats aggregate and the scoring side
-    each rescan the pruned parquet (two passes total — for M queries
-    still two, not 2M)."""
+    MATCHING docs only. Per-query top-k is TWO windows (r12, per the
+    r11 advice): a PARTIAL top-k partitioned by (query, salt) — salt =
+    a deterministic hash of doc_id mod ``partial_topk_salts``, so a
+    query whose terms match most of the corpus spreads over
+    ``partial_topk_salts`` reducers instead of funneling the whole
+    match set through one — then the final per-query window over at
+    most ``k × partial_topk_salts`` rows per query. Keeping the k best
+    of every salt group keeps a superset of the global top-k, so the
+    result is identical; the salt is a pure function of doc_id
+    (deterministic under stage retry — no spark_partition_id, no row
+    ids). Scale note: like bm25_topk the un-materialized counter
+    projection makes the stats aggregate and the scoring side each
+    rescan the pruned parquet (two passes total — for M queries still
+    two, not 2M)."""
     qterms = {
         q: sorted({w for w in re.split(r"[^a-z0-9]+", q.lower()) if w})
         for q in queries
@@ -166,6 +175,10 @@ def bm25_topk_multi(
             raise ValueError(f"query {q!r} has no tokens")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if partial_topk_salts < 1:
+        raise ValueError(
+            f"partial_topk_salts must be >= 1, got {partial_topk_salts}"
+        )
     terms = sorted({t for ts in qterms.values() for t in ts})
     idx = {t: i for i, t in enumerate(terms)}
 
@@ -227,11 +240,25 @@ def bm25_topk_multi(
         .select("doc_id", F.col("e.query").alias("query"),
                 F.col("e.score").alias("score"))
     )
+    # Partial top-k on (query, salt): a hot query's match set spreads
+    # over partial_topk_salts reducers; each group's k best is a
+    # superset of that group's contribution to the global top-k, so
+    # the final per-query window sees ≤ k·salts rows per query and the
+    # result is unchanged.
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(partial_topk_salts))
+    wp = Window.partitionBy("query", "_salt").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    partial = (
+        exploded.withColumn("_salt", salt)
+        .withColumn("_prn", F.row_number().over(wp))
+        .where(F.col("_prn") <= k)
+    )
     w = Window.partitionBy("query").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
     return (
-        exploded.withColumn("_rn", F.row_number().over(w))
+        partial.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select("query", "doc_id", "score")
         .orderBy("query", F.col("score").desc(), "doc_id")
@@ -268,36 +295,49 @@ def rrf_fuse(
     corpus). Ranks are assigned with a single-partition window, which
     is exactly right at that size and would be wrong on a corpus —
     fuse after retrieval, not instead of it; ``max_list_rows`` makes
-    that contract fail loudly instead of degrading (one bounded
-    ``limit(n+1).count()`` probe per input — a corpus-sized frame
-    funneled through the one-partition window would otherwise just be
-    slow). Rank order within a list is (score desc, id asc), matching
-    every ranked query in the engine."""
+    that contract fail loudly instead of degrading. r12 (per the r11
+    advice): the guard is LAZY and in-plan — the old eager
+    ``limit(n+1).count()`` probe executed each ranking's full upstream
+    plan twice (probe + fused plan), doubling e.g. the hybrid row's
+    BM25 corpus scan and brute-cosine scan. Now each input is bounded
+    by ``limit(max_list_rows + 1)`` (capping the single-partition
+    window's worst case) and an ``assert_true`` on the assigned rank
+    is folded into the contribution expression: a list exceeding the
+    cap raises at EXECUTION with this message instead of at call time,
+    and the operator stays a pure lazy plan — every upstream scan runs
+    exactly once. Rank order within a list is (score desc, id asc),
+    matching every ranked query in the engine."""
     from pyspark.sql import Window
 
     if not rankings:
         raise ValueError("need at least one ranking")
     if k <= 0 or rrf_k <= 0:
         raise ValueError(f"k and rrf_k must be positive, got k={k} rrf_k={rrf_k}")
+    if max_list_rows < 1:
+        raise ValueError(f"max_list_rows must be >= 1, got {max_list_rows}")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    parts = []
     for i, df in enumerate(rankings):
-        n = df.limit(max_list_rows + 1).count()
-        if n > max_list_rows:
-            raise ValueError(
+        rn = F.row_number().over(w)
+        # assert_true returns NULL when the predicate holds (→ +0.0
+        # below) and raises at execution when it doesn't; adding it
+        # into the contribution keeps it un-prunable by the optimizer.
+        guard = F.assert_true(
+            rn <= F.lit(max_list_rows),
+            F.lit(
                 f"rankings[{i}] has > {max_list_rows} rows — rrf_fuse "
                 f"fuses TOP-K LISTS, not corpora (raise max_list_rows "
                 f"only if you know the single-partition window is fine)"
-            )
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
-    parts = [
-        df.select(
-            F.col(id_col),
-            (
-                F.lit(1.0)
-                / (F.lit(rrf_k) + F.row_number().over(w)).cast("double")
-            ).alias("_contrib"),
+            ),
         )
-        for df in rankings
-    ]
+        contrib = (
+            F.lit(1.0) / (F.lit(rrf_k) + rn).cast("double")
+        ) + F.coalesce(guard.cast("double"), F.lit(0.0))
+        parts.append(
+            df.limit(max_list_rows + 1).select(
+                F.col(id_col), contrib.alias("_contrib")
+            )
+        )
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)

@@ -57,6 +57,9 @@ def clean_document_stream(
     quality gates, emits (doc_id, lang, quality, text[, n_* counts]) —
     text redacted when ``redact``. Works identically on a batch frame
     (the equivalence the tests pin)."""
+    from bigdataproject_spark.operators.corpus import check_min_quality
+
+    check_min_quality(min_quality)
     feats = quality_features(F.col("text"), tokens)
     base = docs.select(
         "doc_id",

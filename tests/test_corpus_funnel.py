@@ -187,3 +187,35 @@ def test_clean_corpus_span_stage_preserves_null_text(spark):
     }
     assert 1 in out and out[1] is None
     assert out[2] == "alpha beta gamma delta epsilon zeta eta theta x y"
+
+
+def test_min_quality_rejects_stale_float_scale(spark):
+    """r12 (advisor): r11 moved min_quality from a [0,1] float
+    (default 0.5) to the integer centi-score [0,100] (default 50). A
+    caller still passing 0.5 would silently keep every doc with any
+    nonzero score — the boundary now fails loudly, in the batch funnel
+    AND the streaming map (same validator)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.corpus import (
+        check_min_quality,
+        corpus_funnel,
+    )
+    from bigdataproject_spark.streaming.corpus_stream import (
+        clean_document_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", ["hello", "world"])],
+        "doc_id long, text string, tokens array<string>",
+    )
+    with pytest.raises(ValueError, match=r"\[0,1\] *\n? *float|float\s+scale"):
+        corpus_funnel(docs, min_quality=0.5)
+    with pytest.raises(ValueError, match="centi-score"):
+        clean_document_stream(docs, F.col("tokens"), min_quality=0.9)
+    # boundary semantics: 0 and 1 are valid centi-scores, floats >= 1 too
+    for ok in (0, 1, 50, 100):
+        check_min_quality(ok)
+    with pytest.raises(ValueError):
+        check_min_quality(0.999)

@@ -469,3 +469,76 @@ def test_sample_frames_rejects_codec_with_fake(spark):
     df = spark.createDataFrame([(1, b"x")], "asset_id long, payload binary")
     with pytest.raises(ValueError, match="fake=True contradicts codec"):
         sample_frames(df, n_frames=2, codec="avi", fake=True)
+
+
+def test_avi_decoder_accepts_nonzero_video_stream():
+    """r12 (advisor): a valid single-video AVI whose audio strl
+    precedes the video strl (video = stream 01) must DECODE — r11
+    pinned frame chunks to stream 00 and such a file died with a
+    misleading 'no video frames'. The demuxer now tracks the vids
+    strh ordinal and accepts that stream's dd-chunks; chunks of the
+    audio stream (00wb) and of any other ordinal are still ignored."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdataproject_spark.operators.multimodal import decode_avi, encode_avi
+
+    f0 = np.full((2, 2, 3), 7, dtype=np.uint8)
+    f1 = np.full((2, 2, 3), 200, dtype=np.uint8)
+    base = encode_avi([f0, f1], fps=10)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    # rebuild the container with an audio strl FIRST: rip avih, the
+    # video strh/strf and the frame DIBs out of the encoder's output
+    def find(fourcc, frm=0):
+        i = base.index(fourcc, frm)
+        (size,) = struct.unpack_from("<I", base, i + 4)
+        return base[i + 8 : i + 8 + size], i + 8 + size
+
+    avih, _ = find(b"avih")
+    strh_v, _ = find(b"strh")
+    strf_v, _ = find(b"strf")
+    dib0, nxt = find(b"00db")
+    dib1, _ = find(b"00db", nxt)
+
+    strh_a = struct.pack(
+        "<4s4sIHH8I4h", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1,
+        8000, 0, 16000, 1, 0, 0, 0, 0, 0, 0,
+    )
+    strf_a = b"\x01\x00\x01\x00" + struct.pack("<IIHH", 8000, 8000, 1, 8)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    movi = lst(
+        b"movi",
+        chunk(b"00wb", b"\x80" * 20)  # audio data: ignored
+        + chunk(b"01db", dib0)
+        + chunk(b"01db", dib1),
+    )
+    payload = chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    w, h, usec, frames = decode_avi(payload)
+    assert (w, h, usec, len(frames)) == (2, 2, 100_000, 2)
+    _, _, _, ref = decode_avi(base)
+    assert (frames[0] == ref[0]).all() and (frames[1] == ref[1]).all()
+
+    # no vids stream at all → loud, specific error
+    hdrl_a = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a)),
+    )
+    with _pytest.raises(ValueError, match="no video .vids. stream"):
+        decode_avi(chunk(b"RIFF", b"AVI " + hdrl_a + movi))

@@ -242,3 +242,86 @@ def test_rrf_cross_modal_lexical_plus_vector(spark, sf_dir):
     lex_ids = {r.doc_id for r in lex.collect()}
     vec_ids = {r.doc_id for r in vec.collect()}
     assert all(r.doc_id in lex_ids and r.doc_id in vec_ids for r in both)
+
+
+def test_bm25_multi_partial_topk_salts_invariant(spark, docs):
+    """r12 (advisor): the salted partial top-k before the per-query
+    window must not change results — salts=1 (degenerate: one group
+    per query, the old single-window shape) and the default 64 are
+    bit-equal, and a salt count smaller than k still keeps the full
+    top-k (each group's k best is a superset of its global-top-k
+    contribution)."""
+    from bigdataproject_spark.operators.textsearch import bm25_topk_multi
+
+    queries = ["fast hash join", "window sort"]
+    base = sorted(
+        (r.query, r.doc_id, r.score)
+        for r in bm25_topk_multi(docs, queries, k=3).collect()
+    )
+    for salts in (1, 2, 257):
+        got = sorted(
+            (r.query, r.doc_id, r.score)
+            for r in bm25_topk_multi(
+                docs, queries, k=3, partial_topk_salts=salts
+            ).collect()
+        )
+        assert got == base, salts
+    with pytest.raises(ValueError, match="partial_topk_salts"):
+        bm25_topk_multi(docs, queries, partial_topk_salts=0)
+
+
+def test_bm25_multi_no_single_reducer_funnel(spark, docs):
+    """The final per-query window's input is bounded by k·salts rows
+    per query, not the match set: with a query matching EVERY doc, the
+    partial window stage must appear in the plan (two window nodes)."""
+    from bigdataproject_spark.operators.textsearch import bm25_topk_multi
+
+    plan = bm25_topk_multi(
+        docs, ["fast hash join"], k=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+
+
+def test_rrf_fuse_is_lazy_and_guard_fires_at_execution(spark):
+    """r12 (advisor): rrf_fuse must not execute its inputs at call time
+    (the old limit+count probe ran each ranking's upstream plan twice —
+    for the hybrid driver row that doubled the BM25 corpus scan and the
+    cosine scan). Laziness is asserted with a poisoned input whose
+    evaluation raises: construction must succeed, collection must
+    raise. The max_list_rows contract still fails loudly — now at
+    execution."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from bigdataproject_spark.operators.textsearch import rrf_fuse
+
+    poisoned = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.col("id").cast("double")
+            + F.coalesce(
+                F.assert_true(F.lit(False), F.lit("poison")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("score"),
+    )
+    fused = rrf_fuse([poisoned], k=5)  # must NOT raise (no eager probe)
+    with pytest.raises(Exception, match="poison"):
+        fused.collect()
+
+    # oversize list → the in-plan guard raises at execution
+    big = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("score")
+    )
+    fused = rrf_fuse([big], k=5, max_list_rows=10)  # constructs fine
+    with pytest.raises(Exception, match="TOP-K LISTS"):
+        fused.collect()
+    with pytest.raises(ValueError, match="max_list_rows"):
+        rrf_fuse([big], k=5, max_list_rows=0)
+
+    # within the cap: values unchanged (1/(60+rank), unrounded)
+    small = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0)], "doc_id long, score double"
+    )
+    rows = {r.doc_id: r.rrf_score for r in rrf_fuse([small], k=5).collect()}
+    assert rows == {1: 1.0 / 61.0, 2: 1.0 / 62.0}
