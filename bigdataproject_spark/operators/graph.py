@@ -68,6 +68,50 @@ def graph_edges(entity_df: DataFrame) -> DataFrame:
     )
 
 
+def graph_topology(entity_df: DataFrame) -> DataFrame:
+    """Nodes AND edges from ONE extraction pass and ONE shuffle:
+    (part, src, dst, weight) where part='node' rows are the
+    :func:`graph_nodes` table (src=Id, dst='', weight=Size) and
+    part='edge' rows the :func:`graph_edges` table (Source/Target/
+    Weight). The naive merge — ``nodes(ent) UNION ALL edges(ent)`` —
+    pays the per-row alias-contains extraction TWICE (one scan per
+    branch; nothing to reuse, there's no exchange below the union).
+    Here each row emits its node units and its C(n,2) pair units in a
+    single higher-order concat inside the scan stage, so the corpus is
+    read and extracted ONCE and the only shuffle is the final
+    count aggregate over the tiny (part, src, dst) key space —
+    map-side combined, broadcast-sized, exactly like the standalone
+    queries' finals. At 100 TB the extraction map pass dominates both
+    standalone queries; halving it is the whole point of the merge."""
+    units = F.concat(
+        F.transform(
+            "entities",
+            lambda e: F.struct(
+                F.lit("node").alias("part"),
+                e.alias("src"),
+                F.lit("").alias("dst"),
+            ),
+        ),
+        F.transform(
+            pair_combinations_expr("entities"),
+            lambda p: F.struct(
+                F.lit("edge").alias("part"),
+                p["src"].alias("src"),
+                p["dst"].alias("dst"),
+            ),
+        ),
+    )
+    return (
+        entity_df.select(F.explode(units).alias("u"))
+        .select("u.part", "u.src", "u.dst")
+        .groupBy("part", "src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(
+            F.asc("part"), F.desc("weight"), F.asc("src"), F.asc("dst")
+        )
+    )
+
+
 def build_graph(
     df: DataFrame, text_col: str, alias_to_canonical: Mapping[str, str]
 ) -> tuple[DataFrame, DataFrame]:

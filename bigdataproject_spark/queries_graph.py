@@ -17,6 +17,7 @@ from bigdataproject_spark.operators.graph import (
     extract_entity_table,
     graph_edges,
     graph_nodes,
+    graph_topology,
 )
 from bigdataproject_spark.sources.readers import fan_out, load_table
 
@@ -98,21 +99,19 @@ def q_graph_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked through their tagged partitions; the standalone
     queries stay alive in EXTRA_PARITY (and bench.py keeps timing the
     byte-identical standalone graph_edges plan, so the frozen headline
-    series is uninterrupted)."""
-    ent = _entities(spark, sf_dir)
-    nodes = graph_nodes(ent).select(
-        F.lit("node").alias("part"),
-        F.col("Id").alias("src"),
-        F.lit("").alias("dst"),
-        F.col("Size").alias("weight"),
-    )
-    edges = graph_edges(ent).select(
-        F.lit("edge").alias("part"),
-        F.col("Source").alias("src"),
-        F.col("Target").alias("dst"),
-        F.col("Weight").alias("weight"),
-    )
-    return nodes.unionByName(edges)
+    series is uninterrupted).
+
+    r12 follow-up: the first registry version union'd the two
+    standalone plans, paying the per-row alias-contains extraction
+    TWICE (one corpus scan per branch — there is no exchange below the
+    union for Spark to reuse). Now delegates to the one-pass
+    :func:`~bigdataproject_spark.operators.graph.graph_topology`
+    operator: each row emits its node units and C(n,2) pair units from
+    ONE extraction inside the scan stage, and the only shuffle is the
+    final map-side-combined count over the tiny (part, src, dst) key
+    space. Row-identical to the union of the standalone tables
+    (tests/test_golden_reference.py::test_graph_topology_one_pass_equals_union_of_halves)."""
+    return graph_topology(_entities(spark, sf_dir))
 
 
 ORACLE_GRAPH_TOPOLOGY = f"""

@@ -124,3 +124,36 @@ def test_spy_structural_parity(computed_spy):
     # 阿尼亚 is the top node and 约尔–阿尼亚 the top edge in both
     assert max(nodes, key=nodes.get) == max(gold_nodes, key=gold_nodes.get) == "阿尼亚"
     assert max(edges, key=edges.get) == max(gold_edges, key=gold_edges.get) == ("约尔", "阿尼亚")
+
+
+def test_graph_topology_one_pass_equals_union_of_halves(spark, sf_dir):
+    """r12: the one-pass graph_topology operator (single extraction,
+    single shuffle) must be row-identical to the naive merge — the
+    standalone nodes/edges tables union'd under the part tag — on the
+    real documents table."""
+    from pyspark.sql import functions as F
+
+    from bigdataproject_spark.operators.graph import graph_topology
+    from bigdataproject_spark.queries_graph import (
+        q_graph_edges,
+        q_graph_nodes,
+        _entities,
+    )
+
+    one_pass = sorted(
+        tuple(r) for r in graph_topology(_entities(spark, sf_dir)).collect()
+    )
+    nodes = q_graph_nodes(spark, sf_dir).select(
+        F.lit("node").alias("part"),
+        F.col("Id").alias("src"),
+        F.lit("").alias("dst"),
+        F.col("Size").alias("weight"),
+    )
+    edges = q_graph_edges(spark, sf_dir).select(
+        F.lit("edge").alias("part"),
+        F.col("Source").alias("src"),
+        F.col("Target").alias("dst"),
+        F.col("Weight").alias("weight"),
+    )
+    union = sorted(tuple(r) for r in nodes.unionByName(edges).collect())
+    assert one_pass == union and len(one_pass) > 0
