@@ -302,3 +302,47 @@ def winnowing_fingerprints(
         ).otherwise(F.array().cast(empty_t))
 
     return F.element_at(F.transform(F.array(kgram_hashes), _windows), 1)
+
+
+def line_repetition_features(text: Column | str) -> dict[str, Column]:
+    """Gopher LINE-level repetition filters (Rae et al. 2021 Table A1:
+    "duplicate line fraction" and "duplicate line character fraction")
+    — the per-document boilerplate signals every LLM corpus pipeline
+    thresholds on, complementing the corpus-level removal in
+    operators/linededup.py and the token-level signals in
+    :func:`repetition_features`. Pure map-stage array expressions,
+    zero shuffle at any scale.
+
+    Semantics pinned for the oracle: lines split on ``\\r\\n?|\\n``;
+    blank/whitespace-only lines are excluded (a run of empty lines is
+    formatting, not boilerplate — the same normalization linededup's
+    hot-line key applies); duplicate matching is EXACT line equality
+    (Gopher's definition — no lowercasing, unlike the corpus-level
+    dedup key). ``dup_line_char_frac`` counts the characters of every
+    occurrence beyond a line's first — computed as
+    (total_chars − distinct_chars) without any per-occurrence
+    bookkeeping. Ratios are unrounded single int/int divisions — the
+    bit-exact-cross-engine value class (r11 float audit; PLANS.md)."""
+    t = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(
+        F.split(t, r"\r\n?|\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    uniq = F.array_distinct(lines)
+
+    def _chars(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+
+    n = F.size(lines).cast("long")
+    nd = F.size(uniq).cast("long")
+    tc = _chars(lines)
+    dc = _chars(uniq)
+    return {
+        "n_lines": n,
+        "n_dup_lines": (n - nd).cast("long"),
+        "dup_line_frac": F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)),
+        "dup_line_char_frac": F.when(tc > 0, (tc - dc) / tc).otherwise(
+            F.lit(0.0)
+        ),
+    }

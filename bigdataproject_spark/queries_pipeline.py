@@ -990,14 +990,14 @@ ORDER BY asset_id
 # --- round-4 promotions: library ops → hash-checked registry entries --------
 
 
-def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level line dedup (boilerplate removal) made registry-
-    visible: the single-line testdata documents are deterministically
-    re-lined (3 tokens per line — small vocabulary, so boilerplate-like
-    repeats emerge across documents), then every line occurring ≥2
-    times corpus-wide is dropped (operators/linededup.py)."""
-    from bigdataproject_spark.operators.linededup import dedup_lines
-
+def _relined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) with the single-line testdata documents
+    deterministically re-lined at 3 tokens per line — the small
+    vocabulary makes boilerplate-like line repeats emerge both across
+    documents (feeding the corpus-level dedup) and within one document
+    (feeding the Gopher per-doc line-repetition signals). Shared by
+    q_dedup_lines and q_line_repetition; the DuckDB oracles mirror the
+    identical slicing."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
@@ -1005,7 +1005,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_lines = F.greatest(
         F.ceil(F.size(toks) / F.lit(3)), F.lit(1)
     ).cast("int")
-    lined = docs.select(
+    return docs.select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -1015,8 +1015,73 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    out = dedup_lines(lined, id_col="doc_id", text_col="text")
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (boilerplate removal) made registry-
+    visible: re-lined documents (:func:`_relined_docs`), then every
+    line occurring ≥2 times corpus-wide is dropped
+    (operators/linededup.py)."""
+    from bigdataproject_spark.operators.linededup import dedup_lines
+
+    out = dedup_lines(
+        _relined_docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
     return out.select("doc_id", F.col("text").alias("clean_text"))
+
+
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher per-document line-repetition signals (Rae et al. 2021
+    Table A1 duplicate-line filters; operators/textstats.py
+    ``line_repetition_features``) over the re-lined documents — a pure
+    map stage, zero shuffle; the only exchange is the output sort."""
+    from bigdataproject_spark.operators.textstats import (
+        line_repetition_features,
+    )
+
+    feats = line_repetition_features("text")
+    return (
+        _relined_docs(spark, sf_dir)
+        .select("doc_id", *[c.alias(k) for k, c in feats.items()])
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LINE_REPETITION = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+ln AS (SELECT doc_id, t,
+              greatest(CAST(ceil(len(t) / 3.0) AS BIGINT), 1) AS nl
+       FROM tk),
+lined AS (
+  SELECT doc_id, g,
+         array_to_string(list_slice(t, g * 3 + 1, g * 3 + 3), ' ') AS line
+  FROM (SELECT doc_id, t, unnest(generate_series(0, nl - 1)) AS g FROM ln)
+),
+nz AS (SELECT doc_id, line FROM lined WHERE trim(line) != ''),
+lls AS (SELECT doc_id, list(line) AS lines FROM nz GROUP BY doc_id),
+stats AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS n_dup_lines,
+         coalesce(list_aggregate(
+           list_transform(lines, x -> length(x)), 'sum'), 0) AS tc,
+         coalesce(list_aggregate(
+           list_transform(list_distinct(lines), x -> length(x)), 'sum'),
+           0) AS dc
+  FROM lls)
+SELECT b.doc_id,
+       coalesce(s.n_lines, 0) AS n_lines,
+       coalesce(s.n_dup_lines, 0) AS n_dup_lines,
+       CASE WHEN coalesce(s.n_lines, 0) > 0
+            THEN CAST(s.n_dup_lines AS DOUBLE) / s.n_lines
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN coalesce(s.tc, 0) > 0
+            THEN CAST(s.tc - s.dc AS DOUBLE) / s.tc
+            ELSE 0.0 END AS dup_line_char_frac
+FROM base b LEFT JOIN stats s USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 ORACLE_DEDUP_LINES = """
@@ -1775,6 +1840,9 @@ EXTRA_PARITY = {
     # r11: the batch BM25 path, hash-checked (shared corpus scan,
     # per-query rankings bit-equal to single-query runs).
     "bm25_multi": _q(q_bm25_multi, _oracle_bm25_multi()),
+    # r12: Gopher per-doc duplicate-line filters (Rae et al. Table A1)
+    # over the re-lined documents — zero-shuffle map signals.
+    "line_repetition_stats": _q(q_line_repetition, ORACLE_LINE_REPETITION),
     **_extra_parity_extended(),
     **_extra_parity_reference(),
     **_extra_parity_graph(),

@@ -130,3 +130,59 @@ def test_contamination_exact_dup_is_flagged(spark, sf_dir):
     planted = out.filter(F.col("doc_id") == ev_doc["doc_id"] + 1_000_000).first()
     assert planted["contamination"] == 1.0
     assert planted["contaminated"] == 1
+
+
+def test_line_repetition_handcomputed(spark):
+    from bigdataproject_spark.operators.textstats import (
+        line_repetition_features,
+    )
+
+    rows = [
+        (0, None),  # NULL text -> all zero
+        (1, ""),  # empty -> all zero
+        (2, "aa\nbb\ncc"),  # all distinct
+        (3, "aa\nbb\naa\n\n  \naa"),  # aa x3; blanks excluded
+        (4, "x\r\ny\rx"),  # CRLF + bare CR split; x duplicated
+        (5, "longline\nz\nlongline"),  # char frac weighted by length
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    feats = line_repetition_features(F.coalesce("text", F.lit("")))
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_dup_lines"], r["dup_line_frac"], r["dup_char"]
+        )
+        for r in df.select(
+            "doc_id",
+            feats["n_lines"].alias("n_lines"),
+            feats["n_dup_lines"].alias("n_dup_lines"),
+            feats["dup_line_frac"].alias("dup_line_frac"),
+            feats["dup_line_char_frac"].alias("dup_char"),
+        ).collect()
+    }
+    assert got[0] == (0, 0, 0.0, 0.0)
+    assert got[1] == (0, 0, 0.0, 0.0)
+    assert got[2] == (3, 0, 0.0, 0.0)
+    # doc 3: lines [aa, bb, aa, aa] -> 4 lines, 2 dup; chars 8 total,
+    # distinct {aa, bb} = 4 -> char frac 0.5
+    assert got[3] == (4, 2, 0.5, 0.5)
+    assert got[4] == (3, 1, 1 / 3, 1 / 3)
+    # doc 5: chars 8+1+8=17, distinct 9 -> 8/17
+    assert got[5] == (3, 1, 1 / 3, 8 / 17)
+
+
+def test_line_repetition_zero_shuffle(spark):
+    from bigdataproject_spark.operators.textstats import (
+        line_repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na")], "doc_id: long, text: string"
+    )
+    feats = line_repetition_features("text")
+    plan = (
+        df.select(feats["dup_line_char_frac"].alias("f"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map stage
