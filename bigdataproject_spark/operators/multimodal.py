@@ -390,12 +390,16 @@ def decode_avi(payload: bytes):
     strf_ok = False
     n_streams = 0  # strh ordinal = AVI stream number (strl order)
     vids_streams: list[int] = []  # ordinals of 'vids' strh chunks
+    last_strh = None  # fccType of the most recent strh: a strl LIST
+    # carries strh THEN strf, so this associates each strf with its
+    # stream — an audio strf (WAVEFORMATEX(TENSIBLE), which can also be
+    # >= 40 bytes) must never be parsed as BITMAPINFOHEADER (r12 review)
     # (stream-id prefix, offset, size) of every movi data chunk; the
     # vids stream's ordinal is only known after hdrl, so filter post-walk
     data_chunks: list[tuple[bytes, int, int]] = []
 
     def walk(pos: int, end: int, in_movi: bool) -> None:
-        nonlocal avih, strf_ok, n_streams
+        nonlocal avih, strf_ok, n_streams, last_strh
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -410,10 +414,13 @@ def decode_avi(payload: bytes):
                     raise ValueError("truncated avih header")
                 avih = struct.unpack_from("<10I", payload, body)
             elif fourcc == b"strh" and size >= 4:
-                if payload[body : body + 4] == b"vids":
+                last_strh = payload[body : body + 4]
+                if last_strh == b"vids":
                     vids_streams.append(n_streams)
                 n_streams += 1
-            elif fourcc == b"strf" and size >= 40:
+            elif fourcc == b"strf" and last_strh == b"vids":
+                if size < 40:
+                    raise ValueError("truncated vids strf header")
                 _, _, _, _planes, bpp, comp = struct.unpack_from(
                     "<IiiHHI", payload, body
                 )
@@ -423,6 +430,7 @@ def decode_avi(payload: bytes):
                         f"bpp={bpp}, compression={comp})"
                     )
                 strf_ok = True
+                last_strh = None  # one format chunk per stream header
             elif in_movi and fourcc[2:] in (b"db", b"dc"):
                 data_chunks.append((fourcc[:2], body, size))
             pos = nxt

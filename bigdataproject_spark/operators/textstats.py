@@ -324,9 +324,21 @@ def line_repetition_features(text: Column | str) -> dict[str, Column]:
     bookkeeping. Ratios are unrounded single int/int divisions — the
     bit-exact-cross-engine value class (r11 float audit; PLANS.md)."""
     t = F.col(text) if isinstance(text, str) else text
-    lines = F.filter(
-        F.split(t, r"\r\n?|\n"), lambda x: F.trim(x) != F.lit("")
-    )
+    return line_repetition_from_lines(F.split(t, r"\r\n?|\n"))
+
+
+def line_repetition_from_lines(raw_lines: Column) -> dict[str, Column]:
+    """:func:`line_repetition_features` over an ALREADY-SPLIT line
+    array. This is the canonical computation; the text variant is just
+    ``from_lines(split(text))``. Callers that construct lines
+    synthetically (e.g. the re-lined oracle query in
+    queries_pipeline.py) MUST use this form rather than joining with
+    '\\n' and re-splitting — a token containing an embedded CR/LF would
+    otherwise split into extra lines on the Spark side only, silently
+    diverging from an oracle that counts one line per constructed
+    slice (r12 review finding, repro'd with "aa\\nbb" inside a
+    token)."""
+    lines = F.filter(raw_lines, lambda x: F.trim(x) != F.lit(""))
     uniq = F.array_distinct(lines)
 
     def _chars(arr: Column) -> Column:

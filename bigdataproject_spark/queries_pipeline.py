@@ -990,13 +990,16 @@ ORDER BY asset_id
 # --- round-4 promotions: library ops → hash-checked registry entries --------
 
 
-def _relined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, text) with the single-line testdata documents
-    deterministically re-lined at 3 tokens per line — the small
-    vocabulary makes boilerplate-like line repeats emerge both across
-    documents (feeding the corpus-level dedup) and within one document
-    (feeding the Gopher per-doc line-repetition signals). Shared by
-    q_dedup_lines and q_line_repetition; the DuckDB oracles mirror the
+def _relined_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lines array<string>) with the single-line testdata
+    documents deterministically re-lined at 3 tokens per line — the
+    small vocabulary makes boilerplate-like line repeats emerge both
+    across documents (feeding the corpus-level dedup) and within one
+    document (feeding the Gopher per-doc line-repetition signals).
+    Shared by q_dedup_lines (joined with '\\n') and q_line_repetition
+    (consumed AS the line array — never re-split, so a token carrying
+    an embedded CR/LF cannot diverge from the oracle's one-line-per-
+    slice semantics; r12 review). The DuckDB oracles mirror the
     identical slicing."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce("text", F.lit("")).alias("text")
@@ -1007,13 +1010,19 @@ def _relined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return docs.select(
         "doc_id",
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.sequence(F.lit(0), n_lines - 1),
-                lambda g: F.concat_ws(" ", F.slice(toks, g * 3 + 1, 3)),
-            ),
-        ).alias("text"),
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda g: F.concat_ws(" ", F.slice(toks, g * 3 + 1, 3)),
+        ).alias("lines"),
+    )
+
+
+def _relined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text): the re-lined documents as one string per doc —
+    :func:`_relined_lines` joined with '\\n' for the line-granular
+    corpus dedup, whose operator re-splits on the same delimiter."""
+    return _relined_lines(spark, sf_dir).select(
+        "doc_id", F.concat_ws("\n", "lines").alias("text")
     )
 
 
@@ -1032,16 +1041,21 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher per-document line-repetition signals (Rae et al. 2021
-    Table A1 duplicate-line filters; operators/textstats.py
-    ``line_repetition_features``) over the re-lined documents — a pure
-    map stage, zero shuffle; the only exchange is the output sort."""
+    Table A1 duplicate-line filters; operators/textstats.py) over the
+    re-lined documents — a pure map stage, zero shuffle; the only
+    exchange is the output sort. Consumes the constructed line ARRAY
+    via ``line_repetition_from_lines`` (not join-then-split, which
+    would count extra lines for CR/LF-bearing tokens on the Spark side
+    only — the oracle counts one line per slice); the plain-text
+    ``line_repetition_features`` split path stays the production API
+    for real multi-line corpora."""
     from bigdataproject_spark.operators.textstats import (
-        line_repetition_features,
+        line_repetition_from_lines,
     )
 
-    feats = line_repetition_features("text")
+    feats = line_repetition_from_lines(F.col("lines"))
     return (
-        _relined_docs(spark, sf_dir)
+        _relined_lines(spark, sf_dir)
         .select("doc_id", *[c.alias(k) for k, c in feats.items()])
         .orderBy("doc_id")
     )

@@ -229,22 +229,20 @@ def encode_danmaku_elem(elem: dict) -> bytes:
     proto3 canonical form: default-valued scalars are omitted, fields in
     ascending number order — so encode(parse(x)) == x for canonical
     input, the property the round-trip tests pin."""
-    by_name = {name: (num, conv) for num, (name, conv) in _ELEM_VARINT.items()}
+    fields = sorted(
+        [(num, name, 0) for num, (name, _) in _ELEM_VARINT.items()]
+        + [(num, name, 2) for num, name in _ELEM_LEN.items()]
+    )
     out = bytearray()
-    for name, num in sorted(
-        list((n, f) for f, (n, _) in _ELEM_VARINT.items())
-        + list((n, f) for f, n in _ELEM_LEN.items()),
-        key=lambda p: p[1],
-    ):
+    for num, name, wt in fields:
         val = elem.get(name, _ELEM_DEFAULTS[name])
         if val == _ELEM_DEFAULTS[name]:
             continue
-        if name in by_name:
-            out += write_varint(num << 3 | 0)
+        out += write_varint(num << 3 | wt)
+        if wt == 0:
             out += _signed_varint(val)
         else:
             raw = val.encode("utf-8")
-            out += write_varint(num << 3 | 2)
             out += write_varint(len(raw))
             out += raw
     return bytes(out)
@@ -329,6 +327,24 @@ def read_danmaku_bin_dir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def reference_row_columns() -> list[Column]:
+    """THE reference CSV row mapping (``spider_worker.py:38-46``), in
+    one place: batch :func:`danmaku_table` and the streaming ingest
+    (streaming/danmaku_stream.py) both project through this list, so
+    an edit to the mapping (rounding, timezone, a new column) cannot
+    silently break their pinned batch ≡ stream parity (r12 review)."""
+    return [
+        F.col("dmid").cast("string").alias("dmid"),
+        (F.col("progress_ms").cast("double") / F.lit(1000.0)).alias(
+            "video_time"
+        ),
+        F.col("text"),
+        F.from_unixtime("ctime", "yyyy-MM-dd HH:mm:ss").alias("send_date"),
+        F.col("uid"),
+        F.lit("api").alias("source"),
+    ]
+
+
 def danmaku_table(elems: DataFrame) -> DataFrame:
     """Decoded elems → the reference's CSV row shape
     (``spider_worker.py:38-46``): dmid (string), video_time (seconds,
@@ -345,13 +361,4 @@ def danmaku_table(elems: DataFrame) -> DataFrame:
             )
         ),
     ).filter(F.col("_rk") == 1)
-    return ranked.select(
-        F.col("dmid").cast("string").alias("dmid"),
-        (F.col("progress_ms").cast("double") / F.lit(1000.0)).alias(
-            "video_time"
-        ),
-        F.col("text"),
-        F.from_unixtime("ctime", "yyyy-MM-dd HH:mm:ss").alias("send_date"),
-        F.col("uid"),
-        F.lit("api").alias("source"),
-    )
+    return ranked.select(*reference_row_columns())

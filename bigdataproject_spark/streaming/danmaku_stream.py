@@ -50,6 +50,7 @@ from pyspark.sql.types import (
 
 from bigdataproject_spark.sources.protowire import (
     decode_danmaku_segments,
+    reference_row_columns,
 )
 
 __all__ = ["stream_danmaku_bins", "danmaku_rows_stream", "start_danmaku_ingest"]
@@ -86,27 +87,46 @@ def danmaku_rows_stream(
 
     Decode (stateless mapInPandas — legal in streams), then dedup on
     dmid within the watermark horizon over the elem's own send time.
-    Output columns match batch ``danmaku_table`` plus ``send_ts`` (the
-    event-time column must survive for the watermark; batch parity
-    drops it)."""
+    Output columns match batch ``danmaku_table`` (both project through
+    ``protowire.reference_row_columns`` — one mapping, r12 review) plus
+    ``send_ts`` (the event-time column must survive for the watermark;
+    batch parity drops it).
+
+    A decoded elem with a missing/non-positive ``ctime`` (proto3
+    default 0) raises AT EXECUTION instead of flowing on: its 1970
+    event time would be far behind the watermark the moment any
+    current elem has been seen, and ``dropDuplicatesWithinWatermark``
+    would then discard it SILENTLY — while the batch path keeps it.
+    The fail-loud guard (the rrf_fuse in-plan ``assert_true`` idiom,
+    folded into the watermark column so the optimizer cannot prune it)
+    converts that quiet batch/stream divergence into an explicit
+    error: backfill ctime upstream or ingest the file via the batch
+    path (r12 review)."""
     elems = decode_danmaku_segments(
         segments, key_col="seg_key", payload_col="payload"
     )
-    with_ts = elems.withColumn("send_ts", F.timestamp_seconds("ctime"))
+    guard = F.assert_true(
+        F.col("ctime") > 0,
+        F.concat(
+            F.lit("danmaku elem with non-positive ctime (dmid "),
+            F.col("dmid").cast("string"),
+            F.lit(
+                ") — the watermark clock cannot order it and would "
+                "silently drop it as late; backfill ctime upstream or "
+                "ingest this file via the batch danmaku_table path"
+            ),
+        ),
+    )
+    with_ts = elems.withColumn(
+        "send_ts",
+        F.timestamp_seconds(
+            F.col("ctime") + F.coalesce(guard.cast("long"), F.lit(0))
+        ),
+    )
     deduped = with_ts.withWatermark(
         "send_ts", watermark
     ).dropDuplicatesWithinWatermark(["dmid"])
-    return deduped.select(
-        F.col("dmid").cast("string").alias("dmid"),
-        (F.col("progress_ms").cast("double") / F.lit(1000.0)).alias(
-            "video_time"
-        ),
-        F.col("text"),
-        F.from_unixtime("ctime", "yyyy-MM-dd HH:mm:ss").alias("send_date"),
-        F.col("uid"),
-        F.lit("api").alias("source"),
-        F.col("send_ts"),
-    )
+    return deduped.select(*reference_row_columns(), F.col("send_ts"))
 
 
 def start_danmaku_ingest(

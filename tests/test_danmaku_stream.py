@@ -109,3 +109,31 @@ def test_stream_equals_batch_on_identical_payload_dups(spark, dirs):
     assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
         map(tuple, batch.select(*cols).collect())
     )
+
+
+def test_missing_ctime_fails_loudly_not_silently_dropped(spark, dirs):
+    """r12 review: a decoded elem with proto3-default ctime=0 would get
+    a 1970 event time and be silently discarded as late by the
+    watermark dedup (while batch keeps it). The in-plan guard converts
+    that divergence into an execution-time error naming the dmid."""
+    with open(os.path.join(dirs["bins"], "ok.bin"), "wb") as f:
+        f.write(encode_dm_seg([_elem(20, T0, "fine")]))
+    bad = _elem(21, 0, "no ctime")
+    del bad["ctime"]
+    with open(os.path.join(dirs["bins"], "bad.bin"), "wb") as f:
+        f.write(encode_dm_seg([bad]))
+    q = start_danmaku_ingest(
+        spark, dirs["bins"], dirs["out"], dirs["ck"], available_now=True
+    )
+    with pytest.raises(Exception, match="non-positive ctime .dmid 21."):
+        q.awaitTermination(120)
+
+    # batch path keeps the same row (the documented escape hatch)
+    batch = danmaku_table(
+        decode_danmaku_segments(
+            read_danmaku_bin_dir(spark, dirs["bins"]),
+            key_col="seg_key",
+            payload_col="payload",
+        )
+    )
+    assert {r.dmid for r in batch.collect()} == {"20", "21"}

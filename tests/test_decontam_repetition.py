@@ -186,3 +186,31 @@ def test_line_repetition_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan  # pure map stage
+
+
+def test_line_repetition_from_lines_no_resplit(spark):
+    """r12 review: constructed line arrays must be consumed AS lines.
+    A line whose content embeds CR/LF counts as ONE line through
+    from_lines (matching an oracle that counts one line per
+    constructed slice), while the text variant — join then split —
+    would count its pieces separately."""
+    from bigdataproject_spark.operators.textstats import (
+        line_repetition_features,
+        line_repetition_from_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["aa\nbb", "cc", "aa\nbb"])],
+        "doc_id: long, lines: array<string>",
+    )
+    fl = line_repetition_from_lines(F.col("lines"))
+    got = df.select(
+        fl["n_lines"].alias("n"), fl["n_dup_lines"].alias("d")
+    ).collect()[0]
+    assert (got["n"], got["d"]) == (3, 1)  # one line per element
+
+    ft = line_repetition_features(F.concat_ws("\n", "lines"))
+    got_t = df.select(
+        ft["n_lines"].alias("n"), ft["n_dup_lines"].alias("d")
+    ).collect()[0]
+    assert (got_t["n"], got_t["d"]) == (5, 2)  # re-split: aa,bb,cc,aa,bb

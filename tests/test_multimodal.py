@@ -542,3 +542,74 @@ def test_avi_decoder_accepts_nonzero_video_stream():
     )
     with _pytest.raises(ValueError, match="no video .vids. stream"):
         decode_avi(chunk(b"RIFF", b"AVI " + hdrl_a + movi))
+
+
+def test_avi_decoder_ignores_large_audio_strf():
+    """r12 review follow-up: the strf handler must be associated with
+    its stream via the preceding strh, not gated on size — an audio
+    WAVEFORMATEXTENSIBLE strf is exactly 40 bytes and was being parsed
+    as BITMAPINFOHEADER, rejecting the very audio-first files the
+    ordinal fix accepts (bpp field lands on nChannels/wBitsPerSample
+    garbage)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdataproject_spark.operators.multimodal import decode_avi, encode_avi
+
+    f0 = np.full((2, 2, 3), 9, dtype=np.uint8)
+    base = encode_avi([f0], fps=10)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    def find(fourcc, frm=0):
+        i = base.index(fourcc, frm)
+        (size,) = struct.unpack_from("<I", base, i + 4)
+        return base[i + 8 : i + 8 + size], i + 8 + size
+
+    avih, _ = find(b"avih")
+    strh_v, _ = find(b"strh")
+    strf_v, _ = find(b"strf")
+    dib0, _ = find(b"00db")
+
+    strh_a = struct.pack(
+        "<4s4sIHH8I4h", b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1,
+        8000, 0, 16000, 1, 0, 0, 0, 0, 0, 0,
+    )
+    # WAVEFORMATEXTENSIBLE: 18-byte WAVEFORMATEX (cbSize=22) + 22-byte
+    # extension = 40 bytes — wFormatTag=0xFFFE, 2ch, 16-bit, the
+    # standard PCM-extensible shape
+    strf_a = struct.pack(
+        "<HHIIHHH", 0xFFFE, 2, 48000, 192000, 4, 16, 22
+    ) + struct.pack("<HI16s", 16, 3, b"\x01\x00\x00\x00\x00\x00\x10\x00" b"\x80\x00\x00\xaa\x00\x38\x9b\x71")
+    assert len(strf_a) == 40
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    movi = lst(b"movi", chunk(b"00wb", b"\x80" * 8) + chunk(b"01db", dib0))
+    payload = chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    w, h, usec, frames = decode_avi(payload)
+    assert (w, h, len(frames)) == (2, 2, 1)
+    _, _, _, ref = decode_avi(base)
+    assert (frames[0] == ref[0]).all()
+
+    # and a truncated VIDS strf now fails loudly instead of falling
+    # through to the generic missing-headers error
+    hdrl_bad = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v[:20])),
+    )
+    with _pytest.raises(ValueError, match="truncated vids strf"):
+        decode_avi(chunk(b"RIFF", b"AVI " + hdrl_bad + movi))
