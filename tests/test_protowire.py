@@ -249,3 +249,50 @@ def test_generated_runtime_parity_when_available():
     theirs = cls()
     theirs.ParseFromString(encode_danmaku_elem(ELEM_A))
     assert theirs == m
+
+
+# --- property-based invariants (hypothesis) -----------------------------------
+
+
+def test_property_roundtrip_and_junk_safety():
+    """Two wire-format invariants over generated inputs (SURVEY §5
+    item 4 style): (a) encode→parse is the identity for any canonical
+    elem dict; (b) the parser TERMINATES on arbitrary junk bytes with
+    either a parsed result or ValueError — never a hang, never another
+    exception type (the fail-loud contract's full envelope)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    text_s = st.text(max_size=40)  # includes CJK, emoji, controls
+    elem_s = st.fixed_dictionaries(
+        {
+            "dmid": st.integers(-(2**63), 2**63 - 1),
+            "progress_ms": st.integers(-(2**31), 2**31 - 1),
+            "mode": st.integers(-(2**31), 2**31 - 1),
+            "fontsize": st.integers(-(2**31), 2**31 - 1),
+            "color": st.integers(0, 2**32 - 1),
+            "uid": text_s,
+            "text": text_s,
+            "ctime": st.integers(-(2**63), 2**63 - 1),
+            "weight": st.integers(-(2**31), 2**31 - 1),
+            "pool": st.integers(-(2**31), 2**31 - 1),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(elem_s, max_size=5))
+    def roundtrip(elems):
+        assert parse_dm_seg(encode_dm_seg(elems, state=1)) == elems
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def junk(data):
+        try:
+            out = parse_dm_seg(data)
+        except ValueError:
+            return
+        assert isinstance(out, list)
+
+    roundtrip()
+    junk()
