@@ -69,46 +69,49 @@ def graph_edges(entity_df: DataFrame) -> DataFrame:
 
 
 def graph_topology(entity_df: DataFrame) -> DataFrame:
-    """Nodes AND edges from ONE extraction pass and ONE shuffle:
-    (part, src, dst, weight) where part='node' rows are the
-    :func:`graph_nodes` table (src=Id, dst='', weight=Size) and
-    part='edge' rows the :func:`graph_edges` table (Source/Target/
-    Weight). The naive merge — ``nodes(ent) UNION ALL edges(ent)`` —
-    pays the per-row alias-contains extraction TWICE (one scan per
-    branch; nothing to reuse, there's no exchange below the union).
-    Here each row emits its node units and its C(n,2) pair units in a
-    single higher-order concat inside the scan stage, so the corpus is
-    read and extracted ONCE and the only shuffle is the final
-    count aggregate over the tiny (part, src, dst) key space —
-    map-side combined, broadcast-sized, exactly like the standalone
-    queries' finals. At 100 TB the extraction map pass dominates both
-    standalone queries; halving it is the whole point of the merge."""
-    units = F.concat(
-        F.transform(
-            "entities",
-            lambda e: F.struct(
-                F.lit("node").alias("part"),
-                e.alias("src"),
-                F.lit("").alias("dst"),
-            ),
-        ),
-        F.transform(
-            pair_combinations_expr("entities"),
-            lambda p: F.struct(
-                F.lit("edge").alias("part"),
-                p["src"].alias("src"),
-                p["dst"].alias("dst"),
-            ),
-        ),
+    """Nodes AND edges from ONE corpus scan: (part, src, dst, weight)
+    where part='node' rows are the :func:`graph_nodes` table (src=Id,
+    dst='', weight=Size) and part='edge' rows the :func:`graph_edges`
+    table (Source/Target/Weight).
+
+    Shape — SHARED-EXCHANGE union, chosen on a measured three-way CPU
+    receipt at sf100 (SCALING.md r12; executorCpuTime is far less
+    co-tenant-sensitive than wall): the compact ``entities`` projection
+    is repartitioned ONCE — both union branches hang off the same
+    exchange RDD, so the scan+extraction executes exactly once and each
+    branch is a pure codegen explode→map-side-combined count above the
+    shared shuffle output.
+
+      * naive union (branches share nothing — fan_out is identity on
+        multi-split sources, so there is no exchange to reuse):
+        TWO scans+extractions, 1330 CPU-s;
+      * single-explode fusion (node+pair units built per row with
+        higher-order ``transform``/``concat`` structs): one scan but
+        the INTERPRETED struct-building costs ~2× a whole codegen
+        scan+extract pass — 1780 CPU-s, the losing shape;
+      * this: 1113 CPU-s, 35.7 MB exchange (the entity arrays are a
+        few short canonical names per row — at 100 TB that exchange is
+        a few % of corpus bytes, against a full second corpus scan
+        saved), aggregate keys broadcast-sized as ever.
+    """
+    n_parts = int(
+        entity_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    return (
-        entity_df.select(F.explode(units).alias("u"))
-        .select("u.part", "u.src", "u.dst")
-        .groupBy("part", "src", "dst")
-        .agg(F.count(F.lit(1)).alias("weight"))
-        .orderBy(
-            F.asc("part"), F.desc("weight"), F.asc("src"), F.asc("dst")
-        )
+    shared = entity_df.select("entities").repartition(n_parts)
+    nodes = graph_nodes(shared).select(
+        F.lit("node").alias("part"),
+        F.col("Id").alias("src"),
+        F.lit("").alias("dst"),
+        F.col("Size").alias("weight"),
+    )
+    edges = graph_edges(shared).select(
+        F.lit("edge").alias("part"),
+        F.col("Source").alias("src"),
+        F.col("Target").alias("dst"),
+        F.col("Weight").alias("weight"),
+    )
+    return nodes.unionByName(edges).orderBy(
+        F.asc("part"), F.desc("weight"), F.asc("src"), F.asc("dst")
     )
 
 

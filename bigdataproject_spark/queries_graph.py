@@ -102,14 +102,17 @@ def q_graph_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is uninterrupted).
 
     r12 follow-up: the first registry version union'd the two
-    standalone plans, paying the per-row alias-contains extraction
-    TWICE (one corpus scan per branch — there is no exchange below the
-    union for Spark to reuse). Now delegates to the one-pass
+    standalone plans, paying the scan + per-row alias-contains
+    extraction TWICE (one corpus scan per branch — fan_out is identity
+    on multi-split sources, so the union had no exchange to reuse).
+    Now delegates to the shared-exchange
     :func:`~bigdataproject_spark.operators.graph.graph_topology`
-    operator: each row emits its node units and C(n,2) pair units from
-    ONE extraction inside the scan stage, and the only shuffle is the
-    final map-side-combined count over the tiny (part, src, dst) key
-    space. Row-identical to the union of the standalone tables
+    operator — one scan+extraction feeding a compact entities
+    repartition both branches reuse; the shape won a measured
+    three-way CPU receipt at sf100 over both the naive union and a
+    single-explode higher-order fusion (see the operator docstring and
+    SCALING.md r12). Row-identical to the union of the standalone
+    tables
     (tests/test_golden_reference.py::test_graph_topology_one_pass_equals_union_of_halves)."""
     return graph_topology(_entities(spark, sf_dir))
 
