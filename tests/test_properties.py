@@ -382,3 +382,38 @@ def test_span_dedup_matches_bruteforce(spark, docs, k):
             cut.update(range(s, e))
         want_clean = " ".join(tok for j, tok in enumerate(t) if j not in cut)
         assert clean[i] == want_clean, (i, k, rows)
+
+
+@given(
+    rows=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_edge_generators_agree(spark, rows):
+    """r12: graph_edges switched pair generation from the higher-order
+    pair_combinations_expr array build to a double-explode codegen
+    pipeline (6.3x CPU at sf100). The two generators must stay
+    row-identical on arbitrary entity sets — this pins the expression
+    API and the operator path to the same semantics forever."""
+    from bigdataproject_spark.operators.graph import graph_edges
+
+    df = spark.createDataFrame(
+        [(list(set(r)),) for r in rows], "entities array<string>"
+    )
+    via_expr = sorted(
+        map(
+            tuple,
+            df.select(F.explode(pair_combinations_expr("entities")).alias("p"))
+            .select("p.src", "p.dst")
+            .groupBy("src", "dst")
+            .count()
+            .collect(),
+        )
+    )
+    via_operator = sorted(
+        map(tuple, graph_edges(df).select("Source", "Target", "Weight").collect())
+    )
+    assert via_operator == via_expr
