@@ -39,16 +39,24 @@ def extract_entity_table(
     return out.filter(F.size("entities") > 0)
 
 
-def graph_nodes(entity_df: DataFrame) -> DataFrame:
-    """Node table (Id, Size): mention counts over exploded entities
-    (danmaku_analysis_cluster.py:131-134), desc by Size with an Id
-    tiebreak for determinism."""
+def _node_counts(entity_df: DataFrame) -> DataFrame:
+    """Unsorted (Id, Size) aggregate — the shared kernel of
+    :func:`graph_nodes` (which adds the presentation sort) and
+    :func:`graph_topology` (which must NOT inherit a per-branch sort:
+    the union re-sorts globally, so a sorted branch pays a wasted
+    range exchange + sort below the union)."""
     return (
         entity_df.select(F.explode("entities").alias("Id"))
         .groupBy("Id")
         .agg(F.count(F.lit(1)).alias("Size"))
-        .orderBy(F.desc("Size"), F.asc("Id"))
     )
+
+
+def graph_nodes(entity_df: DataFrame) -> DataFrame:
+    """Node table (Id, Size): mention counts over exploded entities
+    (danmaku_analysis_cluster.py:131-134), desc by Size with an Id
+    tiebreak for determinism."""
+    return _node_counts(entity_df).orderBy(F.desc("Size"), F.asc("Id"))
 
 
 def graph_edges(entity_df: DataFrame) -> DataFrame:
@@ -68,16 +76,24 @@ def graph_edges(entity_df: DataFrame) -> DataFrame:
     form stays in functions/entities.py as the composable column API
     (and the property suite pins both generators equal on arbitrary
     inputs)."""
+    return _edge_counts(entity_df).orderBy(
+        F.desc("Weight"), F.asc("Source"), F.asc("Target")
+    )
+
+
+def _edge_counts(entity_df: DataFrame) -> DataFrame:
+    """Unsorted (Source, Target, Weight) aggregate via the codegen
+    double-explode kernel (see :func:`graph_edges`); shared with
+    :func:`graph_topology`, which must not inherit a per-branch
+    sort."""
     sorted_ent = entity_df.select(F.array_sort("entities").alias("se"))
     pairs = sorted_ent.select(
         F.explode("se").alias("Source"), F.col("se")
     ).select("Source", F.explode("se").alias("Target")).filter(
         F.col("Target") > F.col("Source")
     )
-    return (
-        pairs.groupBy("Source", "Target")
-        .agg(F.count(F.lit(1)).alias("Weight"))
-        .orderBy(F.desc("Weight"), F.asc("Source"), F.asc("Target"))
+    return pairs.groupBy("Source", "Target").agg(
+        F.count(F.lit(1)).alias("Weight")
     )
 
 
@@ -111,13 +127,13 @@ def graph_topology(entity_df: DataFrame) -> DataFrame:
         entity_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     shared = entity_df.select("entities").repartition(n_parts)
-    nodes = graph_nodes(shared).select(
+    nodes = _node_counts(shared).select(
         F.lit("node").alias("part"),
         F.col("Id").alias("src"),
         F.lit("").alias("dst"),
         F.col("Size").alias("weight"),
     )
-    edges = graph_edges(shared).select(
+    edges = _edge_counts(shared).select(
         F.lit("edge").alias("part"),
         F.col("Source").alias("src"),
         F.col("Target").alias("dst"),

@@ -152,3 +152,70 @@ def test_fan_out_ignores_shuffle_partitions(spark):
         assert fan_out(df) is df
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_graph_edges_pair_kernel_stays_codegen(spark):
+    """r12: the pair kernel was rewritten from the interpreted
+    higher-order array build (6.3x the CPU at sf100 — SCALING.md
+    graph-kernel receipt) to a double-explode codegen pipeline. Guard
+    the shape: the executed plan must contain exactly two Generate
+    nodes and ZERO lambda functions (any 'lambdafunction' in the edges
+    plan means someone reintroduced an interpreted tower into the
+    hottest graph kernel)."""
+    from bigdataproject_spark.operators.graph import graph_edges
+
+    df = spark.createDataFrame(
+        [(["b", "a", "c"],), ([],)], "entities array<string>"
+    )
+    plan = graph_edges(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 2
+    # array_sort's default comparator is the ONE permitted lambda
+    # (O(n log n) per row, present in both shapes); the interpreted
+    # tower the rewrite removed shows up as transform()/filter()
+    # higher-order calls.
+    assert "transform(" not in plan
+    assert "aggregate(" not in plan
+
+
+def test_graph_topology_single_shared_exchange(spark):
+    """r12: graph_topology's two branches must both hang off ONE
+    repartition of the compact entities projection (the
+    shared-exchange shape that won the CPU receipt). Guard via the
+    runtime signature: with the same DataFrame feeding both branches
+    the shuffle map stage executes once, so total shuffle READ is
+    ~2x WRITE; if a refactor rebuilds the exchange per branch
+    (e.g. calling the extraction twice), write doubles and the
+    ratio collapses toward 1x. Assert the structural half that is
+    visible statically: exactly two RoundRobin repartition exchanges
+    never appear — the plan prints the shared subtree under both
+    branches, so count scans instead: the logical plan may show the
+    source twice, but the physical exchange must be byte-identical
+    text in both branches (same exprIds), which is what RDD-level
+    sharing keys on."""
+    from bigdataproject_spark.operators.graph import graph_topology
+
+    df = spark.createDataFrame(
+        [(["a", "b"],), (["b", "c"],)], "entities array<string>"
+    )
+    qe = graph_topology(df)._jdf.queryExecution()
+    phys = qe.executedPlan().toString()
+    import re
+
+    # both branches print the repartition subtree; canonicalized (from
+    # 'Exchange' onward, plan_id stripped) they must be IDENTICAL —
+    # same child exprIds is what RDD-level shuffle sharing keys on.
+    # Differing canonical forms would mean two independent extractions.
+    reparts = [
+        re.sub(
+            r"plan_id=\d+",
+            "",
+            line[line.index("Exchange") :],
+        ).strip()
+        for line in phys.splitlines()
+        if "RoundRobinPartitioning" in line
+    ]
+    assert len(reparts) == 2, f"expected both branches to print the shared repartition: {reparts}"
+    assert len(set(reparts)) == 1, f"branches repartition differently: {reparts}"
+    # and the branches must NOT carry their own presentation sorts —
+    # exactly ONE range exchange (the final global orderBy) in the plan
+    assert phys.count("rangepartitioning") == 1
