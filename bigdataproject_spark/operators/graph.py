@@ -85,8 +85,19 @@ def _edge_counts(entity_df: DataFrame) -> DataFrame:
     """Unsorted (Source, Target, Weight) aggregate via the codegen
     double-explode kernel (see :func:`graph_edges`); shared with
     :func:`graph_topology`, which must not inherit a per-branch
-    sort."""
-    sorted_ent = entity_df.select(F.array_sort("entities").alias("se"))
+    sort.
+
+    ``array_distinct`` is applied defensively: the extraction contract
+    already delivers distinct per-row entity sets, but on a
+    NON-distinct input a strict ``Target > Source`` filter and the
+    index-pair expression would diverge (the expression emits a
+    self-pair per duplicate; neither output is meaningful) — distinct
+    first makes duplicate input behave as its set, pinned by
+    tests/test_properties.py::test_edge_generators_agree on raw
+    inputs."""
+    sorted_ent = entity_df.select(
+        F.array_sort(F.array_distinct("entities")).alias("se")
+    )
     pairs = sorted_ent.select(
         F.explode("se").alias("Source"), F.col("se")
     ).select("Source", F.explode("se").alias("Target")).filter(
@@ -123,9 +134,15 @@ def graph_topology(entity_df: DataFrame) -> DataFrame:
         a few % of corpus bytes, against a full second corpus scan
         saved), aggregate keys broadcast-sized as ever.
     """
-    n_parts = int(
-        entity_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        n_parts = int(
+            entity_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # runtimes that set the conf to a non-numeric sentinel (e.g.
+        # "auto" under vendor AQE auto-tuning) — fall back to cluster
+        # parallelism rather than dying at plan-build time
+        n_parts = entity_df.sparkSession.sparkContext.defaultParallelism
     shared = entity_df.select("entities").repartition(n_parts)
     nodes = _node_counts(shared).select(
         F.lit("node").alias("part"),

@@ -158,10 +158,11 @@ def test_graph_edges_pair_kernel_stays_codegen(spark):
     """r12: the pair kernel was rewritten from the interpreted
     higher-order array build (6.3x the CPU at sf100 — SCALING.md
     graph-kernel receipt) to a double-explode codegen pipeline. Guard
-    the shape: the executed plan must contain exactly two Generate
-    nodes and ZERO lambda functions (any 'lambdafunction' in the edges
-    plan means someone reintroduced an interpreted tower into the
-    hottest graph kernel)."""
+    the shape: exactly two Generate nodes and no higher-order
+    transform()/aggregate() calls — the markers of an interpreted
+    tower. (array_sort's default comparator legitimately prints one
+    lambdafunction, so the guard keys on the higher-order call sites,
+    not on lambda presence.)"""
     from bigdataproject_spark.operators.graph import graph_edges
 
     df = spark.createDataFrame(
@@ -201,21 +202,29 @@ def test_graph_topology_single_shared_exchange(spark):
     phys = qe.executedPlan().toString()
     import re
 
-    # both branches print the repartition subtree; canonicalized (from
-    # 'Exchange' onward, plan_id stripped) they must be IDENTICAL —
-    # same child exprIds is what RDD-level shuffle sharing keys on.
-    # Differing canonical forms would mean two independent extractions.
-    reparts = [
-        re.sub(
-            r"plan_id=\d+",
-            "",
-            line[line.index("Exchange") :],
-        ).strip()
-        for line in phys.splitlines()
-        if "RoundRobinPartitioning" in line
-    ]
-    assert len(reparts) == 2, f"expected both branches to print the shared repartition: {reparts}"
-    assert len(set(reparts)) == 1, f"branches repartition differently: {reparts}"
+    # Both branches must share ONE repartition of the entities
+    # projection. Acceptable printer shapes: (a) both branches print
+    # the full 'Exchange RoundRobinPartitioning' subtree with
+    # identical canonical text (same child exprIds — what RDD-level
+    # shuffle sharing keys on; plan_id stripped), or (b) a printer
+    # that emits ReusedExchange for the second branch — explicit
+    # sharing, trivially a pass. Differing canonical forms with no
+    # reuse marker mean two independent extractions — the regression
+    # this guard exists for.
+    lines = phys.splitlines()
+    if not any("ReusedExchange" in ln for ln in lines):
+        marker = "Exchange RoundRobinPartitioning"
+        reparts = [
+            re.sub(r"plan_id=\d+", "", ln[ln.index(marker) :]).strip()
+            for ln in lines
+            if marker in ln
+        ]
+        assert len(reparts) == 2, (
+            f"expected both branches to print the shared repartition: {reparts}"
+        )
+        assert len(set(reparts)) == 1, (
+            f"branches repartition differently: {reparts}"
+        )
     # and the branches must NOT carry their own presentation sorts —
     # exactly ONE range exchange (the final global orderBy) in the plan
     assert phys.count("rangepartitioning") == 1

@@ -395,25 +395,40 @@ def test_span_dedup_matches_bruteforce(spark, docs, k):
 def test_edge_generators_agree(spark, rows):
     """r12: graph_edges switched pair generation from the higher-order
     pair_combinations_expr array build to a double-explode codegen
-    pipeline (6.3x CPU at sf100). The two generators must stay
-    row-identical on arbitrary entity sets — this pins the expression
-    API and the operator path to the same semantics forever."""
+    pipeline (6.3x CPU at sf100). On DISTINCT entity sets (the
+    extraction contract) the two generators are row-identical; on RAW
+    possibly-duplicate input the operator applies array_distinct first
+    (the expression would emit meaningless self-pairs per duplicate),
+    so the pinned law is: operator(raw) == expr(distinct(raw)). Both
+    halves are asserted — the raw rows feed the operator, their
+    distinct projections feed the expression."""
     from bigdataproject_spark.operators.graph import graph_edges
 
-    df = spark.createDataFrame(
+    raw = spark.createDataFrame(
+        [(r,) for r in rows], "entities array<string>"
+    )
+    distinct = spark.createDataFrame(
         [(list(set(r)),) for r in rows], "entities array<string>"
     )
     via_expr = sorted(
         map(
             tuple,
-            df.select(F.explode(pair_combinations_expr("entities")).alias("p"))
+            distinct.select(
+                F.explode(pair_combinations_expr("entities")).alias("p")
+            )
             .select("p.src", "p.dst")
             .groupBy("src", "dst")
             .count()
             .collect(),
         )
     )
-    via_operator = sorted(
-        map(tuple, graph_edges(df).select("Source", "Target", "Weight").collect())
-    )
-    assert via_operator == via_expr
+    for src_df in (raw, distinct):
+        via_operator = sorted(
+            map(
+                tuple,
+                graph_edges(src_df)
+                .select("Source", "Target", "Weight")
+                .collect(),
+            )
+        )
+        assert via_operator == via_expr

@@ -33,14 +33,8 @@ Decide on ``cpu_s`` first, ``shuffle_write_mb`` second, scan count
 from __future__ import annotations
 
 import json
-import os
-import sys
 import time
 import urllib.request
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
 
 
 def ab_session_conf() -> dict[str, str]:
@@ -49,18 +43,38 @@ def ab_session_conf() -> dict[str, str]:
     return {"spark.ui.enabled": "true", "spark.ui.retainedStages": "100000"}
 
 
-def _totals(base_url: str) -> tuple[int, int]:
-    """(executorCpuTime ns, shuffleWriteBytes) over completed stages."""
-    apps = json.load(urllib.request.urlopen(f"{base_url}/api/v1/applications"))
+def _totals_once(base_url: str) -> tuple[int, int, int]:
+    """(executorCpuTime ns, shuffleWriteBytes, n completed stages)."""
+    apps = json.load(
+        urllib.request.urlopen(f"{base_url}/api/v1/applications", timeout=30)
+    )
     app_id = apps[0]["id"]
     stages = json.load(
         urllib.request.urlopen(
-            f"{base_url}/api/v1/applications/{app_id}/stages?status=complete"
+            f"{base_url}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=30,
         )
     )
     cpu = sum(s.get("executorCpuTime", 0) for s in stages)
     sw = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    return cpu, sw
+    return cpu, sw, len(stages)
+
+
+def _totals(base_url: str) -> tuple[int, int]:
+    """Stable (cpu, shuffle) snapshot. The AppStatusListener drains an
+    ASYNC event queue — reading immediately after an action returns can
+    miss just-finished stages, which then bleed into the NEXT
+    candidate's delta (exactly the skew this harness exists to avoid).
+    Poll until two consecutive reads agree (or a bounded number of
+    attempts) before trusting the snapshot."""
+    prev = _totals_once(base_url)
+    for _ in range(20):
+        time.sleep(0.25)
+        cur = _totals_once(base_url)
+        if cur == prev:
+            return cur[0], cur[1]
+        prev = cur
+    return prev[0], prev[1]
 
 
 def cpu_ab(spark, candidates: dict, *, rounds: int = 2, warm: bool = True):
