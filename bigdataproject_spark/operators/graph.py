@@ -54,9 +54,12 @@ def _node_counts(entity_df: DataFrame) -> DataFrame:
 
 def graph_nodes(entity_df: DataFrame) -> DataFrame:
     """Node table (Id, Size): mention counts over exploded entities
-    (danmaku_analysis_cluster.py:131-134), desc by Size with an Id
-    tiebreak for determinism."""
-    return _node_counts(entity_df).orderBy(F.desc("Size"), F.asc("Id"))
+    (danmaku_analysis_cluster.py:131-134). Unordered since the r12
+    optimization round: consumers (driver value-hash, golden tests,
+    pagerank/communities inputs) are all order-insensitive, and the
+    presentation sort cost a range exchange + sort stage per call —
+    writers that need the reference CSV ordering sort at the sink."""
+    return _node_counts(entity_df)
 
 
 def graph_edges(entity_df: DataFrame) -> DataFrame:
@@ -75,10 +78,9 @@ def graph_edges(entity_df: DataFrame) -> DataFrame:
     materializes — it streams through the fused filter. The expression
     form stays in functions/entities.py as the composable column API
     (and the property suite pins both generators equal on arbitrary
-    inputs)."""
-    return _edge_counts(entity_df).orderBy(
-        F.desc("Weight"), F.asc("Source"), F.asc("Target")
-    )
+    inputs). Unordered since the r12 optimization round (see
+    :func:`graph_nodes`)."""
+    return _edge_counts(entity_df)
 
 
 def _edge_counts(entity_df: DataFrame) -> DataFrame:
@@ -156,9 +158,10 @@ def graph_topology(entity_df: DataFrame) -> DataFrame:
         F.col("Target").alias("dst"),
         F.col("Weight").alias("weight"),
     )
-    return nodes.unionByName(edges).orderBy(
-        F.asc("part"), F.desc("weight"), F.asc("src"), F.asc("dst")
-    )
+    # no final orderBy (r12 optimization round): the union's global
+    # sort was presentation-only — the driver value-hash sorts rows
+    # itself — and cost the plan's only range exchange + sort.
+    return nodes.unionByName(edges)
 
 
 def build_graph(

@@ -224,7 +224,7 @@ def _union_query_batches(parts: list[DataFrame]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("q_id", "rank")
+    return out
 
 
 def _batched_over_queries(
@@ -265,10 +265,13 @@ def _rank_topk(joined: DataFrame, k: int) -> DataFrame:
         F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # no final orderBy (r12 optimization round): the top-k output is
+    # (q_id, rank)-keyed and every consumer — driver value-hash, parity
+    # tests, rrf fusion — is order-insensitive; the presentation sort
+    # cost a range exchange + sort stage per search call.
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
     )
 
 
@@ -562,10 +565,13 @@ def _ivf_search(
         F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # no final orderBy (r12 optimization round): the top-k output is
+    # (q_id, rank)-keyed and every consumer — driver value-hash, parity
+    # tests, rrf fusion — is order-insensitive; the presentation sort
+    # cost a range exchange + sort stage per search call.
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
     )
 
 
@@ -1824,10 +1830,13 @@ def _ivf_indexed_search(
         F.round(cosine_from_norms("qv", "cv", "qn", "cn"), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # no final orderBy (r12 optimization round): the top-k output is
+    # (q_id, rank)-keyed and every consumer — driver value-hash, parity
+    # tests, rrf fusion — is order-insensitive; the presentation sort
+    # cost a range exchange + sort stage per search call.
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
     )
 
 
@@ -2042,10 +2051,13 @@ def _ivf_blas_topk(
         .alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # no final orderBy (r12 optimization round): the top-k output is
+    # (q_id, rank)-keyed and every consumer — driver value-hash, parity
+    # tests, rrf fusion — is order-insensitive; the presentation sort
+    # cost a range exchange + sort stage per search call.
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .orderBy("q_id", "rank")
     )
 
 

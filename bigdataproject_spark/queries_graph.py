@@ -140,9 +140,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(
         edges, src="Source", dst="Target", weight="Weight", iterations=15
     )
-    return pr.select("node", F.round("rank", 8).alias("rank")).orderBy(
-        F.desc("rank"), F.asc("node")
-    )
+    return pr.select("node", F.round("rank", 8).alias("rank"))
 
 
 def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +155,7 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = label_propagation(
         edges, src="Source", dst="Target", weight="Weight", iterations=8
     )
-    return out.orderBy(F.asc("community"), F.asc("node"))
+    return out
 
 
 def _pagerank_oracle(iterations: int = 15, damping: float = 0.85) -> str:

@@ -105,7 +105,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return jaccard_pairs(
         docs, id_col="doc_id", shingles_col="shingles", threshold=JACCARD_THRESHOLD
-    ).orderBy("id_a", "id_b")
+    )
 
 
 ORACLE_DEDUP_JACCARD = f"""
@@ -164,7 +164,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=8,
         hash_family="md5",
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def _minhash_oracle() -> str:
@@ -246,7 +246,7 @@ def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(
         docs, id_col="doc_id", tokens="tokens", max_hamming=3, bands=4,
         hash_fn="md5",
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def _simhash_oracle() -> str:
@@ -354,7 +354,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         block_col="label",
         threshold=EMB_NEARDUP_THRESHOLD,
-    ).orderBy("id_a", "id_b")
+    )
 
 
 _SQL_COS = (
@@ -884,7 +884,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = base.filter(F.col("kh") >= CONTAM_EVAL_CUT)
     return ngram_contamination(
         train, ev, id_col="doc_id", grams_col="grams", flag_threshold=CONTAM_FLAG
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_CONTAMINATION = f"""
@@ -1057,7 +1057,6 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _relined_lines(spark, sf_dir)
         .select("doc_id", *[c.alias(k) for k, c in feats.items()])
-        .orderBy("doc_id")
     )
 
 

@@ -286,7 +286,7 @@ def q_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = mine_itemsets(tx, items_col="items", min_support=0.05)
     return sets.select(
         F.array_join(F.array_sort("items"), "|").alias("items"), F.col("freq")
-    ).orderBy(F.desc("freq"), F.asc("items"))
+    )
 
 
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,7 +313,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("confidence"),
         F.col("lift"),
         F.col("support"),
-    ).orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+    )
 
 
 # Shared exact-oracle scaffolding: (user, day) baskets, bitmask subset

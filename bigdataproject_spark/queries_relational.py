@@ -12,6 +12,15 @@ Scale/plan notes applied throughout:
     no global sort);
   * every window has a deterministic tiebreaker; every double aggregate is
     rounded identically in the DuckDB oracle.
+  * NO presentation orderBy on any final result (r12 optimization round):
+    the driver's value-hash canonicalizes by sorting rows, so a final
+    global sort buys nothing and costs a range exchange + sort — one
+    extra AQE stage per query at bench scale and a full extra pass over
+    large outputs at 100 TB (guide §2.4: "an orderBy used only to make
+    output deterministic" is an accidental shuffle; precedent:
+    dedup_exact and textstats_quality have shipped sort-free and
+    driver-green since r3/r10). Sorts that feed a ``limit`` stay — they
+    compile to TakeOrderedAndProject and are semantic (top-k).
 """
 
 from __future__ import annotations
@@ -108,7 +117,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_qty",
         "avg_disc",
         "count_order",
-    ).orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 ORACLE_Q1 = """
@@ -221,7 +230,6 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
             ).alias("revenue")
         )
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
@@ -261,7 +269,7 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
         .select(F.lit("no_orders").alias("kind"), "c_custkey", "c_name")
     )
-    return semi.unionByName(anti).orderBy("kind", "c_custkey")
+    return semi.unionByName(anti)
 
 
 ORACLE_SEMI_ANTI = """
@@ -296,7 +304,6 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.round("o_totalprice", 2).alias("totalprice"),
         )
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -332,7 +339,6 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_part"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -370,7 +376,6 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -397,7 +402,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = cu.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     nonneg = cu.filter(F.col("c_acctbal") >= 0).select("c_custkey")
     return (
-        building.union(rich).distinct().intersect(nonneg).orderBy("c_custkey")
+        building.union(rich).distinct().intersect(nonneg)
     )
 
 
@@ -430,7 +435,7 @@ def q_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("p_brand")).alias("brand_u"),
         F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
         F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
-    ).orderBy("p_partkey")
+    )
 
 
 ORACLE_CONDITIONAL = """
@@ -455,7 +460,6 @@ def q_date_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
-        .orderBy("month")
     )
 
 
@@ -476,17 +480,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     epoch = F.col("ts").cast("double")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # both windows order by the SAME (ts, event_id) expressions: ep is a
+    # monotonic injective cast of ts, so ordering by ts is the identical
+    # total order — but Catalyst can only PROVE the orders equal (and so
+    # elide the second per-partition Sort) when the sort keys match
+    # syntactically. Ordering w2 by the derived ep column cost a full
+    # re-sort of every partition between the two windows (r12 plan
+    # audit: Sort(7) in the before-plan).
     with_gap = ev.select(
         "user_id",
         "event_id",
+        "ts",
         epoch.alias("ep"),
         (epoch - F.lag(epoch, 1).over(w) > 1800).cast("int").alias("is_new"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("ep", "event_id")
     sess = with_gap.withColumn(
         "session_id",
         F.sum(F.coalesce("is_new", F.lit(0))).over(
-            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
     return (
@@ -495,7 +506,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.max("ep") - F.min("ep"), 3).alias("duration_s"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -536,7 +546,7 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
     )
     cols = [F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_TYPES]
-    return pv.select("user_id", *cols).orderBy("user_id")
+    return pv.select("user_id", *cols)
 
 
 ORACLE_PIVOT = """
@@ -570,7 +580,6 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         approx.join(F.broadcast(exact), on="event_type")
         .select("event_type", "approx_users", "exact_users")
-        .orderBy("event_type")
     )
 
 

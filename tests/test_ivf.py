@@ -135,8 +135,8 @@ def test_ivf_indexed_prunes_and_full_probe_is_exact(spark, sf_dir, tmp_path):
     brute = brute_force_topk(
         emb, queries, id_col="vec_id", vec_col="embedding", k=5
     )
-    a = [(r.q_id, r.rank, r.neighbor_id, r.cosine) for r in full.collect()]
-    b = [(r.q_id, r.rank, r.neighbor_id, r.cosine) for r in brute.collect()]
+    a = sorted((r.q_id, r.rank, r.neighbor_id, r.cosine) for r in full.collect())
+    b = sorted((r.q_id, r.rank, r.neighbor_id, r.cosine) for r in brute.collect())
     assert a == b
 
 
@@ -301,16 +301,18 @@ def test_ivf_indexed_batched_equals_unbatched(spark, sf_dir, tmp_path):
 
     for impl in ("native", "blas"):
         kw = dict(id_col="vec_id", vec_col="embedding", k=5, n_probe=3, impl=impl)
-        ref = [
+        # sorted(): search results are (q_id, rank)-keyed, unordered
+        # frames since the r12 presentation-sort removal
+        ref = sorted(
             (r.q_id, r.rank, r.neighbor_id, r.cosine)
             for r in ivf_topk_indexed(spark, idx, queries, **kw).collect()
-        ]
-        batched = [
+        )
+        batched = sorted(
             (r.q_id, r.rank, r.neighbor_id, r.cosine)
             for r in ivf_topk_indexed(
                 spark, idx, queries, broadcast_max_bytes=budget, **kw
             ).collect()
-        ]
+        )
         assert batched == ref, impl
 
 
@@ -334,14 +336,14 @@ def test_blas_null_heavy_corpus_equals_native(spark):
     queries = corpus.filter(F.col("vec_id") < 9)
     for excl in (True, False):
         kw = dict(id_col="vec_id", vec_col="embedding", k=4, exclude_self=excl)
-        a = [
+        a = sorted(
             (r.q_id, r.rank, r.neighbor_id, r.cosine)
             for r in brute_force_topk(corpus, queries, **kw).collect()
-        ]
-        b = [
+        )
+        b = sorted(
             (r.q_id, r.rank, r.neighbor_id, r.cosine)
             for r in brute_force_topk(corpus, queries, impl="blas", **kw).collect()
-        ]
+        )
         assert a == b, excl
 
 
@@ -410,14 +412,14 @@ def test_blas_duplicate_null_self_rows_equal_native(spark):
         [(5, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
     )
     kw = dict(id_col="vec_id", vec_col="embedding", k=8, exclude_self=True)
-    a = [
+    a = sorted(
         (r.q_id, r.rank, r.neighbor_id, r.cosine)
         for r in brute_force_topk(corpus, queries, **kw).collect()
-    ]
-    b = [
+    )
+    b = sorted(
         (r.q_id, r.rank, r.neighbor_id, r.cosine)
         for r in brute_force_topk(corpus, queries, impl="blas", **kw).collect()
-    ]
+    )
     assert a == b
     assert 5 not in [n for (_, _, n, _) in a]  # both self copies excluded
     # k=8 over 6 good rows + the NULL tail: the two smallest non-self
@@ -445,16 +447,16 @@ def test_native_search_batched_equals_unbatched(spark, sf_dir):
     budget = max(1, _measured_query_bytes(qproj, n_probe=1) // 3)
     for fn, extra in ((brute_force_topk, {}), (lsh_bucket_topk, {"n_bits": 4})):
         kw = dict(id_col="vec_id", vec_col="embedding", k=5, **extra)
-        ref = [
+        ref = sorted(
             (r.q_id, r.rank, r.neighbor_id, r.cosine)
             for r in fn(emb, queries, **kw).collect()
-        ]
-        batched = [
+        )
+        batched = sorted(
             (r.q_id, r.rank, r.neighbor_id, r.cosine)
             for r in fn(
                 emb, queries, broadcast_max_bytes=budget, **kw
             ).collect()
-        ]
+        )
         assert batched == ref, fn.__name__
 
 
@@ -483,14 +485,14 @@ def test_blas_null_heavy_queries_equals_native(spark):
     )
     for excl in (True, False):
         kw = dict(id_col="vec_id", vec_col="embedding", k=5, exclude_self=excl)
-        a = [
+        a = sorted(
             (r.q_id, r.rank, r.neighbor_id, r.cosine)
             for r in brute_force_topk(corpus, queries, **kw).collect()
-        ]
-        b = [
+        )
+        b = sorted(
             (r.q_id, r.rank, r.neighbor_id, r.cosine)
             for r in brute_force_topk(corpus, queries, impl="blas", **kw).collect()
-        ]
+        )
         assert a == b, excl
     # every bad query still gets a full NULL-cosine tail of k smallest ids
     by_q = {}
