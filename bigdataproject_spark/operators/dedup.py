@@ -352,8 +352,32 @@ def collapse_identical_pairs(
     """
     from pyspark import StorageLevel
 
+    if not force_collapse:
+        # Gate stats in ONE partial-aggregable pass over the caller's
+        # already-persisted base — no second wide cache just to decide
+        # (r12 optimization round; the old shape persisted an
+        # (id, obj, md5-set-key) copy of the corpus BEFORE the gate, so
+        # the dominant distinct-heavy path paid a full redundant cache
+        # write + an exact two-exchange countDistinct). The decision
+        # only picks a physical shape — both branches are
+        # output-identical — so a default-rsd HLL estimate over the
+        # SAME md5 set/multiset key the collapse path groups by is
+        # enough (one exchange instead of countDistinct's expand+final
+        # two; a tighter 1% rsd measured ~1.6 s of pure sketch overhead
+        # per call vs ~0.3 s at the default, for a decision that only
+        # picks between two output-identical shapes).
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(
+                F.md5(F.to_json(F.array_sort(F.col("obj"))))
+            ).alias("d"),
+        ).first()
+        if stats["d"] >= COLLAPSE_DISTINCT_RATIO * stats["n"]:
+            return pair_fn(base.select("id", "obj"))
     # coalesce: null obj arrays (e.g. null text) must still group with
-    # each other — a null key would fail the equi-joins below.
+    # each other — a null key would fail the equi-joins below. The
+    # exact md5 key is only computed (and cached) on the collapse path,
+    # where it is the grouping/expansion key.
     keyed = base.select(
         "id",
         "obj",
@@ -361,15 +385,18 @@ def collapse_identical_pairs(
             "k"
         ),
     ).transform(_persist_tracked)
-    if not force_collapse:
-        stats = keyed.agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("d")
-        ).first()
-        if stats["d"] >= COLLAPSE_DISTINCT_RATIO * stats["n"]:
-            return pair_fn(keyed.select("id", "obj"))
     members = keyed.select("id", "k")
     reps = members.groupBy("k").agg(F.min("id").alias("id"))
-    rep_obj = keyed.join(reps.select("id"), "id", "left_semi").select("id", "obj")
+    # rep_obj is a join product (not cache-backed like the direct
+    # path's base projection) consumed by every pair_fn — persist it
+    # HERE so pair_fns don't have to re-persist their input (they
+    # receive either this cached frame or a projection of the caller's
+    # cached base; reps of a dup-heavy corpus are small by definition).
+    rep_obj = (
+        keyed.join(reps.select("id"), "id", "left_semi")
+        .select("id", "obj")
+        .transform(_persist_tracked)
+    )
     rep_pairs = pair_fn(rep_obj)
 
     intra = (
@@ -480,44 +507,49 @@ def lsh_band_rows(
     posting = df.filter(F.size(shingles_col) > 0).select(
         F.col(id_col).alias("id"), F.explode(shingles_col).alias("sh")
     )
+    # The k member aggregates and band hashes are built as SQL STRINGS
+    # parsed by F.expr — ONE py4j round trip per expression instead of
+    # one per operator node. The column-API construction of 32 aggs
+    # (lit*col+lit)%lit measured 1.505 s of pure driver-side py4j
+    # latency per query CONSTRUCTION (r12 optimization round; F.expr
+    # strings: 0.029 s, identical resolved plans — equality pinned by
+    # tests/test_dedup_simsearch.py). At 100 TB the same second is
+    # spent per submitted job; it is pure overhead either way.
     if hash_family == "murmur3":
         # Hash the (variable-length) shingle string ONCE; derive the
         # k-member hash family from the fixed-width 8-byte base — murmur3
         # over 12 bytes per member instead of re-hashing the whole string
         # k times. (No arithmetic mixing: long multiply overflows throw
-        # under ANSI mode.)
+        # under ANSI mode.) ``hash(base, i)`` == F.hash("base", F.lit(i)):
+        # murmur3 over the two columns with the literal int as the second.
         based = posting.select("id", F.xxhash64("sh").alias("base"))
         sig = based.groupBy("id").agg(
-            *[
-                F.min(F.hash("base", F.lit(i))).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
+            *[F.expr(f"min(hash(base, {i})) AS h{i}") for i in range(num_hashes)]
         )
         def _band_hash(b: int) -> Column:
-            return F.hash(
-                *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+            cols = ", ".join(
+                f"h{b * rows_per_band + j}" for j in range(rows_per_band)
             )
+            return F.expr(f"hash({cols})")
     elif hash_family == "md5":
         coeffs = minhash_coefficients(num_hashes)
         based = posting.select(
             "id", (F.col("sh") % F.lit(MINHASH_P)).alias("base")
         )
+        # {a}L / {b}L: long literals so the arithmetic is long×long —
+        # the same types the column API produced via F.lit(int)*long.
         sig = based.groupBy("id").agg(
             *[
-                F.min((F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_P)).alias(
-                    f"h{i}"
-                )
+                F.expr(f"min(({a}L * base + {b}L) % {MINHASH_P}L) AS h{i}")
                 for i, (a, b) in enumerate(coeffs)
             ]
         )
         def _band_hash(b: int) -> Column:
-            return F.concat_ws(
-                "|",
-                *[
-                    F.col(f"h{b * rows_per_band + j}").cast("string")
-                    for j in range(rows_per_band)
-                ],
+            cols = ", ".join(
+                f"CAST(h{b * rows_per_band + j} AS STRING)"
+                for j in range(rows_per_band)
             )
+            return F.expr(f"concat_ws('|', {cols})")
     else:  # pragma: no cover - guarded upstream
         raise ValueError(f"unsupported hash_family {hash_family!r}")
     band_structs = [
@@ -600,7 +632,12 @@ def minhash_lsh_dedup_pairs(
     ).transform(_persist_tracked)
 
     def _verify_pairs(rep: DataFrame) -> DataFrame:
-        sh = _persist_tracked(rep.withColumnRenamed("obj", "sh"))
+        # no persist: rep is cache-backed by contract — the direct
+        # path's base projection hits the sh_df cache below; the
+        # collapse path's rep_obj is persisted by
+        # collapse_identical_pairs (r12: the old extra persist held a
+        # third in-memory copy of every shingle array)
+        sh = rep.withColumnRenamed("obj", "sh")
         cands = lsh_candidate_pairs(
             sh,
             id_col="id",

@@ -61,8 +61,14 @@ def _docs_tokens(
     """documents + raw token array; ``fan=True`` adds the guarded
     round-robin fan_out for queries whose per-doc expression work
     dominates (heavy map passes on possibly-single-split local files —
-    identity at scale, see readers.fan_out). Dedup/shuffle-bound
-    consumers keep the default: their cost centers are post-shuffle."""
+    identity at scale, see readers.fan_out). r12 optimization round:
+    the shingle-based dedup consumers (jaccard / minhash / simhash /
+    contamination) now fan too — their shingle build, cache
+    materialization, and collapse-gate scans are per-row map passes
+    that a single-split local source serializes onto one core
+    (measured: the minhash collapse gate alone cost ~0.6 s/pass on a
+    1-partition cache vs ~0.1 s fanned). Pure-shuffle consumers
+    (exact dedup) keep the default."""
     docs = load_table(spark, sf_dir, "documents")
     if fan:
         docs = fan_out(docs)
@@ -100,7 +106,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles at sf1); the oracle computes the identical md5-derived
     hashes, so Jaccard values — including any hash-collision effects —
     mirror bit-for-bit."""
-    docs = _docs_tokens(spark, sf_dir).withColumn(
+    docs = _docs_tokens(spark, sf_dir, fan=True).withColumn(
         "shingles", portable_hashed_shingles("tokens", JACCARD_N)
     )
     return jaccard_pairs(
@@ -153,7 +159,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode→min-aggregate signatures behind a reused exchange, banded
     equi-join, exact verify on candidates only — is identical in both
     families."""
-    docs = _docs_tokens(spark, sf_dir).withColumn(
+    docs = _docs_tokens(spark, sf_dir, fan=True).withColumn(
         "shingles", portable_hashed_shingles("tokens", JACCARD_N)
     )
     return minhash_lsh_dedup_pairs(
@@ -242,7 +248,7 @@ def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-checked). The 64-bit xxhash64 family stays the default fast
     path of ``simhash_neardup_pairs`` (unit-tested); the physical shape
     — explode→flat sum votes, banded equi-join — is identical."""
-    docs = _docs_tokens(spark, sf_dir)
+    docs = _docs_tokens(spark, sf_dir, fan=True)
     return simhash_neardup_pairs(
         docs, id_col="doc_id", tokens="tokens", max_hamming=3, bands=4,
         hash_fn="md5",
@@ -874,7 +880,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Eval gram set is broadcast; grams are portable 48-bit md5 hashes —
     see operators/decontam.py for the 100 TB shape."""
-    docs = _docs_tokens(spark, sf_dir)
+    docs = _docs_tokens(spark, sf_dir, fan=True)
     base = docs.select(
         "doc_id",
         portable_hashed_shingles("tokens", CONTAM_N).alias("grams"),
