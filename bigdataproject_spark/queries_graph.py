@@ -55,8 +55,23 @@ def _entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: per-alias contains() extraction is a heavy map over text —
     # it must not serialize onto one core for a small/single-split source
     # (identity at scale; measured 28 s single-core at a 100× scale-up).
+    #
+    # r12 optimization round: NO ``size(entities) > 0`` filter (the
+    # extract_entity_table shape) on this path. Every graph consumer
+    # explodes the array — empty arrays vanish in the Generate, so the
+    # filter is semantically redundant here, and physically it DOUBLED
+    # the extraction cost: the optimizer rewrites a filter on the
+    # projected alias into a filter on the extraction EXPRESSION and
+    # pushes it below the fan_out exchange, so the whole 16-alias
+    # contains + HOF chain ran once in the pushed filter (on the
+    # single pre-exchange core locally) and again in the projection —
+    # the same 2× applies inside a multi-split scan stage at 100 TB.
+    from bigdataproject_spark.functions.entities import extract_entities_expr
+
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return extract_entity_table(docs, "text", DOC_ALIASES)
+    return docs.withColumn(
+        "entities", extract_entities_expr("text", DOC_ALIASES)
+    )
 
 
 def q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,9 +112,11 @@ def q_graph_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuples and a None/str comparison would throw if two rows ever tied
     on the earlier columns). Both halves stay independently
     hash-checked through their tagged partitions; the standalone
-    queries stay alive in EXTRA_PARITY (and bench.py keeps timing the
-    byte-identical standalone graph_edges plan, so the frozen headline
-    series is uninterrupted).
+    queries stay alive in EXTRA_PARITY and bench.py keeps timing the
+    standalone graph_edges plan (r12 optimization round: that plan
+    dropped its presentation sort and the redundant pushed
+    size-filter — see OPTIMIZATION_r12.md — so the headline series has
+    one documented shape change there).
 
     r12 follow-up: the first registry version union'd the two
     standalone plans, paying the scan + per-row alias-contains
