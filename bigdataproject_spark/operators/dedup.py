@@ -366,10 +366,19 @@ def collapse_identical_pairs(
         # two; a tighter 1% rsd measured ~1.6 s of pure sketch overhead
         # per call vs ~0.3 s at the default, for a decision that only
         # picks between two output-identical shapes).
+        # The same null-coalesce as the collapse path's grouping key:
+        # approx_count_distinct skips NULL keys while count(1) counts
+        # the rows, so without it a null-obj-heavy corpus would gate
+        # differently than the exact key groups (harmless today — both
+        # branches are output-identical — but the probe should measure
+        # the key it probes for).
         stats = base.agg(
             F.count(F.lit(1)).alias("n"),
             F.approx_count_distinct(
-                F.md5(F.to_json(F.array_sort(F.col("obj"))))
+                F.coalesce(
+                    F.md5(F.to_json(F.array_sort(F.col("obj")))),
+                    F.lit("null"),
+                )
             ).alias("d"),
         ).first()
         if stats["d"] >= COLLAPSE_DISTINCT_RATIO * stats["n"]:

@@ -41,10 +41,10 @@ def extract_entity_table(
 
 def _node_counts(entity_df: DataFrame) -> DataFrame:
     """Unsorted (Id, Size) aggregate — the shared kernel of
-    :func:`graph_nodes` (which adds the presentation sort) and
-    :func:`graph_topology` (which must NOT inherit a per-branch sort:
-    the union re-sorts globally, so a sorted branch pays a wasted
-    range exchange + sort below the union)."""
+    :func:`graph_nodes` and :func:`graph_topology` (both unsorted
+    since the r12 optimization round: every consumer is
+    order-insensitive, and a per-branch sort under the topology union
+    would pay a wasted range exchange + sort)."""
     return (
         entity_df.select(F.explode("entities").alias("Id"))
         .groupBy("Id")

@@ -105,7 +105,9 @@ def q_graph_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_nodes + graph_edges in ONE seam-tagged entry (r12: the r9
     ANN-merge / r10 text-merge / r11 word-count-merge trick applied to
     the graph family, freeing a registry slot for the span_dedup_report
-    bisect — the r11 verdict's item 1): the node table (Id, Size) and
+    bisect; r13: the bisect is repaid, so this merge lives in
+    EXTRA_PARITY while the standalones hold the declared registry
+    rows): the node table (Id, Size) and
     the edge table (Source, Target, Weight) share one entity
     extraction, UNION ALL under a ``part`` tag. Node rows carry
     dst = '' (not NULL: the driver canonicalizer sorts raw Python
@@ -259,11 +261,14 @@ ORDER BY community ASC, node ASC"""
 
 
 GRAPH_QUERIES = {
-    # r12: graph_nodes + graph_edges merged into the seam-tagged
-    # graph_topology entry (driver's 50-entry cap — the freed slot is
-    # the span_dedup_report bisect, see queries_pipeline.py). The
-    # standalone queries + oracles stay alive in EXTRA_PARITY.
-    "graph_topology": _q(q_graph_topology, ORACLE_GRAPH_TOPOLOGY),
+    # r13: the span_dedup_report bisect is cashed in (root cause found
+    # and fixed — see queries_pipeline.py's registry note), so the r11
+    # declared rows return: graph_nodes + graph_edges are standing
+    # driver rows again and the seam-tagged graph_topology merge moves
+    # to EXTRA_PARITY (its oracle + one-pass operator stay fully
+    # exercised there and in tests/test_golden_reference.py).
+    "graph_nodes": _q(q_graph_nodes, ORACLE_GRAPH_NODES),
+    "graph_edges": _q(q_graph_edges, ORACLE_GRAPH_EDGES),
     "graph_pagerank": _q(q_graph_pagerank, _pagerank_oracle()),
     "graph_communities": _q(q_graph_communities, _lpa_oracle()),
 }

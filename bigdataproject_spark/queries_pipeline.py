@@ -1447,9 +1447,10 @@ per_doc AS (
 )
 SELECT tk.doc_id,
        coalesce(p.n_dup_spans, 0) AS n_dup_spans,
-       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        len(tk.t) AS total_tokens,
-       CAST((coalesce(p.dup_tokens, 0) * 1000000) // len(tk.t) AS BIGINT)
+       CAST((CAST(coalesce(p.dup_tokens, 0) AS BIGINT) * 1000000)
+            // len(tk.t) AS BIGINT)
          AS dup_frac_ppm
 FROM tk LEFT JOIN per_doc p USING (doc_id)
 """
@@ -1529,9 +1530,10 @@ clean AS (
 )
 SELECT tk.doc_id,
        coalesce(p.n_dup_spans, 0) AS n_dup_spans,
-       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        len(tk.t) AS total_tokens,
-       CAST((coalesce(p.dup_tokens, 0) * 1000000) // len(tk.t) AS BIGINT)
+       CAST((CAST(coalesce(p.dup_tokens, 0) AS BIGINT) * 1000000)
+            // len(tk.t) AS BIGINT)
          AS dup_frac_ppm,
        c.clean_text AS clean_text
 FROM tk LEFT JOIN per_doc p USING (doc_id)
@@ -1779,25 +1781,28 @@ ORDER BY rrf_score DESC, doc_id LIMIT 25
 """
 
 
-# r12 BISECT (the r11 verdict's item 1): span_dedup_report failed the
-# driver's hash check two rounds running (rows+schema green) while
-# being bit-exact locally under the driver's exact method, including
-# on adversarial edge corpora (tests/test_span_edge_parity.py). The
-# r10 float theory is falsified (the all-integer ppm row stayed red).
-# To localize the diverging column through the only channel available
-# — the row schema itself — the fused report row moves to EXTRA_PARITY
-# and its two halves become separate driver rows: span_dedup_stats
-# (doc_id + four BIGINTs, no string) and span_dedup_clean (doc_id +
-# clean_text only). CORRECTNESS_r12 then answers in one driver run:
-# stats-red → span detection (counts); clean-red → text
-# reconstruction; both-green → the fused plan itself was the issue.
-# Registered here because the queries compose the shared oracle CTE
-# fragments defined above them; the registry dict is declared earlier.
-PIPELINE_QUERIES["span_dedup_stats"] = _q(
-    q_span_dedup_stats, ORACLE_SPAN_DEDUP_STATS
-)
-PIPELINE_QUERIES["span_dedup_clean"] = _q(
-    q_span_dedup_clean, ORACLE_SPAN_DEDUP_CLEAN
+# r13: the r12 bisect read out exactly as designed — CORRECTNESS_r12
+# has span_dedup_stats hash-RED and span_dedup_clean GREEN, so the
+# divergence lives in the integer span-stats side and is invisible to
+# clean_text reconstruction. Root cause found by auditing the DuckDB
+# RESULT TYPES of all 66 oracles: the ONLY two columns that escape as
+# HUGEINT are span_dedup_stats.dup_tokens and
+# span_dedup_report.dup_tokens (`coalesce(sum(e - s), 0)` — DuckDB
+# sums BIGINT into HUGEINT/int128). Every driver-green row emits only
+# BIGINT/DOUBLE/VARCHAR/JSON. A HUGEINT column round-trips as
+# decimal128(38,0) through Arrow and float64 through pandas ("83.0"
+# vs Spark's "83"), so any arrow/pandas fetch in the driver's compare
+# hash-fails the row while fetchall() (the local mirror) is blind to
+# it — which is precisely the r10→r12 signature: bit-exact locally,
+# red on the driver, in every schema that carries dup_tokens and
+# never in clean. Fix: CAST(... AS BIGINT) on dup_tokens in both
+# oracles (values unchanged). With the bisect cashed in, the fused
+# report returns to the declared registry and the two halves move to
+# EXTRA_PARITY (tools/drive_contract.py now also fails any oracle
+# whose result schema contains a non-portable type, so this class of
+# bug cannot re-enter).
+PIPELINE_QUERIES["span_dedup_report"] = _q(
+    q_span_dedup_report, ORACLE_SPAN_DEDUP_REPORT
 )
 
 # r11: the retrieval stack's standing driver row (slot freed by the
@@ -1825,17 +1830,15 @@ def _extra_parity_reference():
 
 def _extra_parity_graph():
     from bigdataproject_spark.queries_graph import (
-        ORACLE_GRAPH_EDGES,
-        ORACLE_GRAPH_NODES,
-        q_graph_edges,
-        q_graph_nodes,
+        ORACLE_GRAPH_TOPOLOGY,
+        q_graph_topology,
     )
 
     return {
-        # r12: the standalone halves of the graph_topology merge
-        # (bench.py's frozen headline series keeps timing graph_edges).
-        "graph_nodes": _q(q_graph_nodes, ORACLE_GRAPH_NODES),
-        "graph_edges": _q(q_graph_edges, ORACLE_GRAPH_EDGES),
+        # r13: graph_nodes/graph_edges are declared registry rows again
+        # (the r12 bisect slot is repaid); the seam-tagged one-pass merge
+        # keeps its oracle alive here.
+        "graph_topology": _q(q_graph_topology, ORACLE_GRAPH_TOPOLOGY),
     }
 
 
@@ -1843,10 +1846,11 @@ EXTRA_PARITY = {
     "chunk_documents_standalone": _q(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "ann_lsh_topk": _q(q_ann_lsh, ORACLE_ANN_LSH),
     "ann_ivf_topk": _q(q_ann_ivf, ORACLE_ANN_IVF),
-    # r12: the fused stats+removal plan keeps its oracle alive here
-    # while the driver bisects its two halves (see the registry note
-    # above span_dedup_stats' registration).
-    "span_dedup_report": _q(q_span_dedup_report, ORACLE_SPAN_DEDUP_REPORT),
+    # r13: the bisect halves keep their oracles alive here now that
+    # the fused report is back in the declared registry (see the
+    # registry note above span_dedup_report's registration).
+    "span_dedup_stats": _q(q_span_dedup_stats, ORACLE_SPAN_DEDUP_STATS),
+    "span_dedup_clean": _q(q_span_dedup_clean, ORACLE_SPAN_DEDUP_CLEAN),
     "span_decontam_clean": _q(q_span_decontam_clean, ORACLE_SPAN_DECONTAM_CLEAN),
     # r10: the standalone halves of the text_quality_langid merge.
     "textstats_quality": _q(q_textstats, ORACLE_TEXTSTATS),

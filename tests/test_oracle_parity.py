@@ -48,6 +48,49 @@ def test_extra_oracle_parity(spark, sf_dir, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_oracle_result_types_are_fetch_portable(sf_dir):
+    """Every oracle's DuckDB result schema must stay inside the set of
+    types that round-trip identically through every fetch path
+    (fetchall / arrow / pandas). The r10–r12 span red cells were an
+    uncast ``sum()`` escaping as HUGEINT: value-equal under fetchall()
+    (this suite and tools/drive_contract.py were blind for three
+    rounds) but decimal128/"83.0" under an arrow/pandas fetch — which
+    is how the external driver read it. DESCRIBE only plans, so this
+    covers all 60+ oracles in seconds."""
+    import duckdb
+
+    from bigdataproject_spark.oracle import TESTDATA_TABLES
+    from bigdataproject_spark.queries_pipeline import EXTRA_PARITY
+
+    portable = {
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+        "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+        "JSON",  # proven green on the driver (energy_timeline_nested)
+    }
+    con = duckdb.connect()
+    try:
+        for name in TESTDATA_TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
+        offenders = []
+        for name, q in {**REG, **EXTRA_PARITY}.items():
+            if q.oracle is None:
+                continue
+            for col, typ in [
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {q.oracle}").fetchall()
+            ]:
+                if typ not in portable:
+                    offenders.append((name, col, typ))
+        assert not offenders, (
+            "oracle columns with fetch-path-dependent types (cast them "
+            f"to BIGINT/DOUBLE/VARCHAR in the oracle SQL): {offenders}"
+        )
+    finally:
+        con.close()
+
+
 def test_registry_fits_driver_cap():
     """The external correctness run verifies at most 50 registry
     queries. Exceeding the cap does not fail anything — it silently

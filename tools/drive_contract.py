@@ -19,6 +19,33 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+# DuckDB result types that round-trip identically through EVERY fetch
+# path (fetchall / arrow / pandas). Anything else — HUGEINT above all —
+# can be value-equal under fetchall() yet hash-differently under an
+# arrow/pandas fetch (HUGEINT → decimal128 → "83.0" vs Spark's "83"):
+# exactly the r10–r12 span_dedup_report/span_dedup_stats red cells,
+# which were bit-exact under this mirror's fetchall() for three rounds.
+# fetchall() cannot see that class of bug, so the mirror now fails any
+# oracle whose DESCRIBE schema leaves this set.
+PORTABLE_DUCKDB_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "BOOLEAN",
+    "DATE",
+    "TIMESTAMP",
+    "JSON",  # proven green on the driver (energy_timeline_nested)
+}
+
+
+def unportable_cols(con, sql):
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows if r[1] not in PORTABLE_DUCKDB_TYPES]
+
 
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -57,6 +84,11 @@ def main():
             n_rows_only += 1
             continue
         try:
+            bad = unportable_cols(con, oracles[name])
+            if bad:
+                print(f"FAIL {name}: non-portable oracle result types {bad}")
+                n_fail += 1
+                continue
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
