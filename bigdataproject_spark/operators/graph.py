@@ -44,9 +44,23 @@ def _node_counts(entity_df: DataFrame) -> DataFrame:
     :func:`graph_nodes` and :func:`graph_topology` (both unsorted
     since the r12 optimization round: every consumer is
     order-insensitive, and a per-branch sort under the topology union
-    would pay a wasted range exchange + sort)."""
+    would pay a wasted range exchange + sort).
+
+    ``explode_outer`` + a post-Generate null filter, NOT plain
+    ``explode`` (r13, guide §2.4/§7.2): a non-outer Generate lets
+    Catalyst's InferFiltersFromGenerate derive ``size(entities) > 0``,
+    rewrite it onto the extraction EXPRESSION, and push it below the
+    fan_out/repartition exchange — re-running the whole 16-alias
+    contains + HOF chain per row on the pre-exchange side (2× the
+    extraction CPU in the scan stage at any scale; the r12 plan dumps
+    show the full chain inside the pre-exchange Filter). The rule
+    skips outer Generates, so extraction appears exactly once,
+    post-exchange. Output identical: empty arrays explode_outer into
+    one NULL element row, which the null filter drops, and extraction
+    never emits null elements."""
     return (
-        entity_df.select(F.explode("entities").alias("Id"))
+        entity_df.select(F.explode_outer("entities").alias("Id"))
+        .filter(F.col("Id").isNotNull())
         .groupBy("Id")
         .agg(F.count(F.lit(1)).alias("Size"))
     )
@@ -100,9 +114,15 @@ def _edge_counts(entity_df: DataFrame) -> DataFrame:
     sorted_ent = entity_df.select(
         F.array_sort(F.array_distinct("entities")).alias("se")
     )
+    # explode_outer (r13): same InferFiltersFromGenerate story as
+    # _node_counts — a plain explode here pushes an inferred
+    # size(se) > 0 filter (the full extraction chain) below the
+    # fan_out exchange. The strict Target > Source comparison is
+    # null-rejecting, so the NULL rows outer-explode adds for empty
+    # arrays drop exactly where the inferred filter used to drop them.
     pairs = sorted_ent.select(
-        F.explode("se").alias("Source"), F.col("se")
-    ).select("Source", F.explode("se").alias("Target")).filter(
+        F.explode_outer("se").alias("Source"), F.col("se")
+    ).select("Source", F.explode_outer("se").alias("Target")).filter(
         F.col("Target") > F.col("Source")
     )
     return pairs.groupBy("Source", "Target").agg(

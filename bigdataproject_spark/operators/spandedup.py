@@ -227,25 +227,50 @@ def duplicate_gram_hits(
     one, and a per-batch checkpoint would accumulate)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    base = _tokens(docs, id_col, text_col)
-    grams = (
-        base.where(F.size("toks") >= F.lit(k))
+    # Gram build = Generate-codegen, NOT a higher-order transform()
+    # tower (r13, applying the r12-measured kernel receipt now that the
+    # span driver bisect is read out): explode(transform(sequence,
+    # struct(i, md5(array_join(slice)))))) runs the lambda INTERPRETED
+    # per gram — measured 1889–1955 CPU-s vs 1003–1039 for this shape
+    # on the full sf100 corpus (SCALING.md r12 gram-kernel receipt;
+    # the same swap shipped 6.3× on the graph pair kernel). Here the
+    # whole pipeline is codegen: explode the start sequence, then one
+    # concat_ws over k get() lookups + the hash in a Project above the
+    # Generate. Values are bit-identical (concat_ws(' ', t[s..s+k-1])
+    # == array_join(slice(toks, s+1, k), ' ') for in-range s, pinned
+    # by tests/test_spandedup.py + the DuckDB parity suites).
+    #
+    # Two shape details, both guide §2.4/§7.2:
+    #  * the length gate is a cheap space-count on the RAW text
+    #    (size(split(t,' ')) == count(' ')+1 identically), so the
+    #    pushed scan filter does not evaluate split() a second time —
+    #    the old where(size(toks) >= k) was rewritten onto the split
+    #    expression and re-ran it inside the pushed Filter;
+    #  * explode_outer + a null start filter, so
+    #    InferFiltersFromGenerate cannot re-derive a sequence-building
+    #    filter below the Generate (the sequence is provably non-empty
+    #    once the length gate holds: size - k >= 0).
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    doc = docs.select(F.col(id_col).alias("doc_id"), txt.alias("_txt")).where(
+        (F.length("_txt") - F.length(F.translate("_txt", " ", "")))
+        >= F.lit(k - 1)
+    )
+    starts = (
+        doc.select("doc_id", F.split("_txt", " ").alias("toks"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - F.lit(k)),
-                    lambda i: F.struct(
-                        i.alias("start"),
-                        _gram_key(
-                            F.array_join(F.slice("toks", i + 1, k), " "),
-                            hash_family,
-                        ).alias("key"),
-                    ),
-                )
-            ).alias("g"),
+            "toks",
+            F.explode_outer(
+                F.sequence(F.lit(0), F.size("toks") - F.lit(k))
+            ).alias("start"),
         )
-        .select("doc_id", F.col("g.start").alias("start"), F.col("g.key").alias("key"))
+        .where(F.col("start").isNotNull())
+    )
+    gram = F.concat_ws(
+        " ", *[F.get("toks", F.col("start") + F.lit(j)) for j in range(k)]
+    )
+    grams = starts.select(
+        "doc_id", "start", _gram_key(gram, hash_family).alias("key")
     )
     if reference_keys is not None:
         # a reference built with a different (k, hash_family) never
