@@ -54,6 +54,49 @@ def extract_entities_expr(
     return F.coalesce(hits, F.array())
 
 
+def canonical_names(alias_to_canonical: Mapping[str, str]) -> list[str]:
+    """The distinct canonical names in LEXICOGRAPHIC order — the code
+    table for :func:`extract_entity_codes_expr`. Sorted order is the
+    load-bearing invariant: code ``i`` maps to the i-th smallest name,
+    so integer comparisons (array_sort, Target > Source) agree exactly
+    with the string comparisons they replace."""
+    return sorted(set(alias_to_canonical.values()))
+
+
+def extract_entity_codes_expr(
+    text: Column | str,
+    alias_to_canonical: Mapping[str, str],
+    *,
+    case_insensitive: bool = False,
+) -> Column:
+    """:func:`extract_entities_expr` with INT CODES instead of name
+    strings: array<int> of distinct codes (positions in
+    :func:`canonical_names`) whose alias occurs in text.
+
+    Why (r13 optimization round, guide §2.3 narrower types): the graph
+    family's hot aggregate hashes every exploded pair — two short
+    strings per row through the hash tables where two ints do (CPU
+    receipt at sf10: 13.9–14.9 → 10.1–11.5 CPU-s for graph_edges
+    end-to-end, output bit-equal). Because codes are assigned in
+    lexicographic name order, array_distinct/array_sort and the
+    ``Target > Source`` canonical-pair filter commute with the mapping;
+    consumers map back with ``element_at(array(<names>), code + 1)``
+    on the tiny aggregated output (|entities|² rows at most), never
+    per input row."""
+    col = F.col(text) if isinstance(text, str) else text
+    if case_insensitive:
+        col = F.lower(col)
+    code = {c: i for i, c in enumerate(canonical_names(alias_to_canonical))}
+    cells = []
+    for alias, canon in alias_to_canonical.items():
+        a = alias.lower() if case_insensitive else alias
+        cells.append(F.when(col.contains(F.lit(a)), F.lit(code[canon])))
+    hits = F.array_distinct(
+        F.filter(F.array(*cells), lambda x: x.isNotNull())
+    )
+    return F.coalesce(hits, F.array().cast("array<int>"))
+
+
 def pair_combinations_expr(entities: Column | str) -> Column:
     """All C(n,2) sorted pairs of a (distinct) entity array, shuffle-free.
 

@@ -20,12 +20,18 @@ shuffles are trivially broadcast-size.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.functions.entities import extract_entities_expr
+
+
+def _name_lookup(names: Sequence[str], code: Column) -> Column:
+    """code → canonical name via a literal array index — evaluated only
+    on aggregated output (≤ |entities|² rows), never per input row."""
+    return F.element_at(F.array(*[F.lit(n) for n in names]), code + F.lit(1))
 
 
 def extract_entity_table(
@@ -39,7 +45,9 @@ def extract_entity_table(
     return out.filter(F.size("entities") > 0)
 
 
-def _node_counts(entity_df: DataFrame) -> DataFrame:
+def _node_counts(
+    entity_df: DataFrame, names: Sequence[str] | None = None
+) -> DataFrame:
     """Unsorted (Id, Size) aggregate — the shared kernel of
     :func:`graph_nodes` and :func:`graph_topology` (both unsorted
     since the r12 optimization round: every consumer is
@@ -57,26 +65,41 @@ def _node_counts(entity_df: DataFrame) -> DataFrame:
     skips outer Generates, so extraction appears exactly once,
     post-exchange. Output identical: empty arrays explode_outer into
     one NULL element row, which the null filter drops, and extraction
-    never emits null elements."""
-    return (
+    never emits null elements.
+
+    ``names`` (r13, guide §2.3 narrower types): when given, the
+    ``entities`` column carries INT CODES from
+    :func:`~bigdataproject_spark.functions.entities.extract_entity_codes_expr`
+    — the explode stream and the count aggregate's hash tables work on
+    4-byte ints instead of strings, and the code → name map-back runs
+    on the aggregated rows only (|entities| rows)."""
+    agg = (
         entity_df.select(F.explode_outer("entities").alias("Id"))
         .filter(F.col("Id").isNotNull())
         .groupBy("Id")
         .agg(F.count(F.lit(1)).alias("Size"))
     )
+    if names is None:
+        return agg
+    return agg.select(_name_lookup(names, F.col("Id")).alias("Id"), "Size")
 
 
-def graph_nodes(entity_df: DataFrame) -> DataFrame:
+def graph_nodes(
+    entity_df: DataFrame, names: Sequence[str] | None = None
+) -> DataFrame:
     """Node table (Id, Size): mention counts over exploded entities
     (danmaku_analysis_cluster.py:131-134). Unordered since the r12
     optimization round: consumers (driver value-hash, golden tests,
     pagerank/communities inputs) are all order-insensitive, and the
     presentation sort cost a range exchange + sort stage per call —
-    writers that need the reference CSV ordering sort at the sink."""
-    return _node_counts(entity_df)
+    writers that need the reference CSV ordering sort at the sink.
+    ``names``: int-coded entities — see :func:`_node_counts`."""
+    return _node_counts(entity_df, names)
 
 
-def graph_edges(entity_df: DataFrame) -> DataFrame:
+def graph_edges(
+    entity_df: DataFrame, names: Sequence[str] | None = None
+) -> DataFrame:
     """Edge table (Source, Target, Weight): per-row C(n,2) sorted pairs,
     summed (danmaku_analysis_cluster.py:139-152) — no RDD, no self-join;
     Source < Target lexically (undirected canonical form).
@@ -93,11 +116,15 @@ def graph_edges(entity_df: DataFrame) -> DataFrame:
     form stays in functions/entities.py as the composable column API
     (and the property suite pins both generators equal on arbitrary
     inputs). Unordered since the r12 optimization round (see
-    :func:`graph_nodes`)."""
-    return _edge_counts(entity_df)
+    :func:`graph_nodes`). ``names``: int-coded entities — see
+    :func:`_node_counts` (codes are lex-ordered, so Source < Target on
+    codes is Source < Target on names)."""
+    return _edge_counts(entity_df, names)
 
 
-def _edge_counts(entity_df: DataFrame) -> DataFrame:
+def _edge_counts(
+    entity_df: DataFrame, names: Sequence[str] | None = None
+) -> DataFrame:
     """Unsorted (Source, Target, Weight) aggregate via the codegen
     double-explode kernel (see :func:`graph_edges`); shared with
     :func:`graph_topology`, which must not inherit a per-branch
@@ -125,12 +152,21 @@ def _edge_counts(entity_df: DataFrame) -> DataFrame:
     ).select("Source", F.explode_outer("se").alias("Target")).filter(
         F.col("Target") > F.col("Source")
     )
-    return pairs.groupBy("Source", "Target").agg(
+    agg = pairs.groupBy("Source", "Target").agg(
         F.count(F.lit(1)).alias("Weight")
+    )
+    if names is None:
+        return agg
+    return agg.select(
+        _name_lookup(names, F.col("Source")).alias("Source"),
+        _name_lookup(names, F.col("Target")).alias("Target"),
+        "Weight",
     )
 
 
-def graph_topology(entity_df: DataFrame) -> DataFrame:
+def graph_topology(
+    entity_df: DataFrame, names: Sequence[str] | None = None
+) -> DataFrame:
     """Nodes AND edges from ONE corpus scan: (part, src, dst, weight)
     where part='node' rows are the :func:`graph_nodes` table (src=Id,
     dst='', weight=Size) and part='edge' rows the :func:`graph_edges`
@@ -166,13 +202,13 @@ def graph_topology(entity_df: DataFrame) -> DataFrame:
         # parallelism rather than dying at plan-build time
         n_parts = entity_df.sparkSession.sparkContext.defaultParallelism
     shared = entity_df.select("entities").repartition(n_parts)
-    nodes = _node_counts(shared).select(
+    nodes = _node_counts(shared, names).select(
         F.lit("node").alias("part"),
         F.col("Id").alias("src"),
         F.lit("").alias("dst"),
         F.col("Size").alias("weight"),
     )
-    edges = _edge_counts(shared).select(
+    edges = _edge_counts(shared, names).select(
         F.lit("edge").alias("part"),
         F.col("Source").alias("src"),
         F.col("Target").alias("dst"),

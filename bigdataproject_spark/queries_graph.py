@@ -19,6 +19,7 @@ from bigdataproject_spark.operators.graph import (
     graph_nodes,
     graph_topology,
 )
+from bigdataproject_spark.functions.entities import canonical_names
 from bigdataproject_spark.sources.readers import fan_out, load_table
 
 # 16 aliases → 9 canonical entities (analogue of the reference's 33 → 17).
@@ -40,6 +41,10 @@ DOC_ALIASES: dict[str, str] = {
     "vector": "Vector",
     "column": "Vector",
 }
+
+# The int-code table for the graph operators' map-back (r13 — see
+# _entities): code i == the i-th smallest canonical name.
+GRAPH_NAMES = canonical_names(DOC_ALIASES)
 
 _ALIAS_VALUES = ", ".join(f"('{a}', '{c}')" for a, c in DOC_ALIASES.items())
 _HITS_CTE = f"""
@@ -66,18 +71,29 @@ def _entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contains + HOF chain ran once in the pushed filter (on the
     # single pre-exchange core locally) and again in the projection —
     # the same 2× applies inside a multi-split scan stage at 100 TB.
-    from bigdataproject_spark.functions.entities import extract_entities_expr
+    #
+    # r13 optimization round: entities are INT CODES
+    # (extract_entity_codes_expr), not name strings — the explode
+    # streams and the pair/count aggregates hash 4-byte ints and the
+    # code → name map-back runs on the tiny aggregated outputs
+    # (CPU receipt at sf10: graph_edges 13.9–14.9 → 10.1–11.5 CPU-s,
+    # bit-equal output; codes are lex-ordered so every comparison
+    # commutes with the mapping). Callers pass GRAPH_NAMES to the
+    # operators for the map-back.
+    from bigdataproject_spark.functions.entities import (
+        extract_entity_codes_expr,
+    )
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.withColumn(
-        "entities", extract_entities_expr("text", DOC_ALIASES)
+        "entities", extract_entity_codes_expr("text", DOC_ALIASES)
     )
 
 
 def q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity mention counts (nodes CSV shape ``Id,Size`` —
     dataset_processed/fanRen_result_nodes.csv)."""
-    return graph_nodes(_entities(spark, sf_dir))
+    return graph_nodes(_entities(spark, sf_dir), GRAPH_NAMES)
 
 
 ORACLE_GRAPH_NODES = f"""
@@ -90,7 +106,7 @@ FROM hits GROUP BY 1 ORDER BY "Size" DESC, "Id" ASC
 def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise co-occurrence counts (edges CSV shape
     ``Source,Target,Weight`` — fanRen_result_edges.csv), Source<Target."""
-    return graph_edges(_entities(spark, sf_dir))
+    return graph_edges(_entities(spark, sf_dir), GRAPH_NAMES)
 
 
 ORACLE_GRAPH_EDGES = f"""
@@ -133,7 +149,7 @@ def q_graph_topology(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALING.md r12). Row-identical to the union of the standalone
     tables
     (tests/test_golden_reference.py::test_graph_topology_one_pass_equals_union_of_halves)."""
-    return graph_topology(_entities(spark, sf_dir))
+    return graph_topology(_entities(spark, sf_dir), GRAPH_NAMES)
 
 
 ORACLE_GRAPH_TOPOLOGY = f"""
@@ -155,7 +171,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bigdataproject_spark.operators.pagerank import pagerank
 
-    edges = graph_edges(_entities(spark, sf_dir))
+    edges = graph_edges(_entities(spark, sf_dir), GRAPH_NAMES)
     pr = pagerank(
         edges, src="Source", dst="Target", weight="Weight", iterations=15
     )
@@ -170,7 +186,7 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bigdataproject_spark.operators.communities import label_propagation
 
-    edges = graph_edges(_entities(spark, sf_dir))
+    edges = graph_edges(_entities(spark, sf_dir), GRAPH_NAMES)
     out = label_propagation(
         edges, src="Source", dst="Target", weight="Weight", iterations=8
     )

@@ -135,13 +135,15 @@ def test_graph_topology_one_pass_equals_union_of_halves(spark, sf_dir):
 
     from bigdataproject_spark.operators.graph import graph_topology
     from bigdataproject_spark.queries_graph import (
+        GRAPH_NAMES,
         q_graph_edges,
         q_graph_nodes,
         _entities,
     )
 
     one_pass = sorted(
-        tuple(r) for r in graph_topology(_entities(spark, sf_dir)).collect()
+        tuple(r)
+        for r in graph_topology(_entities(spark, sf_dir), GRAPH_NAMES).collect()
     )
     nodes = q_graph_nodes(spark, sf_dir).select(
         F.lit("node").alias("part"),
