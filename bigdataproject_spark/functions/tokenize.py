@@ -38,11 +38,25 @@ _SPLIT_PATTERN = r"[^\p{L}\p{N}]+"  # split on any non letter/digit run
 def _post_filter(
     tokens: Column, stopwords: Sequence[str], min_len: int, drop_numeric: bool
 ) -> Column:
-    sw = F.array(*[F.lit(s) for s in stopwords]) if stopwords else F.array()
+    # r13 (per-token constant factors — HOF lambdas run interpreted, so
+    # every per-token op counts; same receipt class as the textstats
+    # isin swap): stopwords via ``isin`` (OptimizeIn rewrites >10
+    # literals to an O(1) InSet hash probe; ``array_contains`` scanned
+    # the 20-literal array per token) and the pure-numeric test via
+    # ``translate`` (deletes ASCII digits; empty result ⟺ ^[0-9]+$ —
+    # no regex matcher per token). Value-identical: min_len >= 1
+    # excludes the empty token before the numeric test either way, and
+    # split() never yields NULL elements. sf10 CPU receipt for the
+    # word-count shape: 24.5 → 22.7-23.4 CPU-s from this alone (the
+    # post-explode restructure in q_word_count stacks on top).
     cond = lambda t: (  # noqa: E731
         (F.length(t) >= min_len)
-        & ~F.array_contains(sw, t)
-        & (~t.rlike(r"^[0-9]+$") if drop_numeric else F.lit(True))
+        & (~t.isin(*stopwords) if stopwords else F.lit(True))
+        & (
+            (F.translate(t, "0123456789", "") != F.lit(""))
+            if drop_numeric
+            else F.lit(True)
+        )
     )
     return F.filter(tokens, cond)
 
