@@ -25,13 +25,29 @@ DEFAULT_LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def lang_scores(tokens: Column | str, markers: Mapping[str, Sequence[str]]) -> Column:
-    """struct of per-language marker-hit counts over a token array."""
+    """struct of per-language marker-hit counts over a token array.
+
+    One cheap union-set prefilter, then the per-language counts run
+    over the (much smaller) hit array (r13): the old shape ran one
+    interpreted filter pass over EVERY token per language; the union
+    prefilter is a single InSet probe per token (>10 literals →
+    OptimizeIn hash set) and marker hits are a minority of tokens, so
+    5×full-pass becomes 1×full + 5×small. sf10 CPU receipt: 35.0–35.8
+    → 24.5–26.3 CPU-s for the lang-id projection, values identical
+    (tokens outside every marker set score for no language either
+    way). The fold-style single-pass variant (one aggregate over a
+    5-int struct accumulator) measured 330 CPU-s — ~9× WORSE: per
+    element, F.aggregate rebuilds the accumulator struct interpreted,
+    which is exactly the cost class this module keeps out of hot
+    kernels. Do not re-walk."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
+    union = sorted({w for ws in markers.values() for w in ws})
+    hits = F.filter(t, lambda x: x.isin(*union))
     fields = []
     for lang, words in markers.items():
         arr = F.array(*[F.lit(w) for w in words])
         fields.append(
-            F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias(lang)
+            F.size(F.filter(hits, lambda x: F.array_contains(arr, x))).alias(lang)
         )
     return F.struct(*fields)
 
@@ -117,21 +133,19 @@ def quality_features(text: Column | str, tokens: Column | str) -> dict[str, Colu
 def hashed_tokens_expr(tokens: Column | str) -> Column:
     """xxhash64 each token once (array<string> → array<bigint>).
 
-    Bind the result to a NAMED column and hand that to
-    :func:`repetition_features` — every repetition signal then runs on
-    the 8-byte hashes, and the per-token string hashing happens exactly
-    once per row instead of once per consuming expression
-    (CollapseProject keeps a non-cheap alias referenced more than once
-    in its own projection, so a named column IS the sharing mechanism;
-    two separate output columns embedding this transform would each
-    re-evaluate it — HOFs run interpreted, outside codegen CSE)."""
+    r13: no longer used by the stock repetition/lang queries — the
+    repetition kernel hashes neighbor PAIRS directly inside its one
+    zip_with (see :func:`repetition_features`), so a whole-array
+    pre-hash pass buys nothing. Kept as the composable utility for
+    callers that genuinely reference a hashed token array more than
+    once (bind it to a NAMED column — CollapseProject keeps a
+    non-cheap alias referenced more than once single-evaluated; HOFs
+    run interpreted, outside codegen CSE)."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     return F.transform(t, lambda x: F.xxhash64(x))
 
 
-def repetition_features(
-    tokens: Column | str, *, prehashed: bool = False
-) -> dict[str, Column]:
+def repetition_features(tokens: Column | str) -> dict[str, Column]:
     """Gopher-style repetition signals over the token array (Rae et al.
     2021 §A1.1 repetition filters, re-expressed for word-soup docs) —
     both pure map-stage expressions, zero shuffles:
@@ -143,56 +157,55 @@ def repetition_features(
 
     The modal-bigram count needs a per-doc mode; instead of an
     explode→groupBy (a shuffle per doc-token), the 2-grams are
-    ``array_sort``-ed and a single ``aggregate`` fold computes the
-    longest equal-run — O(n log n) per row inside the scan stage, so the
-    operator stays a pure map at 100 TB. Higher-order functions are
-    evaluated interpreted (outside codegen), so constant factors are
-    engineered down: every signal runs on xxhash64'd tokens (pass
-    ``prehashed=True`` with a :func:`hashed_tokens_expr` NAMED column to
-    hash each token exactly once for the whole feature set); bigrams
-    combine two pre-hashed longs with shift-xor — pure bitwise, no
-    second hashing pass — built with ONE ``zip_with`` over two array
-    slices (not a per-index ``slice`` copy each); the sort and the fold
-    compare 8-byte ints instead of strings (the branch-free long-encoded
-    accumulator variant measured SLOWER, 0.6 s vs 0.4 s per 5k docs,
-    than this struct fold). Hashing merges equality classes only on an
-    in-doc xxhash64 collision (~n²/2⁶⁵ per doc) — the same accepted
-    trade as ``dedup.hashed_word_shingles``; dup_token_ratio inherits it
-    too (a collision could undercount distinct tokens by one)."""
+    ``array_sort``-ed and the longest equal-run is read off — O(n log n)
+    per row inside the scan stage, so the operator stays a pure map at
+    100 TB.
+
+    r13 kernel: the run length is computed with NATIVE collection/string
+    ops, not an ``aggregate`` fold — sf10 CPU decomposition showed the
+    interpreted per-element struct fold was ~170 of the feature set's
+    ~200 CPU-s (and a fold-based lang-id rewrite measured 9× WORSE than
+    filter passes — F.aggregate is the most expensive HOF per element;
+    keep it out of hot kernels). Shape: one ``zip_with`` hashes each
+    neighbor pair directly (``xxhash64(x, y)`` — no separate
+    whole-array token-hash pass), ``array_sort`` groups equal bigrams,
+    a second cheap ``zip_with`` emits an 'a'/'b' neighbor-equality mark
+    string, and the longest 'a'-run is ``split``-on-'b' →
+    ``array_sort`` → last element (all-'a' strings sort by length) →
+    ``length`` + 1. sf10 receipt: 157–178 → 105–107 CPU-s, values
+    identical. ``dup_token_ratio`` now counts distinct TOKENS directly
+    (``array_distinct`` is a native op; the old pre-hash pass bought
+    nothing once the fold was gone) — that is exactly what the DuckDB
+    oracle computes (``list_distinct(toks)``), so the hash-collision
+    caveat moves to the bigram side only (equality classes merge on an
+    in-doc xxhash64(x, y) collision, ~n²/2⁶⁵ per doc — the same
+    accepted trade as ``dedup.hashed_word_shingles``)."""
     t = F.col(tokens) if isinstance(tokens, str) else tokens
-    th = t if prehashed else hashed_tokens_expr(t)
-    n = F.size(t)  # same length either way; sizing `t` keeps the
-    # unhashed path from evaluating the transform just for its length
+    n = F.size(t)
     dup_ratio = F.when(
-        n > 0, 1.0 - F.size(F.array_distinct(th)) / n
+        n > 0, 1.0 - F.size(F.array_distinct(t)) / n
     ).otherwise(F.lit(0.0))
 
     m = F.greatest(n - 1, F.lit(0))
     sorted_bg = F.array_sort(
         F.zip_with(
-            F.slice(th, 1, m),
-            F.slice(th, 2, m),
-            lambda x, y: F.shiftleft(x, 32).bitwiseXOR(y),
+            F.slice(t, 1, m),
+            F.slice(t, 2, m),
+            lambda x, y: F.xxhash64(x, y),
         )
     )
-
-    def _step(acc: Column, x: Column) -> Column:
-        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    max_run = F.aggregate(
-        sorted_bg,
-        F.struct(
-            F.lit(None).cast("long").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
+    mb = F.greatest(F.size(sorted_bg) - 1, F.lit(0))
+    marks = F.array_join(
+        F.zip_with(
+            F.slice(sorted_bg, 1, mb),
+            F.slice(sorted_bg, 2, mb),
+            lambda x, y: F.when(x == y, F.lit("a")).otherwise(F.lit("b")),
         ),
-        _step,
-        lambda acc: acc["best"],
+        "",
+    )
+    longest_a = F.length(F.element_at(F.array_sort(F.split(marks, "b", -1)), -1))
+    max_run = F.when(F.size(sorted_bg) > 0, longest_a + F.lit(1)).otherwise(
+        F.lit(0)
     )
     top_bigram = F.when(n >= 2, max_run / (n - 1)).otherwise(F.lit(0.0))
     # unrounded on purpose — single int-ratio divisions are bit-exact

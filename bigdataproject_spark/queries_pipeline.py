@@ -33,7 +33,6 @@ from bigdataproject_spark.operators.textstats import (
     BPEISH_PATTERN,
     DEFAULT_LANG_MARKERS,
     fingerprint_expr,
-    hashed_tokens_expr,
     lang_id_expr,
     quality_features,
     quality_score_expr,
@@ -588,18 +587,14 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted feature work dominates this plan, so a small local
     source must not serialize it onto one core (identity at scale —
     see readers.fan_out)."""
-    docs = (
-        fan_out(load_table(spark, sf_dir, "documents"))
-        .withColumn(
-            "tokens",
-            tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False),
-        )
-        # hash each token ONCE for the whole repetition feature set
-        # (named column = the sharing mechanism; see hashed_tokens_expr)
-        .withColumn("tokens_h", hashed_tokens_expr("tokens"))
+    docs = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "tokens",
+        tokenize_expr("text", stopwords=(), min_len=1, drop_numeric=False),
     )
     feats = quality_features("text", "tokens")
-    reps = repetition_features("tokens_h", prehashed=True)
+    # r13: repetition features run on the raw token array (no pre-hash
+    # pass — see the operator docstring for the fold-removal receipt)
+    reps = repetition_features("tokens")
     with_feats = docs.select(
         "doc_id",
         feats["n_chars"].alias("n_chars"),
@@ -761,11 +756,10 @@ def q_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     so codegen sharing across the two operator families is itself under
     test. Same two-step projection discipline as q_textstats (see its
     docstring for the CollapseProject reasoning); zero shuffles."""
-    docs = _docs_tokens(spark, sf_dir, fan=True).withColumn(
-        "tokens_h", hashed_tokens_expr("tokens")
-    )
+    docs = _docs_tokens(spark, sf_dir, fan=True)
     feats = quality_features("text", "tokens")
-    reps = repetition_features("tokens_h", prehashed=True)
+    # r13: raw tokens — see repetition_features' fold-removal receipt
+    reps = repetition_features("tokens")
     tc = token_counts("text")
     with_feats = docs.select(
         "doc_id",

@@ -77,29 +77,45 @@ def _totals(base_url: str) -> tuple[int, int]:
     return prev[0], prev[1]
 
 
-def cpu_ab(spark, candidates: dict, *, rounds: int = 2, warm: bool = True):
+def cpu_ab(
+    spark, candidates: dict, *, rounds: int = 2, warm: bool = True,
+    force: str = "count",
+):
     """Run the interleaved CPU A/B. Returns {label: [{cpu_s, wall_s,
     shuffle_write_mb, rows}, ...]} with one entry per round.
 
     ``candidates`` maps label → zero-arg callable returning a
     DataFrame (built fresh per call so each run replans; captured
     DataFrames are fine too — persisted inputs are the caller's
-    choice and apply to every candidate equally)."""
+    choice and apply to every candidate equally).
+
+    ``force``: ``"count"`` (default) or ``"noop"``. count() is honest
+    for plans whose cost lives below an aggregation/join (nothing can
+    be pruned), but for MAP-ONLY plans the optimizer prunes every
+    projection under a count and the A/B measures an empty scan
+    (guide §1.4) — pass ``force="noop"`` there; rows is then -1
+    (the noop sink reports no count)."""
     base_url = spark.sparkContext.uiWebUrl
     if base_url is None:
         raise RuntimeError(
             "status API disabled — build the session with "
             "get_spark(extra_conf=ab_session_conf())"
         )
+    def _force(df) -> int:
+        if force == "noop":
+            df.write.mode("overwrite").format("noop").save()
+            return -1
+        return df.count()
+
     if warm:
         for fn in candidates.values():
-            fn().count()
+            _force(fn())
     out: dict = {label: [] for label in candidates}
     for _ in range(rounds):
         for label, fn in candidates.items():
             c0, s0 = _totals(base_url)
             t0 = time.time()
-            n = fn().count()
+            n = _force(fn())
             wall = time.time() - t0
             c1, s1 = _totals(base_url)
             out[label].append(
