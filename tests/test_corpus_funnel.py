@@ -3,6 +3,7 @@ labels, precedence, survivor selection, and the stats aggregate."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.operators.corpus import (
@@ -121,6 +122,7 @@ def test_funnel_on_real_documents(spark, sf_dir):
     assert kept.count() == stats.get(KEPT, 0)
 
 
+@pytest.mark.slow
 def test_clean_corpus_span_dedup_stage(spark):
     """span_dedup_k adds the final Lee-et-al. stage: kept docs sharing
     a k-token run get it cut; everything else is byte-identical to the

@@ -5,6 +5,8 @@ keep min-id survivors and extend the index monotonically."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.operators.dedup import (
@@ -292,6 +294,7 @@ def test_empty_batch(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/shingles").count() == 4
 
 
+@pytest.mark.slow
 def test_hot_band_batch_join_no_key_hotspot(spark, tmp_path):
     """Skew stress (boilerplate-heavy corpus): every document — stored
     and batch — shares a large common shingle core, so minhash band

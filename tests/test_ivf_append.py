@@ -25,6 +25,7 @@ def _collected(df):
     return [(r.q_id, r.rank, r.neighbor_id, r.cosine) for r in df.collect()]
 
 
+@pytest.mark.slow
 def test_append_equals_rebuild_with_same_centroids(spark, sf_dir, tmp_path):
     """build(A) + append(B) must search EXACTLY like build(A∪B) when
     both builds share the same centroids — partial and full probe,

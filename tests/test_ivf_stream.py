@@ -7,6 +7,8 @@ and preserves results, and unguarded duplicate rows die on compaction.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import shutil
@@ -98,6 +100,7 @@ def test_guarded_append_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert _search(spark, idx, queries) == want
 
 
+@pytest.mark.slow
 def test_stream_equals_rebuild_over_union(spark, sf_dir, tmp_path):
     seed, d1, d2, queries, ctrs = _seed_and_deltas(spark, sf_dir)
     idx = str(tmp_path / "idx")
@@ -302,6 +305,7 @@ def test_stream_stats_ledger_stays_bounded(spark, sf_dir, tmp_path):
     assert all(r["max_cell_share"] is not None for r in reports.values())
 
 
+@pytest.mark.slow
 def test_in_stream_compaction_min_cell_files_policy(spark, sf_dir, tmp_path):
     """The LISTING-triggered policy (compact_min_cell_files) — the
     every-N variant is covered above; this one exercises the file-count

@@ -28,6 +28,8 @@ trigger bookkeeping, not in the code under test.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 
 from pyspark.sql import functions as F
@@ -62,6 +64,7 @@ def _n_generations(idx: str, table: str) -> int:
     )
 
 
+@pytest.mark.slow
 def test_ivf_stream_soak_bounded_debt(spark, sf_dir, tmp_path):
     N_BATCHES = 40
     COMPACT_EVERY = 4
@@ -177,6 +180,7 @@ def _soak_docs(spark, batch: int, n_docs: int = 3, dup_of_first: bool = False):
     return df.withColumn("shingles", hashed_word_shingles(tokens, 3))
 
 
+@pytest.mark.slow
 def test_dedup_index_stream_soak_bounded_debt(spark, tmp_path):
     N_BATCHES = 30
     COMPACT_EVERY = 5

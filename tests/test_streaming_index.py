@@ -6,6 +6,8 @@ at-least-once) changes nothing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from bigdataproject_spark.operators.dedup import hashed_word_shingles
@@ -411,6 +413,7 @@ def test_short_doc_not_duplicated_across_stream_batches(spark, tmp_path):
     assert b1rows == 0
 
 
+@pytest.mark.slow
 def test_auto_compaction_policy_triggers_in_stream(spark, tmp_path):
     """r6: the auto-compaction policy fires INSIDE the foreachBatch
     loop (every-N-batches and min-band-files variants) — no explicit

@@ -16,6 +16,8 @@ resolves to the newest complete generation.
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -55,6 +57,7 @@ def _hooked_publish(reader_assert, seen):
     return hook
 
 
+@pytest.mark.slow
 def test_ivf_search_inside_compaction_swap_never_errors(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -145,6 +148,7 @@ def test_ivf_grace_window_and_pointerless_fallback(
     assert not os.path.isdir(pre_dir)
 
 
+@pytest.mark.slow
 def test_dedup_probe_inside_compaction_swap_never_errors(
     spark, tmp_path, monkeypatch
 ):
@@ -255,6 +259,7 @@ def test_rebuild_pairs_centroids_with_generation(spark, sf_dir, tmp_path):
     assert ivf_index_drift(spark, idx)["n_appended_total"] == delta.count()
 
 
+@pytest.mark.slow
 def test_search_inside_rebuild_swap_never_errors_or_mixes(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -455,6 +460,7 @@ def test_crashed_rebuild_leaves_no_complete_orphan_without_centroids(
     assert _search() == expected
 
 
+@pytest.mark.slow
 def test_rebuild_backfills_paired_copy_for_pre_pairing_generation(
     spark, sf_dir, tmp_path
 ):
